@@ -1,0 +1,131 @@
+"""Text-analysis column functions (beyond-reference extension, BASELINE.json
+north star: "LLM-data-pipeline operators ... text analysis").
+
+Everything here is a pure Catalyst expression (whole-stage codegen, no Python
+workers) and every formula has an exact ANSI-SQL rendering so the DuckDB
+oracle can replay it. The building block for anything hash-shaped is
+``stable_hash64`` (SHA-256-derived, engine-portable) from ``.ids``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .ids import stable_hash64
+
+FINGERPRINT_MOD = 1_000_000_007  # 30-bit prime: (31*h + t) stays in 36 bits, no overflow in either engine
+
+# Tiny embedded stopword lists for the language-ID heuristic. A real
+# deployment would swap in fastText/CLD3 via a pandas UDF; the heuristic is
+# the deterministic, dependency-free, oracle-checkable baseline.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+STOPWORDS_FR = ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von")
+STOPWORDS_ES = ("el", "la", "de", "y", "que", "en", "un", "una", "es", "para")
+LANG_STOPWORDS = {"en": STOPWORDS_EN, "fr": STOPWORDS_FR, "de": STOPWORDS_DE, "es": STOPWORDS_ES}
+
+
+def _isin_pred(words: tuple[str, ...]):
+    """Single-argument lambda factory for higher-order functions (Spark
+    infers HOF arity from the Python signature, so default-arg captures
+    would be misread as (element, index) lambdas)."""
+    return lambda t: t.isin(*words)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal (lowercased)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-token shingles (space-joined sliding windows) — the unit of MinHash
+    near-dup detection. Empty array when the doc has < n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams of the raw string (for n-gram Jaccard)."""
+    t = text.cast("string")
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n).substr(F.lit(1), F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    """Token counting (whitespace + punctuation-aware char classes)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "avg_token_len": F.when(
+            n_tok > 0,
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok,
+        ).otherwise(F.lit(0.0)),
+        "n_alpha": F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint"),
+        "n_digit": F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("bigint"),
+        "n_punct": F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", "")).cast("bigint"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: blend of length saturation,
+    alphabetic ratio, and English stopword coverage. Deterministic and
+    SQL-replayable; thresholds follow common pretraining-data heuristics
+    (Gopher/C4-style length + symbol-ratio filters)."""
+    s = token_stats(text)
+    toks = tokens(text)
+    n_tok = s["n_tokens"]
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = F.when(
+        s["n_chars"] > 0, s["n_alpha"].cast("double") / s["n_chars"]
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(toks, _isin_pred(STOPWORDS_EN)))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_ratio / F.lit(0.2), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.2) * stop_score, 6
+    )
+
+
+def language_id(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID over {en, fr, de, es}; returns
+    the language with the highest stopword-hit count, 'und' when no hits.
+    Ties break by fixed language order (en, fr, de, es)."""
+    toks = tokens(text)
+    hits = {
+        lang: F.size(F.filter(toks, _isin_pred(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reversed so that, after chaining, earlier languages win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling-hash fingerprint of the token stream:
+    left fold of ``h -> (31*h + stable_hash64(token) % P) % P``. Two docs with
+    the same token sequence collide; any reordering almost surely does not.
+    """
+    toks = tokens(text)
+    p = F.lit(FINGERPRINT_MOD)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + stable_hash64(t) % p) % p,
+    )

@@ -1,0 +1,26 @@
+"""Relational & vector operators (SURVEY.md SS2)."""
+
+from .knn import (  # noqa: F401
+    exact_knn,
+    exact_knn_fast,
+    ivf_knn,
+    self_knn,
+)
+from .evaluate import (  # noqa: F401
+    detailed_results,
+    ir_metrics,
+    query_stats,
+)
+from .corpus import (  # noqa: F401
+    build_clone_map,
+    build_corpus,
+    extract_snippets,
+)
+from .dedup import (  # noqa: F401
+    embedding_near_duplicates,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)

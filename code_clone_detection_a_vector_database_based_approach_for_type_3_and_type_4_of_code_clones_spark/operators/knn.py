@@ -1,0 +1,259 @@
+"""kNN similarity join — the engine's core operator (SURVEY J2).
+
+The reference issues one synchronous Qdrant ``search(collection, query,
+limit=k)`` per probe inside a Python loop (bcb_utils.py:161-174,
+poj_utils.py:174-180, raw client form main3.py:79-83). Here the whole probe
+set joins the index in ONE set-based job; the per-query loop disappears.
+
+Three physical strategies behind one logical contract
+(query_id, result_id, score, rank; rank = 1-based, score-descending, ties by
+result_id ascending, the probe row itself excluded — SURVEY P3/O1/W5):
+
+- ``exact_knn``      pure Catalyst expressions. Broadcast the (small) probe
+                     side against the index scan; cosine via higher-order
+                     array functions; top-k via window. This is the
+                     oracle-reproducible reference plan.
+- ``exact_knn_fast`` Arrow/NumPy ``mapInPandas``: probe matrix broadcast to
+                     every executor, each index partition does ONE float64
+                     matmul and emits only its local top-k per query
+                     (Q x k x num_partitions rows), then a final small
+                     window picks the global top-k. The 100-TB-shaped plan:
+                     the index NEVER shuffles, Python sees each index row
+                     once, and the reduce side is O(Q*k*P), not O(Q*N).
+- ``ivf_knn``        IVF-style ANN: partition the index into Voronoi cells
+                     around centroids, probe only ``nprobe`` cells per query
+                     — the scale path analogous to Qdrant's server-side ANN
+                     index (HNSW) the reference relies on.
+
+Scores are rounded to ``SCORE_DECIMALS`` BEFORE ranking in every strategy so
+rank order is reproducible across engines (Spark, NumPy/BLAS and DuckDB may
+differ in the last ulp of a double).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+SCORE_DECIMALS = 6
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k contract: rank by rounded score desc, id asc."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("result_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "result_id", "score", "rank")
+    )
+
+
+def exact_knn(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast probes x index scan.
+
+    The probe side (the reference samples 500 queries, main.py:21) is
+    explicitly broadcast, so the physical plan is BroadcastNestedLoopJoin:
+    the index — the 100 TB side — streams through map tasks with NO shuffle;
+    the only shuffled data is the scored candidate set entering the window.
+    For very large probe sets, chunk the probes and union (each chunk stays
+    under the broadcast limit) or switch to ``ivf_knn``.
+    """
+    q = probes.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    x = index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(x)
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("query_vec"), F.col("vec")), SCORE_DECIMALS),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("result_id") != F.col("query_id"))
+    return _ranked_topk(scored, k)
+
+
+def exact_knn_fast(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k via one NumPy matmul per index partition.
+
+    Produces rows identical to ``exact_knn`` (same rounding + tie-break).
+    The probe matrix is collected once on the driver (Q x dim floats — 500
+    probes x 1024 dims = 2 MB; bounded by the reference's own probe-sample
+    design) and shipped in the UDF closure, i.e. a broadcast. Each index
+    partition computes sim = Xn @ Qn.T in float64 and keeps only its local
+    top-k per query, so executor->shuffle traffic is Q*k per partition
+    regardless of partition size.
+    """
+    qrows = (
+        probes.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+        .toPandas()
+    )
+    qids = qrows["qid"].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qrows["qv"]])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    qn = qmat / qnorm
+    nq = len(qids)
+
+    out_schema = "query_id long, result_id long, score double"
+
+    def topk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_scores = np.full((nq, 0), -np.inf)
+        best_ids = np.full((nq, 0), -1, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["rid"].to_numpy(dtype=np.int64)
+            xmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
+            xnorm[xnorm == 0.0] = 1.0
+            sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
+            if exclude_self:
+                sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[0])
+            # local top-k per query within this batch
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, Q)
+            batch_scores = np.take_along_axis(sims, part, axis=0).T  # (Q, kk)
+            batch_ids = ids[part].T
+            best_scores = np.concatenate([best_scores, batch_scores], axis=1)
+            best_ids = np.concatenate([best_ids, batch_ids], axis=1)
+            if best_scores.shape[1] > 4 * k:  # compact the running candidates
+                sel = np.argpartition(-best_scores, k - 1, axis=1)[:, :k]
+                best_scores = np.take_along_axis(best_scores, sel, axis=1)
+                best_ids = np.take_along_axis(best_ids, sel, axis=1)
+        if best_scores.shape[1]:
+            if best_scores.shape[1] > k:
+                sel = np.argpartition(-best_scores, k - 1, axis=1)[:, :k]
+                best_scores = np.take_along_axis(best_scores, sel, axis=1)
+                best_ids = np.take_along_axis(best_ids, sel, axis=1)
+            qcol = np.repeat(qids, best_scores.shape[1])
+            mask = np.isfinite(best_scores.ravel())
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[mask],
+                    "result_id": best_ids.ravel()[mask],
+                    "score": best_scores.ravel()[mask],
+                }
+            )
+
+    candidates = (
+        index.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
+        .mapInPandas(topk_partition, schema=out_schema)
+    )
+    return _ranked_topk(candidates, k)
+
+
+def self_knn(embeddings: DataFrame, k: int, n_probes: int | None = None,
+             fast: bool = False) -> DataFrame:
+    """Self-join kNN over the ``embeddings`` fixture: every (or the first
+    ``n_probes``) vectors probe the full table, self-excluded — the shape of
+    the reference's benchmark loop (bcb_utils.py:150-176)."""
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    if n_probes is not None:
+        probes = probes.filter(F.col("query_id") < n_probes)
+    fn = exact_knn_fast if fast else exact_knn
+    return fn(probes, embeddings, k)
+
+
+def ivf_knn(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN — the Spark-shaped analog of the
+    ANN index Qdrant builds server-side for the reference (SURVEY SS4.1).
+
+    Deterministic centroid choice (the ``n_centroids`` lowest-id vectors)
+    keeps the operator fully SQL-replayable; a KMeans refinement can swap in
+    without changing the plan shape. Index vectors land in the cell of their
+    nearest centroid; each probe searches only its ``nprobe`` nearest cells.
+    At 100 TB the cell assignment is computed once at ingest and persisted as
+    a partition column, so a query touches nprobe/n_centroids of the data —
+    partition pruning does the rest.
+    """
+    cents = index.orderBy(F.col(id_col)).limit(n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    x = index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"))
+
+    # cell assignment: nearest centroid per index vector (broadcast centroids)
+    assign_w = Window.partitionBy("result_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    assigned = (
+        x.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_sim",
+            F.round(cosine_similarity(F.col("vec"), F.col("cent_vec")), SCORE_DECIMALS),
+        )
+        .withColumn("cell_rank", F.row_number().over(assign_w))
+        .filter(F.col("cell_rank") == 1)
+        .select("result_id", "vec", F.col("cent_id").alias("cell"))
+    )
+
+    # probe routing: nprobe nearest cells per query
+    q = probes.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_sim",
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col("cent_vec")), SCORE_DECIMALS
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "query_vec", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        F.broadcast(routed)
+        .join(assigned, "cell")
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("query_vec"), F.col("vec")), SCORE_DECIMALS),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("result_id") != F.col("query_id"))
+    # a probe routed to nprobe cells can see the same index row only once
+    # (cells partition the index), so no dedup is needed before ranking
+    return _ranked_topk(scored, k)

@@ -1,0 +1,122 @@
+"""Driver-style correctness harness: run every queries() entry on Spark and
+its oracle_sql() twin on DuckDB at sf0.01, compare row count, column names
+and order-insensitive values. Usage:
+
+    python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(mine) != len(oracle):
+        problems.append(f"row count {len(mine)} vs oracle {len(oracle)}")
+    mcols, ocols = sorted(c.lower() for c in mine.columns), sorted(
+        c.lower() for c in oracle.columns
+    )
+    if mcols != ocols:
+        problems.append(f"columns {mcols} vs {ocols}")
+        return problems
+    m, o = normalize(mine), normalize(oracle)
+    if len(m) == len(o):
+        for c in m.columns:
+            a, b = m[c], o[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                af = pd.to_numeric(a, errors="coerce").astype(float)
+                bf = pd.to_numeric(b, errors="coerce").astype(float)
+                bad = ~(
+                    (af.isna() & bf.isna())
+                    | (abs(af - bf) <= 1e-9 + 1e-9 * abs(bf))
+                )
+                if bad.any():
+                    i = bad.idxmax()
+                    problems.append(
+                        f"col {c}: {int(bad.sum())} value diffs, first at row {i}: "
+                        f"{af[i]!r} vs {bf[i]!r}"
+                    )
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    neq = a.astype(str) != b.astype(str)
+                    i = neq.idxmax()
+                    problems.append(
+                        f"col {c}: {int(neq.sum())} value diffs, first at row {i}: "
+                        f"{a[i]!r} vs {b[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entrymod
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle (rows-only check: {len(mine)} rows)")
+            continue
+        try:
+            oracle = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0]}")
+            failed.append(name)
+            continue
+        problems = compare(name, mine, oracle)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"ok    {name} ({len(mine)} rows)")
+    print()
+    if failed:
+        print(f"{len(failed)} FAILED: {failed}")
+        return 1
+    print("all queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
