@@ -627,7 +627,8 @@ SELECT doc_a, doc_b FROM cand"""
 
     sql["ngram_jaccard"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
 shingled AS (
-  SELECT doc_id, list_distinct({sh3}) AS sh FROM documents
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
+  FROM documents
 )
 SELECT c.doc_a, c.doc_b,
        round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0

@@ -1,0 +1,146 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's hot paths: the kNN similarity join at
+full probe fan-out (the reference's core operator, SURVEY J2), the complete
+clone-detection benchmark pipeline (kNN + relevance + IR metrics — what the
+reference's ``benchmark()`` does per-query in a Python loop), the MinHash-LSH
+near-dup pipeline, SimHash fingerprinting, and the relational/window
+workhorses over lineitem/orders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.session import (  # noqa: E402
+    get_spark,
+)
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark import (  # noqa: E402
+    operators as ops,
+)
+
+BENCH_K = 100          # reference retrieval depth (main.py:22)
+BENCH_PROBES = 500     # reference benchmark sample size (main.py:21)
+
+
+def _consume(df) -> int:
+    """Execute the full plan and materialize every row (no collect of big
+    results to the driver — count after a no-prune barrier)."""
+    return df.count()
+
+
+def bench_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def q_knn_full():
+        return ops.self_knn(emb, k=BENCH_K, n_probes=BENCH_PROBES, fast=True)
+
+    def q_pipeline_metrics():
+        knn = ops.self_knn(emb, k=BENCH_K, n_probes=BENCH_PROBES, fast=True)
+        detailed = ops.detailed_results(knn, emb.select("vec_id", "label"), mode="label")
+        return ops.ir_metrics(detailed, k=BENCH_K, ap_norm="k")
+
+    def q_ivf_knn():
+        probes = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ).filter(F.col("query_id") < BENCH_PROBES)
+        return ops.ivf_knn(probes, emb, k=BENCH_K, n_centroids=16, nprobe=4)
+
+    def q_lsh_neardup():
+        pairs = ops.lsh_candidate_pairs(docs, n_hashes=16, bands=4)
+        return ops.ngram_jaccard_pairs(docs, pairs)
+
+    def q_simhash():
+        return ops.simhash(docs)
+
+    def q_exact_dedup():
+        return ops.exact_duplicates(docs)
+
+    def q_pricing_summary():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def q_topk_join():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+        )
+
+    return {
+        "knn_full": q_knn_full,
+        "pipeline_metrics": q_pipeline_metrics,
+        "ivf_knn": q_ivf_knn,
+        "lsh_neardup": q_lsh_neardup,
+        "simhash": q_simhash,
+        "exact_dedup": q_exact_dedup,
+        "pricing_summary": q_pricing_summary,
+        "topk_join": q_topk_join,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: spin up Python workers / Arrow channels / codegen so
+    # per-query numbers measure steady-state throughput, not JVM cold start
+    import pandas as pd
+
+    warm = spark.createDataFrame([(i,) for i in range(64)], "x long").repartition(8)
+    warm.mapInPandas(lambda it: (pdf for pdf in it), "x long").groupBy("x").count().count()
+    for t in ("embeddings", "documents", "lineitem", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, build in bench_queries(spark, sf_dir).items():
+        t0 = time.monotonic()
+        _consume(build())
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,25 +59,40 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature per document as ONE map-side expression.
+    """MinHash signature per document: explode shingle hashes, aggregate
+    ``min(perm_i(h))`` per permutation with map-side partial aggregation.
 
-    No explode: the signature is ``transform(seeds, i -> array_min(
-    transform(shingles, s -> perm_i(hash(s)))))`` — each doc's shingle set is
-    scanned n_hashes times inside codegen, zero shuffles. Docs with fewer
-    than ``shingle_n`` tokens get a NULL signature (nothing to hash).
+    SHA-256 runs exactly once per shingle (an array-expression formulation
+    would be re-inlined per permutation by CollapseProject, multiplying the
+    hash cost n_hashes-fold — measured 6x slower). The shuffle moving to the
+    groupBy is only n_hashes partial minima per (doc, partition) thanks to
+    partial aggregation — the 100 TB-safe shape. Docs with fewer than
+    ``shingle_n`` tokens get a NULL signature (nothing to hash).
 
     Output: ``doc_id, sig ARRAY<BIGINT>[n_hashes]``.
     """
-    sh = word_shingles(tokens(F.col(text_col)), shingle_n)
     params = minhash_params(n_hashes)
-
-    def perm(a: int, b: int):
-        return lambda s: (stable_hash64(s) % MINHASH_P * a + b) % MINHASH_P
-
-    sig = F.array(*[F.array_min(F.transform(sh, perm(a, b))) for a, b in params])
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.size(sh) > 0, sig).alias("sig"),
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    exploded = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_shingles(F.col("toks"), shingle_n),
+                lambda s: stable_hash64(s) % MINHASH_P,
+            )
+        ).alias("h"),
+    )
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sig = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+    return toked.select("doc_id").join(
+        mins.select("doc_id", sig.alias("sig")), "doc_id", "left"
     )
 
 
@@ -88,9 +103,12 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     sharing a (band_idx, band_key) bucket (SURVEY SS7 M6; the classic
     shingle->minhash->band->bucket-join pipeline).
 
-    The self-join is an equi-join on the bucket key — at scale its cost is
-    sum over buckets of |bucket|^2, controlled by bands x rows tuning, and
-    AQE's skew-join splitting handles hot buckets.
+    Bucketing is a single groupBy on (band_idx, band_key): each bucket's
+    members pair up via an in-bucket combination expression, so the signature
+    pipeline is computed ONCE (a band self-join would re-derive it for each
+    side). Cost is sum over buckets of |bucket|^2 — controlled by bands x
+    rows tuning; a pathological hot bucket would need salting or a bucket-
+    size cap, both upstream of this operator.
 
     Output: ``doc_a, doc_b`` (a < b, distinct).
     """
@@ -118,16 +136,21 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> a < b), b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -136,27 +159,66 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    Only candidates are verified (the LSH output, a tiny fraction of N^2);
-    each side is a broadcast-able shingle-set lookup.
+    Only candidates are verified (the LSH output, a tiny fraction of N^2).
+    Sets are compared by their 60-bit shingle hashes (collision probability
+    within a pair's union is ~|union|^2 / 2^60), set-relationally: the
+    distinct (doc, hash) table joins itself through the candidate pairs, so
+    the intersection is a hash-join count, not a per-row array intersect —
+    SHA-256 runs once per shingle and the plan is shuffle-bounded by the
+    candidate set. ``pairs`` is broadcast (LSH output is small by design).
 
     Output: ``doc_a, doc_b, jaccard``.
     """
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+    # the candidate list is referenced three times (intersection join,
+    # pair-doc semi-join, final assembly); it is small by LSH design, so pin
+    # it rather than re-deriving the whole signature pipeline per reference
+    pairs = pairs.persist()
+    e = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(F.col("toks"), shingle_n),
+                        lambda s: stable_hash64(s),
+                    )
+                )
+            ).alias("h"),
+        )
     )
-    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # shingle-set sizes only for docs that appear in a candidate pair
+    # (left-semi against the small pair-doc set keeps this broadcastable)
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        e.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    inter = (
+        F.broadcast(pairs)
+        .join(e.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(e.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    union = F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)) - n_inter
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sz_a), "doc_a", "left")
+        .join(F.broadcast(sz_b), "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 6
+                F.when(union > 0, n_inter.cast("double") / union).otherwise(0.0), 6
             ).alias("jaccard"),
         )
     )
@@ -165,26 +227,39 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash fingerprint: for each bit position, sum +/-1 over the
-    token multiset's hash bits; bit set iff the sum is positive. Map-side
-    expression only — the per-doc cost is 60 passes over the token array
-    inside codegen, no shuffle.
+    token multiset's hash bits; bit set iff the sum is positive.
+
+    Explode + 60 codegen'd conditional-sum aggregates (SHA-256 once per
+    token; partial aggregation reduces each (doc, partition) to 60 counters
+    before the shuffle). The per-bit +/-1 sum equals ``2*ones - n``, so only
+    the ones-count is aggregated. Docs with no tokens fingerprint to 0.
 
     Output: ``doc_id, simhash BIGINT``.
     """
-    toks = tokens(F.col(text_col))
-
-    def bit_sum(b: int):
-        def step(acc, t):
-            return acc + (F.shiftright(stable_hash64(t), b) % 2) * 2 - 1
-
-        return F.aggregate(toks, F.lit(0).cast("bigint"), step)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    exploded = toked.select(
+        "doc_id",
+        F.explode(F.transform(F.col("toks"), lambda t: stable_hash64(t))).alias("h"),
+    )
+    counts = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"ones{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
     fingerprint = None
     for b in range(SIMHASH_BITS):
-        term = F.when(bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            2 * F.col(f"ones{b}") - F.col("n") > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+    return toked.select("doc_id").join(
+        counts.select("doc_id", fingerprint.alias("simhash")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, cosine_similarity_pandas
 
 SCORE_DECIMALS = 6
 
@@ -200,48 +200,77 @@ def ivf_knn(
     keeps the operator fully SQL-replayable; a KMeans refinement can swap in
     without changing the plan shape. Index vectors land in the cell of their
     nearest centroid; each probe searches only its ``nprobe`` nearest cells.
-    At 100 TB the cell assignment is computed once at ingest and persisted as
-    a partition column, so a query touches nprobe/n_centroids of the data —
-    partition pruning does the rest.
+
+    Centroids are always driver-small, so they are collected once and baked
+    into the plan as literal arrays: cell assignment and probe routing are
+    pure map-side expressions (struct array_max = argmax with cent_id
+    tie-break) — NO shuffle, NO window. The only shuffles left are the
+    cell-key join and the final top-k. At 100 TB the cell assignment is
+    computed once at ingest and persisted as a partition column, so a query
+    touches nprobe/n_centroids of the data — partition pruning does the rest.
     """
-    cents = index.orderBy(F.col(id_col)).limit(n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
-    x = index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"))
+    import math
 
-    # cell assignment: nearest centroid per index vector (broadcast centroids)
-    assign_w = Window.partitionBy("result_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
+    cent_rows = (
+        index.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .collect()
     )
-    assigned = (
-        x.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_sim",
-            F.round(cosine_similarity(F.col("vec"), F.col("cent_vec")), SCORE_DECIMALS),
+    # centroid norms accumulated left-to-right, matching the SQL oracle's
+    # list_dot_product accumulation order bit-for-bit
+    cnorms = []
+    for r in cent_rows:
+        s = 0.0
+        for v in r.cent_vec:
+            s += float(v) * float(v)
+        cnorms.append(math.sqrt(s))
+
+    # The whole centroid bank is baked in as ONE parsed SQL expression
+    # (per-literal Column construction costs a py4j round-trip each — 1000+
+    # lits took ~6 s of driver time to build; one expr parse is ms).
+    def cos_sql(i: int) -> str:
+        arr = "array(" + ",".join(repr(float(v)) + "D" for v in cent_rows[i].cent_vec) + ")"
+        dot = f"aggregate(zip_with(__vd, {arr}, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        return f"round({dot} / (__vn * {cnorms[i]!r}D), {SCORE_DECIMALS})"
+
+    sims_sql = (
+        "array("
+        + ",".join(
+            f"struct({cos_sql(i)} as sim, {-i} as neg_idx)" for i in range(len(cent_rows))
         )
-        .withColumn("cell_rank", F.row_number().over(assign_w))
-        .filter(F.col("cell_rank") == 1)
-        .select("result_id", "vec", F.col("cent_id").alias("cell"))
+        + ")"
+    )
+    ids_sql = "array(" + ",".join(f"{r.cent_id}L" for r in cent_rows) + ")"
+
+    def with_vec_prep(df, vcol: str):
+        return df.withColumn("__vd", F.col(vcol).cast("array<double>")).withColumn(
+            "__vn", F.expr("sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x))")
+        )
+
+    # struct ordering makes array_max/array_sort implement argmax/top-n with
+    # smallest-centroid-id tie-break (neg_idx descends as cent_id ascends)
+    assigned = with_vec_prep(
+        index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec")),
+        "vec",
+    ).select(
+        "result_id",
+        "vec",
+        F.expr(f"element_at({ids_sql}, -array_max({sims_sql}).neg_idx + 1)").alias("cell"),
     )
 
-    # probe routing: nprobe nearest cells per query
     q = probes.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
-    )
-    routed = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_sim",
-            F.round(
-                cosine_similarity(F.col("query_vec"), F.col("cent_vec")), SCORE_DECIMALS
-            ),
-        )
-        .withColumn("cell_rank", F.row_number().over(probe_w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("query_id", "query_vec", F.col("cent_id").alias("cell"))
+    routed = with_vec_prep(q, "query_vec").select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.expr(
+                f"transform(slice(reverse(array_sort({sims_sql})), 1, {nprobe}), "
+                f"s -> element_at({ids_sql}, -s.neg_idx + 1))"
+            )
+        ).alias("cell"),
     )
 
     scored = (
@@ -249,7 +278,10 @@ def ivf_knn(
         .join(assigned, "cell")
         .withColumn(
             "score",
-            F.round(cosine_similarity(F.col("query_vec"), F.col("vec")), SCORE_DECIMALS),
+            F.round(
+                cosine_similarity_pandas(F.col("query_vec"), F.col("vec")),
+                SCORE_DECIMALS,
+            ),
         )
     )
     if exclude_self:
