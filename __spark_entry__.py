@@ -322,6 +322,22 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over events (lag -> boundary -> running sum;
+    the batch twin of the streaming sessionizer in streaming/events.py)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        sessionize_batch,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    # microsecond ticks: the oracle engine's TIMESTAMP is us-precision, so
+    # both engines sessionize on the same integers (sessionize_batch is
+    # unit-agnostic — gap expressed in the same ticks)
+    ev_us = ev.withColumn("ts", F.expr("ts div 1000"))
+    return sessionize_batch(ev_us, gap_ns=30 * 60 * 1_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -348,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_knn": q_ivf_knn,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
     }
 
 
@@ -726,5 +743,26 @@ SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
        round(sum(round(value * 1000000)::BIGINT) / 1000000.0, 4) AS sum_value,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2"""
+
+    sql["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS tsn, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(tsn) AS session_start,
+       max(tsn) AS session_end,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 1000000)::BIGINT) AS sum_value6
+FROM numbered GROUP BY user_id, session_id"""
 
     return sql

@@ -114,20 +114,32 @@ def exact_knn_fast(
         probes.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
         .toPandas()
     )
-    qids = qrows["qid"].to_numpy()
+    # any id type works: BCB uses BIGINT func ids, POJ uses STRING UUIDs
+    # (SURVEY SS1.2); numeric ids stay int64 for vectorized comparisons
+    id_dt = dict(index.dtypes)[id_col]
+    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
+    qids = qrows["qid"].to_numpy(dtype=id_np)
+    if len(qids) == 0:
+        # empty probe set (e.g. every corpus row was dropped upstream):
+        # empty result, not a NumPy shape error
+        spark = probes.sparkSession
+        id_dt0 = dict(probes.dtypes)[query_id]
+        return spark.createDataFrame(
+            [], f"query_id {id_dt0}, result_id {id_dt0}, score double, rank int"
+        )
     qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qrows["qv"]])
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
     qnorm[qnorm == 0.0] = 1.0
     qn = qmat / qnorm
     nq = len(qids)
 
-    out_schema = "query_id long, result_id long, score double"
+    out_schema = f"query_id {id_dt}, result_id {id_dt}, score double"
 
     def topk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best_scores = np.full((nq, 0), -np.inf)
-        best_ids = np.full((nq, 0), -1, dtype=np.int64)
+        best_ids = np.full((nq, 0), -1 if id_np is np.int64 else None, dtype=id_np)
         for pdf in batches:
-            ids = pdf["rid"].to_numpy(dtype=np.int64)
+            ids = pdf["rid"].to_numpy(dtype=id_np)
             xmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
             xnorm[xnorm == 0.0] = 1.0

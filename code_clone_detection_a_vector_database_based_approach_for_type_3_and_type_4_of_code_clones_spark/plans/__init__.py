@@ -1,0 +1,6 @@
+"""End-to-end pipelines mirroring the reference CLI entry points
+(SURVEY SS3)."""
+
+from .bcb import bcb_pipeline  # noqa: F401
+from .poj import poj_pipeline  # noqa: F401
+from .scalability import scalability_sweep  # noqa: F401

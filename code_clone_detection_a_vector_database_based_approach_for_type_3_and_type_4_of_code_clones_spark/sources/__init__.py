@@ -1,0 +1,5 @@
+"""Sources & sinks (SURVEY SS2.1)."""
+
+from .csv_io import read_clones_csv, read_functions_csv, write_results_csv  # noqa: F401
+from .files import poj_directory_source, source_lines_from_files  # noqa: F401
+from .index import index_exists, load_index, write_index  # noqa: F401

@@ -1,0 +1,102 @@
+"""Dedup-operator tests: exact, MinHash/LSH, SimHash, embedding near-dup."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+    MINHASH_P,
+    embedding_near_duplicates,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = _docs(
+        spark,
+        [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],
+    )
+    out = exact_duplicates(d).collect()
+    assert len(out) == 1
+    assert out[0].n_dups == 3
+    assert out[0].keeper_id == 1
+    assert out[0].doc_ids == [1, 2, 4]
+
+
+def test_minhash_signature_matches_python(spark):
+    text = "a b c d e f"
+    d = _docs(spark, [(1, text)])
+    sig = minhash_signatures(d, n_hashes=4, shingle_n=3).first().sig
+    toks = text.split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = [
+        int(hashlib.sha256(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in shingles
+    ]
+    want = [min((h * a + b) % MINHASH_P for h in hs) for a, b in minhash_params(4)]
+    assert sig == want
+
+
+def test_minhash_short_doc_null_sig(spark):
+    d = _docs(spark, [(1, "only two"), (2, "a b c d")])
+    rows = {r.doc_id: r.sig for r in minhash_signatures(d, 4, 3).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base + "extra tail"
+    far = "completely different content about spark query engines at scale " * 3
+    d = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(d, 16, 4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    j = ngram_jaccard_pairs(d, lsh_candidate_pairs(d, 16, 4)).first()
+    assert j.jaccard > 0.6
+
+
+def test_simhash_identical_and_different(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota kappa"),
+        ],
+    )
+    pairs = simhash_near_pairs(d, max_hamming=0)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got == {(1, 2): 0}
+    s = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    assert s[1] == s[2] != s[3]
+    assert all(0 <= v < 2**60 for v in s.values())
+
+
+def test_simhash_empty_doc_zero(spark):
+    d = _docs(spark, [(1, "")])
+    assert simhash(d).first().simhash == 0
+
+
+def test_embedding_near_duplicates(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_near_duplicates(emb, threshold=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+    assert out[0].cosine > 0.99

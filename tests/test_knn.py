@@ -1,0 +1,96 @@
+"""kNN similarity-join tests (SURVEY J2/P3/O1/W5)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+    exact_knn,
+    exact_knn_fast,
+    ivf_knn,
+    self_knn,
+)
+
+
+def _collect_sorted(df):
+    return (
+        df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_fast_path_equals_expression_path(spark, embeddings):
+    a = _collect_sorted(self_knn(embeddings, k=7, n_probes=30))
+    b = _collect_sorted(self_knn(embeddings, k=7, n_probes=30, fast=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fast_path_multi_partition(spark, embeddings):
+    """Partition-local top-k + global merge must equal the single-partition
+    answer regardless of physical partitioning."""
+    a = _collect_sorted(self_knn(embeddings, k=5, n_probes=20, fast=True))
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 20)
+    b = _collect_sorted(exact_knn_fast(probes, embeddings.repartition(8), k=5))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_self_exclusion(spark, embeddings):
+    r = self_knn(embeddings, k=5, n_probes=50)
+    assert r.filter(F.col("query_id") == F.col("result_id")).count() == 0
+
+
+def test_rank_contract(spark, embeddings):
+    """Ranks are 1..k, scores non-increasing, ties broken by result_id."""
+    pdf = _collect_sorted(self_knn(embeddings, k=10, n_probes=10))
+    for qid, grp in pdf.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        s = grp["score"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        for i in range(len(grp) - 1):
+            if s[i] == s[i + 1]:
+                assert grp["result_id"].iloc[i] < grp["result_id"].iloc[i + 1]
+
+
+def test_topk_monotone_in_k(spark, embeddings):
+    """top-5 is a prefix of top-10 for every query."""
+    k5 = _collect_sorted(self_knn(embeddings, k=5, n_probes=15))
+    k10 = _collect_sorted(self_knn(embeddings, k=10, n_probes=15))
+    k10_prefix = k10[k10["rank"] <= 5].reset_index(drop=True)
+    pd.testing.assert_frame_equal(k5, k10_prefix)
+
+
+def test_knn_against_numpy_bruteforce(spark, embeddings):
+    """Golden check: Spark top-k == NumPy brute force on the same data."""
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    got = _collect_sorted(self_knn(embeddings, k=3, n_probes=5))
+    for qid in range(5):
+        order = sorted(
+            range(sims.shape[1]), key=lambda j: (-sims[qid, j], j)
+        )[:3]
+        mine = got[got["query_id"] == qid]["result_id"].tolist()
+        assert mine == [pdf["vec_id"].iloc[j] for j in order]
+
+
+def test_ivf_recall_reasonable(spark, embeddings):
+    """IVF with nprobe=4/16 cells should recover a majority of the exact
+    top-10 on this fixture (sanity, not a tight bound)."""
+    exact = _collect_sorted(self_knn(embeddings, k=10, n_probes=20))
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 20)
+    approx = _collect_sorted(
+        ivf_knn(probes, embeddings, k=10, n_centroids=16, nprobe=4)
+    )
+    hits = 0
+    total = 0
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["result_id"])
+        a = set(approx[approx["query_id"] == qid]["result_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.3  # nprobe/n_centroids = 25% of cells searched

@@ -1,0 +1,69 @@
+"""Text-analysis function tests."""
+
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    tokens,
+    word_shingles,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first().v
+
+
+def test_tokens_whitespace_and_case(spark):
+    assert _one(spark, "  Hello   WORLD\tfoo\n", tokens(F.col("text"))) == [
+        "hello",
+        "world",
+        "foo",
+    ]
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", word_shingles(tokens(F.col("text")), 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", word_shingles(tokens(F.col("text")), 3)) == []
+
+
+def test_token_stats(spark):
+    s = token_stats(F.col("text"))
+    df = spark.createDataFrame([("ab cd, ef 12!",)], "text string")
+    row = df.select(
+        s["n_tokens"].alias("nt"),
+        s["n_alpha"].alias("na"),
+        s["n_digit"].alias("nd"),
+        s["n_punct"].alias("np"),
+    ).first()
+    assert row.nt == 4
+    assert row.na == 6
+    assert row.nd == 2
+    assert row.np == 2  # comma and exclamation... '!' not in class -> check
+    # punct class is .,;:!?'"()- : ',' and '!' both count
+    assert row.np == 2
+
+
+def test_quality_score_bounds(spark, documents):
+    rows = documents.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_language_id_obvious_cases(spark):
+    assert _one(spark, "the cat sat on the mat and it is happy", language_id(F.col("text"))) == "en"
+    assert _one(spark, "le chat est dans la maison et il est content", language_id(F.col("text"))) == "fr"
+    assert _one(spark, "der Hund ist ein guter Freund und die Katze", language_id(F.col("text"))) == "de"
+    assert _one(spark, "xyzzy qwerty plugh", language_id(F.col("text"))) == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = _one(spark, "alpha beta gamma", doc_fingerprint(F.col("text")))
+    b = _one(spark, "gamma beta alpha", doc_fingerprint(F.col("text")))
+    c = _one(spark, "alpha beta gamma", doc_fingerprint(F.col("text")))
+    assert a == c
+    assert a != b
+    assert _one(spark, "", doc_fingerprint(F.col("text"))) == 0
