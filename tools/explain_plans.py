@@ -1,0 +1,52 @@
+"""Dump formatted physical plans for the headline operators (PLANS.md
+source). Usage: python tools/explain_plans.py [sf_dir]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark import (  # noqa: E402
+    operators as ops,
+)
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    plans = {
+        "exact_knn_fast": ops.self_knn(emb, k=100, n_probes=500, fast=True),
+        "pricing_summary": (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+        ),
+        "lookup_join": (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        ),
+        "minhash_signatures": ops.minhash_signatures(docs),
+        "lsh_candidate_pairs": ops.lsh_candidate_pairs(docs),
+    }
+    for name, df in plans.items():
+        print(f"\n===== {name} =====")
+        df.explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
