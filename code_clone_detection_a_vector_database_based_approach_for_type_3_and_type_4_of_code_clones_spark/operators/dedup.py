@@ -170,9 +170,13 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     Output: ``doc_a, doc_b, jaccard``.
     """
     # the candidate list is referenced three times (intersection join,
-    # pair-doc semi-join, final assembly); it is small by LSH design, so pin
-    # it rather than re-deriving the whole signature pipeline per reference
+    # pair-doc semi-join, final assembly), two of them behind broadcast
+    # exchanges that AQE builds as concurrent jobs. A lazy persist loses the
+    # race: each broadcast job re-derives the whole signature pipeline before
+    # the cache lands (measured 3-5x wall-clock blowup). Materialize eagerly
+    # so every downstream branch reads cached blocks.
     pairs = pairs.persist()
+    pairs.count()
     e = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select(

@@ -27,9 +27,17 @@ def get_spark(app_name: str = "clonespark", master: str | None = None) -> SparkS
       is small use explicit ``broadcast()`` hints instead of relying on stats.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # one BLAS thread per Python worker: N workers already saturate the
+    # cores, and nested OpenBLAS/OMP thread pools on the tiny per-batch
+    # matmuls cause contention, not speedup (N workers x N BLAS threads)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
