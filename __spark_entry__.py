@@ -56,7 +56,7 @@ KNN_PROBES = 100  # probes = vec_id < KNN_PROBES
 MINHASH_N = 16
 MINHASH_SHINGLE = 3
 LSH_BANDS = 4
-SIMHASH_MAX_HAMMING = 26
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: 4 chunks of 15 bits cover radius 3
 EMB_NEARDUP_THRESHOLD = 0.30
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
@@ -256,6 +256,16 @@ def q_simhash(spark, sf_dir):
     return ops.simhash(docs)
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming radius 3 via the pigeonhole
+    chunk join (operators.dedup.simhash_near_pairs); the oracle verifies
+    with the brute-force all-pairs form, so the banded candidate
+    generation is proven lossless inside the radius."""
+    docs = _t(spark, sf_dir, "documents")
+    p = ops.simhash_near_pairs(docs, SIMHASH_MAX_HAMMING)
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def q_emb_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ops.embedding_near_duplicates(emb, EMB_NEARDUP_THRESHOLD)
@@ -357,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "emb_near_dups": q_emb_near_dups,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -657,6 +668,13 @@ JOIN shingled a ON a.doc_id = c.doc_a
 JOIN shingled b ON b.doc_id = c.doc_b"""
 
     sql["simhash"] = _simhash_sql()
+
+    sql["simhash_near_dups"] = f"""
+WITH sh AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
 
     sql["emb_near_dups"] = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)

@@ -23,4 +23,5 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )

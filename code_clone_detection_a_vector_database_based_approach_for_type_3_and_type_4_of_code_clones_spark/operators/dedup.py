@@ -266,21 +266,72 @@ def simhash(docs: DataFrame, text_col: str = "text",
     ).select("doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance. Exact all-pairs form for
-    oracle checking; at scale the standard trick is to split the fingerprint
-    into (max_hamming+1) chunks and hash-join on any-equal-chunk (pigeonhole)
-    before verifying — same verify expression, candidate join instead of the
-    cross join."""
+    """SimHash near-dup pairs within a Hamming radius, via the pigeonhole
+    chunk join: split the 60-bit fingerprint into ``max_hamming + 1`` chunks
+    — two fingerprints within the radius MUST agree on at least one whole
+    chunk, so candidates come from a hash join on (chunk_idx, chunk_value)
+    instead of the N^2 cross join. Every surviving pair is then verified
+    with the exact ``bit_count(xor)`` distance, so results are identical to
+    the brute-force form (which the DuckDB oracle runs).
+
+    Bucketing reuses the LSH pattern: one groupBy on the chunk key, pairs
+    expanded in-bucket with both fingerprints carried along, so the
+    fingerprint pipeline runs ONCE and verification needs no second join.
+    At 100 TB the chunk table is the thing you persist at ingest; each
+    chunk's bucket population is ~N / 2^15, and a hot bucket (a boilerplate
+    fingerprint) is visible as a countable skew key upstream.
+
+    Output: ``doc_a, doc_b, hamming`` (a < b, distinct).
+    """
+    chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
     s = simhash(docs, text_col, id_col)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    chunked = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), i * chunk_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    buckets = (
+        chunked.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.collect_list(F.struct("doc_id", "simhash")).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, a -> transform("
+                    "filter(members, b -> a.doc_id < b.doc_id), "
+                    "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                    "a.simhash AS sh_a, b.simhash AS sh_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming)
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

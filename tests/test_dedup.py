@@ -83,6 +83,39 @@ def test_simhash_identical_and_different(spark):
     assert all(0 <= v < 2**60 for v in s.values())
 
 
+def test_simhash_banded_matches_bruteforce(spark):
+    """The pigeonhole chunk join must find EXACTLY the pairs the all-pairs
+    form finds inside the radius (candidate generation is lossless)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    rows = []
+    for i in range(1, 41):
+        base = [vocab[rng.randrange(len(vocab))] for _ in range(30)]
+        rows.append((i, " ".join(base)))
+        if i % 5 == 0:  # planted near-dup: one word changed
+            mutated = list(base)
+            mutated[rng.randrange(len(mutated))] = "mutated"
+            rows.append((100 + i, " ".join(mutated)))
+    d = _docs(spark, rows)
+    for radius in (0, 3):
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_pairs(d, max_hamming=radius).collect()
+        }
+        s = {r.doc_id: r.simhash for r in simhash(d).collect()}
+        brute = {
+            (a, b, bin(s[a] ^ s[b]).count("1"))
+            for a in s
+            for b in s
+            if a < b and bin(s[a] ^ s[b]).count("1") <= radius
+        }
+        assert banded == brute
+    assert simhash_near_pairs(d, max_hamming=3).count() > 0
+
+
 def test_simhash_empty_doc_zero(spark):
     d = _docs(spark, [(1, "")])
     assert simhash(d).first().simhash == 0
