@@ -57,6 +57,97 @@ def streaming_hourly_counts(
     )
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_ns: int = SESSION_GAP_NS,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming gap sessionization — the stateful twin of
+    ``sessionize_batch``, built on ``applyInPandasWithState`` (the custom
+    stateful-operator escape hatch for semantics Structured Streaming's
+    built-in windows can't express).
+
+    Per user (the grouping key) the state holds the one open session
+    ``(start, end, n, sum_value6)``. Each micro-batch's events are folded in
+    event-time order: a gap larger than ``gap_ns`` closes the open session
+    (emitted immediately, mode append) and starts a new one. The open
+    session is emitted when the event-time watermark passes its end + gap
+    (``GroupStateTimeout.EventTimeTimeout``) — so results stream out as soon
+    as they are final, and state is bounded by the number of users with an
+    open session inside the watermark horizon, not by history.
+
+    Output rows match ``sessionize_batch`` minus the per-user ``session_id``
+    ordinal (a global ordinal is meaningless under out-of-order arrival;
+    ``session_start`` orders sessions within a user).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandasWithState ships pandas frames
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts") / NS_PER_SEC)
+    ).withWatermark("event_time", watermark)
+
+    out_schema = (
+        "user_id long, session_start long, session_end long, "
+        "n_events long, sum_value6 long"
+    )
+    state_schema = "start long, end long, n long, sv6 long"
+
+    def fold_sessions(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n, sv6 = state.get
+                closed.append((user_id, start, end, n, sv6))
+                state.remove()
+        else:
+            open_s = list(state.get) if state.exists else None
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values("ts")
+                for ts, v in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy()):
+                    ts = int(ts)
+                    v6 = int(round(float(v) * 1_000_000))
+                    if open_s is None:
+                        open_s = [ts, ts, 1, v6]
+                    elif ts - open_s[1] > gap_ns:
+                        closed.append((user_id, *open_s))
+                        open_s = [ts, ts, 1, v6]
+                    else:
+                        open_s[1] = max(open_s[1], ts)
+                        open_s[2] += 1
+                        open_s[3] += v6
+            if open_s is not None:
+                state.update(tuple(open_s))
+                # close once the watermark passes session_end + gap (ms)
+                state.setTimeoutTimestamp((open_s[1] + gap_ns) // 1_000_000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value6"],
+            )
+
+    return with_time.groupBy("user_id").applyInPandasWithState(
+        fold_sessions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_ns: int = SESSION_GAP_NS) -> DataFrame:
     """Gap-based sessionization as a window plan (the batch twin of a
     ``applyInPandasWithState`` streaming sessionizer): a new session starts

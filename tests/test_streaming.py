@@ -62,3 +62,105 @@ def test_streaming_hourly_matches_batch(spark, tmp_path, sf_dir):
         .collect()
     )
     assert {(r.event_type, r.n) for r in got} == {(r.event_type, r.n) for r in want}
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionizer (applyInPandasWithState, event-time timeout)
+    emits exactly the batch sessionizer's sessions, except each user's
+    still-open trailing session. Three micro-batches (one file each, mtime
+    ordered) exercise both closure paths: gap-closure within/across batches
+    and watermark-driven timeout of an idle user's open session."""
+    import os
+    import time as _time
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        sessionize_stream,
+    )
+
+    HOUR_NS = 3600 * NS_PER_SEC
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batches = [
+        # all times offset by +1h: an event AT the initial watermark (t=0)
+        # would be dropped as late. user1 opens [1h, 1h10m]; user2 [1h05m]
+        [(1, HOUR_NS, 1, "a", 1.0, ""), (2, HOUR_NS + 10 * MIN_NS, 1, "a", 2.0, ""),
+         (3, HOUR_NS + 5 * MIN_NS, 2, "a", 4.0, "")],
+        # 1h50m closes user1's [1h,1h10m]; 11h closes [1h50m]; user2's
+        # 11h05m closes [1h05m]
+        [(4, HOUR_NS + 50 * MIN_NS, 1, "a", 3.0, ""), (5, 11 * HOUR_NS, 1, "a", 5.0, ""),
+         (6, 11 * HOUR_NS + 5 * MIN_NS, 2, "a", 6.0, "")],
+        # 21h advances the watermark to 19h -> user1's idle [11h] session
+        # times out (timeout 11h30m < 19h); user2's [11h05m] gap-closes
+        [(7, 21 * HOUR_NS, 2, "a", 7.0, "")],
+    ]
+    events_dir = tmp_path / "sessions_stream"
+    events_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    # plain parquet FILES (not Spark output dirs): the file stream source
+    # lists files, and mtime order fixes micro-batch order
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        path = str(events_dir / f"batch-{i}.parquet")
+        arrays = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(arrays[0], pa.int64()),
+                    "ts": pa.array(arrays[1], pa.int64()),
+                    "user_id": pa.array(arrays[2], pa.int64()),
+                    "event_type": pa.array(arrays[3], pa.string()),
+                    "value": pa.array(arrays[4], pa.float64()),
+                    "props": pa.array(arrays[5], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now + i, now + i))
+
+    out = sessionize_stream(
+        spark, str(events_dir), watermark="2 hours", max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value6)
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+
+    ev = spark.createDataFrame(all_rows, schema)
+    batch_sessions = sessionize_batch(ev).collect()
+    # the stream emits every session the batch form finds EXCEPT those still
+    # open at the final watermark: trailing per-user sessions whose
+    # (end + gap) timeout lies beyond max(event_time) - watermark_delay
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        SESSION_GAP_NS,
+    )
+
+    final_wm_ns = max(r[1] for r in all_rows) - 2 * HOUR_NS
+    last_start = {}
+    for r in batch_sessions:
+        last_start[r.user_id] = max(last_start.get(r.user_id, -1), r.session_start)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value6)
+        for r in batch_sessions
+        if r.session_start != last_start[r.user_id]
+        or r.session_end + SESSION_GAP_NS <= final_wm_ns
+    }
+    assert got == want
+    # user1's idle [11h] session was emitted by the event-time TIMEOUT path
+    # (no later user1 event ever closed it by gap)
+    assert (1, 11 * HOUR_NS, 11 * HOUR_NS, 1, 5_000_000) in got
+    # user2's [21h] session is still open -> not emitted
+    assert not any(r[0] == 2 and r[1] == 21 * HOUR_NS for r in got)
