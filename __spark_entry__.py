@@ -309,6 +309,27 @@ def q_ivf_knn(spark, sf_dir):
     return ops.ivf_knn(probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
+def q_ann_recall(spark, sf_dir):
+    """IVF recall@k against the exact kNN ground truth, per query — the ANN
+    quality gauge the reference cannot self-measure (its Qdrant HNSW recall
+    is opaque server-side; SURVEY SS4.1). Both sides share rounding and
+    tie-break rules, so the comparison is deterministic across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 50)
+    exact = ops.exact_knn(probes, emb, k=KNN_K).select("query_id", "result_id")
+    approx = ops.ivf_knn(
+        probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    ).select("query_id", "result_id").withColumn("hit", F.lit(1))
+    joined = exact.join(approx, ["query_id", "result_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return joined.groupBy("query_id").agg(
+        n_hits.cast("bigint").alias("n_hits"),
+        F.round(n_hits / F.lit(KNN_K), 6).alias("recall_at_k"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregate over events (batch form of the streaming
     demo; SURVEY SS2.10 extension). The fixture stores nanosecond parquet
@@ -374,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_knn": q_ivf_knn,
+        "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
     }
@@ -710,7 +732,64 @@ SELECT doc_id,
          (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS fingerprint
 FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
 
-    sql["ivf_knn"] = f"""
+    sql["ivf_knn"] = _ivf_sql()
+
+    sql["ann_recall"] = f"""
+WITH exact AS (
+  SELECT query_id, result_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS result_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.qv, x.v) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) DESC,
+                      x.vec_id ASC) AS rank
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50) q
+    CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) x
+    WHERE x.vec_id <> q.vec_id
+  ) WHERE rank <= {KNN_K}
+),
+ivf AS (SELECT query_id, result_id FROM ({_ivf_sql()}))
+SELECT e.query_id,
+       count(i.result_id)::BIGINT AS n_hits,
+       round(count(i.result_id) / {KNN_K}.0, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN ivf i ON i.query_id = e.query_id AND i.result_id = e.result_id
+GROUP BY e.query_id"""
+
+    sql["events_hourly"] = """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(round(value * 1000000)::BIGINT) / 1000000.0, 4) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2"""
+
+    sql["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS tsn, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(tsn) AS session_start,
+       max(tsn) AS session_end,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 1000000)::BIGINT) AS sum_value6
+FROM numbered GROUP BY user_id, session_id"""
+
+    return sql
+
+
+
+def _ivf_sql() -> str:
+    return f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
   FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
@@ -755,32 +834,4 @@ SELECT query_id, result_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {KNN_K}"""
 
-    sql["events_hourly"] = """
-SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
-       count(*)::BIGINT AS n_events,
-       round(sum(round(value * 1000000)::BIGINT) / 1000000.0, 4) AS sum_value,
-       count(DISTINCT user_id)::BIGINT AS n_users
-FROM events GROUP BY 1, 2"""
 
-    sql["sessionize"] = """
-WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS tsn, value,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
-              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
-              ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
-),
-numbered AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged
-)
-SELECT user_id, session_id,
-       min(tsn) AS session_start,
-       max(tsn) AS session_end,
-       count(*)::BIGINT AS n_events,
-       sum(round(value * 1000000)::BIGINT) AS sum_value6
-FROM numbered GROUP BY user_id, session_id"""
-
-    return sql
