@@ -309,6 +309,24 @@ def q_ivf_knn(spark, sf_dir):
     return ops.ivf_knn(probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
+def q_doc_knn(spark, sf_dir):
+    """End-to-end corpus search composition (SURVEY SS3.1 steps 5-7 in one
+    lazy plan): documents -> deterministic hash embedder (M1 test-path) ->
+    exact cosine top-k (J2). The whole ingest+search pipeline the reference
+    runs through pandas + Qdrant, as one Catalyst plan with a full SQL
+    replay — embeddings included."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.embed import (
+        embed_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_hash(docs, dim=64).select("doc_id", "embedding")
+    probes = emb.select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 50)
+    return ops.exact_knn(probes, emb, k=KNN_K, id_col="doc_id", vec_col="embedding")
+
+
 def q_ann_recall(spark, sf_dir):
     """IVF recall@k against the exact kNN ground truth, per query — the ANN
     quality gauge the reference cannot self-measure (its Qdrant HNSW recall
@@ -395,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -733,6 +752,41 @@ SELECT doc_id,
 FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
 
     sql["ivf_knn"] = _ivf_sql()
+
+    h_tok_b = _HASH60("t")
+    sql["doc_knn"] = f"""
+WITH toked AS (SELECT doc_id, {toks} AS toksl FROM documents),
+hs AS (SELECT doc_id, list_transform(toksl, t -> {h_tok_b}) AS hl FROM toked),
+raw AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b ->
+           coalesce(list_sum(list_transform(hl,
+             h -> CASE WHEN h % 64 = b THEN ((h >> 30) & 1) * 2 - 1 ELSE 0 END)), 0)::DOUBLE
+         ) AS counts
+  FROM hs
+),
+emb AS (
+  SELECT doc_id,
+         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS v
+  FROM (SELECT doc_id, counts,
+               sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
+        FROM raw)
+),
+scored AS (
+  SELECT q.doc_id AS query_id, x.doc_id AS result_id,
+         round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)) <> 0
+               THEN list_dot_product(q.v, x.v) /
+                    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)))
+               END, 6) AS score
+  FROM emb q JOIN emb x ON x.doc_id <> q.doc_id
+  WHERE q.doc_id < 50
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}"""
 
     sql["ann_recall"] = f"""
 WITH exact AS (
