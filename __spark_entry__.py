@@ -145,7 +145,9 @@ def q_lookup_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0, 2
+            ).alias("revenue"),
         )
     )
 
@@ -201,14 +203,24 @@ def q_topk_per_group(spark, sf_dir):
 def q_pricing_summary(spark, sf_dir):
     """SURVEY A2/A3/A6: TPC-H Q1-shaped grouped aggregate over lineitem."""
     li = _t(spark, sf_dir, "lineitem")
+
+    def cents(c):
+        return F.round(c * 100).cast("bigint")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(cents(F.col("l_quantity"))) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 1_000_000).cast("bigint"))
+                / (F.count("*") * 1_000_000.0),
+                6,
+            ).alias("avg_disc"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -703,7 +715,7 @@ FROM sym GROUP BY func_id"""
     sql["lookup_join"] = """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
@@ -729,10 +741,10 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
+       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
+       round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS sum_disc_price,
+       round(sum(round(l_discount * 1000000)::BIGINT) / (count(*) * 1000000.0), 6) AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
