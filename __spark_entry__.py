@@ -326,6 +326,24 @@ def q_ngram_jaccard(spark, sf_dir):
     return ops.ngram_jaccard_pairs(docs, pairs, MINHASH_SHINGLE)
 
 
+NEARDUP_JACCARD = 0.5  # verified-pair threshold feeding group resolution
+DUP_GROUP_ITERS = 3
+
+
+def q_dup_groups(spark, sf_dir):
+    """Near-dup pairs resolved into duplicate groups with elected keepers:
+    LSH candidates -> exact n-gram Jaccard >= threshold -> min-label
+    propagation (fixed 3 iterations, unrolled identically in the SQL
+    oracle). The end-of-pipeline 'which docs do we drop' answer."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs,
+        ops.lsh_candidate_pairs(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE),
+        MINHASH_SHINGLE,
+    ).filter(F.col("jaccard") >= NEARDUP_JACCARD)
+    return ops.duplicate_groups(pairs, iterations=DUP_GROUP_ITERS)
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return ops.simhash(docs)
@@ -482,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_groups": q_dup_groups,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "emb_near_dups": q_emb_near_dups,
@@ -811,6 +830,40 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN shingled a ON a.doc_id = c.doc_a
 JOIN shingled b ON b.doc_id = c.doc_b"""
+
+    prop_steps = []
+    for i in range(DUP_GROUP_ITERS):
+        prop_steps.append(
+            f"""l{i + 1} AS (
+  SELECT l.doc_id, least(l.label, min(n.label)) AS label
+  FROM l{i} l JOIN edges e ON e.a = l.doc_id JOIN l{i} n ON n.doc_id = e.b
+  GROUP BY l.doc_id, l.label
+)"""
+        )
+    sql["dup_groups"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
+  FROM documents
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.doc_a
+  JOIN shingled b ON b.doc_id = c.doc_b
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {NEARDUP_JACCARD}
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM jac WHERE jaccard >= {NEARDUP_JACCARD}
+),
+l0 AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges),
+{", ".join(prop_steps)}
+SELECT doc_id, label AS group_id, doc_id = label AS is_keeper
+FROM l{DUP_GROUP_ITERS}"""
 
     sql["simhash"] = _simhash_sql()
 

@@ -17,6 +17,7 @@ from .corpus import (  # noqa: F401
     extract_snippets,
 )
 from .dedup import (  # noqa: F401
+    duplicate_groups,
     embedding_near_duplicates,
     exact_duplicates,
     lsh_candidate_pairs,

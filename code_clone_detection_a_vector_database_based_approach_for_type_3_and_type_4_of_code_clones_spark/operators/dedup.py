@@ -337,6 +337,50 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS with an elected keeper:
+    min-label propagation over the undirected pair graph, the final step of
+    a corpus-dedup pipeline (pairs alone don't say which docs to drop when
+    A~B and B~C but A!~C).
+
+    ``iterations`` is FIXED (not loop-to-fixpoint) so the operator is
+    deterministic and SQL-replayable by unrolling; labels converge for any
+    component whose nodes are within ``iterations`` hops of the component's
+    minimum. Near-dup components are overwhelmingly tiny (pairs/triples);
+    at 100 TB you would loop with a convergence check — or use the
+    alternating large-star/small-star formulation for O(log n) rounds —
+    on exactly this plan shape (each round: one join + one min-agg).
+
+    Output: ``doc_id, group_id, is_keeper`` for every doc in some pair.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(iterations):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nl").alias("min_nl"))
+        )
+        labels = labels.join(neigh, "doc_id").select(
+            "doc_id", F.least(F.col("label"), F.col("min_nl")).alias("label")
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("group_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:

@@ -121,6 +121,26 @@ def test_simhash_empty_doc_zero(spark):
     assert simhash(d).first().simhash == 0
 
 
+def test_duplicate_groups_transitive(spark):
+    """A~B and B~C (but no direct A~C edge) must land in ONE group with the
+    min id elected keeper; unrelated pairs form their own groups."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.group_id, r.is_keeper) for r in duplicate_groups(pairs).collect()}
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+    }
+
+
 def test_embedding_near_duplicates(spark):
     emb = spark.createDataFrame(
         [
