@@ -289,6 +289,42 @@ def q_regional_revenue(spark, sf_dir):
     )
 
 
+def q_sales_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (returnflag -> linestatus -> grand
+    total) — multi-dimensional agg coverage beyond the reference's flat
+    groupBys; subtotal rows labeled 'ALL' on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0, 2
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_price",
+        )
+    )
+
+
+def q_price_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (median / p90 / p99) of order value per
+    market segment — a sort-based aggregate the reference has no analog
+    for; both engines interpolate linearly at p*(n-1)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def q_exact_dups(spark, sf_dir):
     """Exact dedup (M6): duplicates constructed deterministically (every
     7th doc re-inserted under doc_id+1000000), then hash-groupBy."""
@@ -496,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
+        "sales_rollup": q_sales_rollup,
+        "price_percentiles": q_price_percentiles,
         "exact_dups": q_exact_dups,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -768,6 +806,22 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
+
+    sql["sales_rollup"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_items,
+       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+    sql["price_percentiles"] = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
 
     sql["shipping_priority"] = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
