@@ -289,6 +289,21 @@ def q_regional_revenue(spark, sf_dir):
     )
 
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus-wide top-20 tokens via two-stage SALTED aggregation — the
+    explicit hot-key mitigation for Zipf-distributed group keys (a single
+    head token is one hash bucket no matter how AQE splits partitions).
+    The salt is summed out, so the oracle is a plain GROUP BY + top-n."""
+    docs = _t(spark, sf_dir, "documents")
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    out = ops.heavy_hitters(toks, "token", n=20)
+    return out.select(F.col("key").alias("token"), "n_rows", F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_sales_rollup(spark, sf_dir):
     """Hierarchical ROLLUP aggregate (returnflag -> linestatus -> grand
     total) — multi-dimensional agg coverage beyond the reference's flat
@@ -534,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "sales_rollup": q_sales_rollup,
         "price_percentiles": q_price_percentiles,
+        "top_tokens": q_top_tokens,
         "exact_dups": q_exact_dups,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -806,6 +822,14 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
+
+    sql["top_tokens"] = f"""
+SELECT token, n_rows, rank FROM (
+  SELECT token, count(*)::BIGINT AS n_rows,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC)::BIGINT AS rank
+  FROM (SELECT unnest({toks}) AS token FROM documents)
+  GROUP BY token
+) WHERE rank <= 20"""
 
     sql["sales_rollup"] = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

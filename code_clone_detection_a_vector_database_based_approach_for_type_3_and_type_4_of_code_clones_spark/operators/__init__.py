@@ -16,6 +16,10 @@ from .corpus import (  # noqa: F401
     build_corpus,
     extract_snippets,
 )
+from .relational import (  # noqa: F401
+    heavy_hitters,
+    salted_key_counts,
+)
 from .dedup import (  # noqa: F401
     duplicate_groups,
     embedding_near_duplicates,

@@ -67,3 +67,22 @@ def test_fingerprint_order_sensitive(spark):
     assert a == c
     assert a != b
     assert _one(spark, "", doc_fingerprint(F.col("text"))) == 0
+
+
+def test_salted_counts_match_plain_groupby(spark):
+    """Two-stage salted aggregation must equal a plain GROUP BY count
+    regardless of how rows land in partitions (salt is summed out)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        heavy_hitters,
+        salted_key_counts,
+    )
+
+    rows = [("hot",)] * 500 + [("warm",)] * 30 + [(f"cold{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r.key: r.n_rows for r in salted_key_counts(df, "k", salt_buckets=4).collect()}
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+    top = heavy_hitters(df, "k", n=2).collect()
+    assert [(r.key, r.n_rows, r.rank) for r in top] == [("hot", 500, 1), ("warm", 30, 2)]
