@@ -492,6 +492,41 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_asof_click(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase event enriched with the
+    user's most recent click at-or-before it (max event_id breaks
+    equal-timestamp ties). One shuffle + carry-forward window — not a
+    per-key range cross join (operators.relational.as_of_join)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    # compare at MICROsecond resolution on both engines: the oracle engine
+    # parses these parquet timestamps at us precision, so the ns tail must
+    # not influence the <= comparison anywhere
+    ts_us = F.expr("ts div 1000").alias("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us
+    )
+    out = ops.as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id",),
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_ts").alias("click_ts"),
+        F.col("right_event_id").alias("click_event_id"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregate over events (batch form of the streaming
     demo; SURVEY SS2.10 extension). The fixture stores nanosecond parquet
@@ -550,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "price_percentiles": q_price_percentiles,
         "top_tokens": q_top_tokens,
+        "asof_click": q_asof_click,
         "exact_dups": q_exact_dups,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -1051,6 +1087,23 @@ SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
        round(sum(round(value * 1000000)::BIGINT) / 1000000.0, 4) AS sum_value,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2"""
+
+    sql["asof_click"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS c_event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.tsn AS ts,
+       m.click_ts, m.click_event_id
+FROM p LEFT JOIN LATERAL (
+  SELECT c.tsn AS click_ts, c.c_event_id AS click_event_id
+  FROM c
+  WHERE c.user_id = p.user_id AND c.tsn <= p.tsn
+  ORDER BY c.tsn DESC, c.c_event_id DESC
+  LIMIT 1
+) m ON true"""
 
     sql["sessionize"] = """
 WITH flagged AS (

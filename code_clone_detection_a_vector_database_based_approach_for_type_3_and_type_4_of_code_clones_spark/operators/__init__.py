@@ -17,6 +17,7 @@ from .corpus import (  # noqa: F401
     extract_snippets,
 )
 from .relational import (  # noqa: F401
+    as_of_join,
     heavy_hitters,
     salted_key_counts,
 )

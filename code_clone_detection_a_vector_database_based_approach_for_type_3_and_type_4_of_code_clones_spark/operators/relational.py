@@ -16,6 +16,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, attach the LATEST
+    right row of the same key with ``right_ts <= left_ts`` — the classic
+    time-series enrichment Spark has no built-in operator for.
+
+    Implemented as the scalable union + carry-forward formulation, not a
+    range cross join: tag both sides, union, sort per key by (ts, side)
+    with the right side winning ties, and carry the last-seen right row
+    forward with ``last(ignorenulls)`` over an unbounded-preceding window.
+    Cost is ONE shuffle on the key plus a per-partition sort —
+    O((|L|+|R|) log) — where the naive theta-join is O(|L| x |R|) per key.
+    Left rows with no prior right row keep NULLs.
+
+    Output: all left columns + ``right_<ts>`` (the matched timestamp) +
+    the requested ``right_cols`` (each prefixed ``right_``).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps => a right row
+    # AT the left row's timestamp is visible to it (<=, not <)
+    order_ts = F.coalesce(F.col("_rts"), F.col(left_ts))
+    order_cols = [order_ts.asc(), F.col("_side").asc()]
+    if right_tiebreak is not None:
+        # equal-timestamp right rows would otherwise resolve
+        # nondeterministically; the LAST in tiebreak order wins
+        order_cols.append(F.col(right_tiebreak).asc())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_out = [
+        F.last(F.col("_rts"), ignorenulls=True).over(w).alias(f"right_{right_ts}")
+    ] + [
+        F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"right_{c}")
+        for c in right_cols
+    ]
+    return (
+        unioned.select("*", *carried_out)
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_rts")
+    )
+
+
 def salted_key_counts(df: DataFrame, key: Column | str,
                       salt_buckets: int = 32) -> DataFrame:
     """Count rows per key with two-stage salted aggregation.

@@ -164,3 +164,31 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert (1, 11 * HOUR_NS, 11 * HOUR_NS, 1, 5_000_000) in got
     # user2's [21h] session is still open -> not emitted
     assert not any(r[0] == 2 and r[1] == 21 * HOUR_NS for r in got)
+
+
+def test_as_of_join_semantics(spark):
+    """Each left row gets the latest right row at-or-before its timestamp
+    (ties: right visible at equal ts, max tiebreak id wins); no prior right
+    row -> NULLs."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 200, 5)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(50, 100, 10), (51, 100, 10), (52, 100, 15), (53, 200, 6)],
+        "event_id long, user_id long, ts long",
+    )
+    out = {
+        r.event_id: (r.right_ts, r.right_event_id)
+        for r in as_of_join(
+            left, right, key="user_id", right_cols=("event_id",),
+            right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out[1] == (10, 51)   # equal-ts rights visible; max id 51 wins
+    assert out[2] == (15, 52)   # latest at-or-before 20
+    assert out[3] == (None, None)  # right row is ts=6 > 5: nothing prior
