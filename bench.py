@@ -95,6 +95,34 @@ def bench_queries(spark, sf_dir):
             .filter(F.col("rn") <= 3)
         )
 
+    def q_dup_groups():
+        pairs = ops.ngram_jaccard_pairs(
+            docs, ops.lsh_candidate_pairs(docs, n_hashes=16, bands=4)
+        ).filter(F.col("jaccard") >= 0.5)
+        return ops.duplicate_groups(pairs, iterations=3)
+
+    def q_top_tokens():
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+            tokens,
+        )
+
+        toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        return ops.heavy_hitters(toks, "token", n=20)
+
+    def q_asof_join():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return ops.as_of_join(
+            purchases, clicks, key="user_id",
+            right_cols=("event_id",), right_tiebreak="event_id",
+        )
+
     return {
         "knn_full": q_knn_full,
         "pipeline_metrics": q_pipeline_metrics,
@@ -104,6 +132,9 @@ def bench_queries(spark, sf_dir):
         "exact_dedup": q_exact_dedup,
         "pricing_summary": q_pricing_summary,
         "topk_join": q_topk_join,
+        "dup_groups": q_dup_groups,
+        "top_tokens": q_top_tokens,
+        "asof_join": q_asof_join,
     }
 
 

@@ -357,6 +357,14 @@ def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # iterative plans MUST break LINEAGE each round, not just cache data:
+    # persist alone leaves the logical plan nesting one level per round, so
+    # Catalyst re-analysis grows superlinearly (measured 2s -> 10s per
+    # round by iteration 3 at sf0.1) and every reference re-expands the
+    # expensive pair-generation subtree. localCheckpoint(eager=True)
+    # materializes AND truncates the plan to a leaf; the edge set and each
+    # round's labels are tiny (near-dup pairs), so this is effectively free.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
@@ -373,7 +381,7 @@ def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
         )
         labels = labels.join(neigh, "doc_id").select(
             "doc_id", F.least(F.col("label"), F.col("min_nl")).alias("label")
-        )
+        ).localCheckpoint(eager=True)
     return labels.select(
         "doc_id",
         F.col("label").alias("group_id"),
