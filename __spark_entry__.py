@@ -566,6 +566,214 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(ev_us, gap_ns=30 * 60 * 1_000_000)
 
 
+DORMANT_CUTOFF = "2000-01-01"   # anti-join recency cutoff
+LARGE_ORDER_QTY = 150           # Q18-shape HAVING threshold
+CLICK_WINDOW_US = 12 * 3600 * 1_000_000  # interval-join lookback (12h)
+
+
+def q_order_priority_check(spark, sf_dir):
+    """Semi join (TPC-H Q4 shape): count orders per priority having >= 1
+    returned ('R') lineitem. LEFT SEMI keeps the probe side unduplicated —
+    no post-join distinct, one shuffle on the order key."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+def q_dormant_customers(spark, sf_dir):
+    """Anti join (TPC-H Q22 flavor): customers with no order on/after the
+    cutoff. LEFT ANTI against the date-filtered orders side — the filter
+    prunes the build side before the shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF)
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (group-HAVING on the fact table), enriched with the customer.
+    The HAVING side aggregates lineitem down to one row per order BEFORE
+    the join, so only qualifying keys shuffle into it."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0, 2
+            ).alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.round(F.col("o_totalprice") * 100).cast("bigint") / 100.0, 2).alias(
+                "totalprice"
+            ),
+            "sum_qty",
+        )
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
+    the part's average. The per-part aggregate is broadcast (it is |parts|
+    rows, tiny next to lineitem), so the fact table is NOT re-shuffled for
+    the join. The threshold predicate is exact integer math
+    (2 * qty_cents * cnt < sum_qty_cents), immune to float-avg divergence."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_cents", F.round(F.col("l_quantity") * 100).cast("bigint")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_cents").alias("sum_qc"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("qty_cents") * 2 * F.col("cnt") < F.col("sum_qc"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0, 2
+            ).alias("total_revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_cust_running_total(spark, sf_dir):
+    """Running-total + lag window per customer: cumulative spend and days
+    since the previous order, ordered by (date, key) for determinism.
+    One shuffle on o_custkey serves both window functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.withColumn("cents", cents)
+        .withColumn("order_seq", F.row_number().over(w))
+        .withColumn("running_spend", F.round(F.sum("cents").over(wrun) / 100.0, 2))
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "order_seq",
+            "running_spend",
+            "gap_days",
+        )
+    )
+
+
+def q_click_attribution(spark, sf_dir):
+    """Interval (range) join as a range-frame window: for each purchase,
+    count the same user's clicks in the preceding 12 hours. Union-then-
+    window — ONE shuffle on user_id and a linear per-partition pass —
+    instead of a per-user range cross join (which explodes on hot users)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.expr("ts div 1000"))  # microseconds, oracle-equal
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            (F.col("event_type") == "click").cast("int").alias("is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-CLICK_WINDOW_US, Window.currentRow)
+    )
+    return (
+        ev.withColumn("clicks_12h", F.sum("is_click").over(w).cast("bigint"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "clicks_12h")
+    )
+
+
+def q_sales_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping combinations in
+    one pass (partial-agg before the shuffle); subtotal rows labeled 'ALL'
+    identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0, 2
+            ).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+def q_priority_distinct(spark, sf_dir):
+    """Multi-distinct aggregate: distinct customers and statuses per order
+    priority (Spark expands to a single grouping-sets plan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+def q_normalized_embeddings(spark, sf_dir):
+    """SURVEY F7 (--normalized flag, main.py:19): L2 norm + unit-normalized
+    first component per vector, pure higher-order array functions (JVM-side,
+    no Python). Sequential double accumulation matches the oracle's
+    list_dot_product exactly at 6-decimal rounding."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.vector import (
+        l2_norm,
+        l2_normalize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(F.element_at(l2_normalize(F.col("embedding")), 1), 6).alias("nx0"),
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT — absent in the reference,
+    SURVEY SS2.7): sources publishing in both 'en' and 'de' vs en-only."""
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source").distinct()
+    de = docs.filter(F.col("lang") == "de").select("source").distinct()
+    return en.intersect(de).withColumn("op", F.lit("both")).unionByName(
+        en.subtract(de).withColumn("op", F.lit("en_only"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -603,6 +811,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "order_priority_check": q_order_priority_check,
+        "dormant_customers": q_dormant_customers,
+        "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "cust_running_total": q_cust_running_total,
+        "click_attribution": q_click_attribution,
+        "sales_cube": q_sales_cube,
+        "priority_distinct": q_priority_distinct,
+        "normalized_embeddings": q_normalized_embeddings,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1125,6 +1343,101 @@ SELECT user_id, session_id,
        count(*)::BIGINT AS n_events,
        sum(round(value * 1000000)::BIGINT) AS sum_value6
 FROM numbered GROUP BY user_id, session_id"""
+
+    sql["order_priority_check"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+    sql["dormant_customers"] = f"""
+SELECT c_custkey, c_mktsegment, round(c_acctbal * 100)::BIGINT AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')"""
+
+    sql["large_orders"] = f"""
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(round(o_totalprice * 100)::BIGINT / 100.0, 2) AS totalprice,
+       b.sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN (SELECT l_orderkey,
+             round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) > {LARGE_ORDER_QTY}) b
+  ON o_orderkey = b.l_orderkey"""
+
+    sql["small_qty_revenue"] = """
+WITH pa AS (
+  SELECT l_partkey, sum(round(l_quantity * 100)::BIGINT) AS sum_qc, count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS total_revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE round(l_quantity * 100)::BIGINT * 2 * cnt < sum_qc"""
+
+    sql["cust_running_total"] = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       row_number() OVER w AS order_seq,
+       round(sum(round(o_totalprice * 100)::BIGINT)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)
+         AS running_spend,
+       date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+    sql["click_attribution"] = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, count(c.ts)::BIGINT AS clicks_12h
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - {CLICK_WINDOW_US} AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts"""
+
+    sql["sales_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_items,
+       round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+    sql["priority_distinct"] = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey)::BIGINT AS n_custs,
+       count(DISTINCT o_orderstatus)::BIGINT AS n_statuses,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderpriority"""
+
+    sql["normalized_embeddings"] = """
+SELECT vec_id, round(nrm, 6) AS l2_norm,
+       round(CASE WHEN nrm > 0 THEN v[1] / nrm ELSE v[1] END, 6) AS nx0
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)"""
+
+    sql["source_overlap"] = """
+SELECT source, 'both' AS op FROM (
+  SELECT source FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT source FROM documents WHERE lang = 'de'
+)
+UNION ALL
+SELECT source, 'en_only' AS op FROM (
+  SELECT source FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT source FROM documents WHERE lang = 'de'
+)"""
 
     return sql
 

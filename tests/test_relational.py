@@ -1,0 +1,136 @@
+"""Relational breadth queries (semi/anti join, Q17/Q18 shapes, CUBE,
+distinct aggs, running-total windows, range-window interval join, set ops,
+L2 normalization) — semantic invariants at sf0.001 plus plan-shape checks
+that the scale-critical physical choices actually happen."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_order_priority_check_semi_join(spark, sf_dir):
+    out = entrymod.q_order_priority_check(spark, sf_dir)
+    rows = {r.o_orderpriority: r.n_orders for r in out.collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = orders.count()
+    # semi join never duplicates the probe side
+    assert sum(rows.values()) <= total
+    assert all(n > 0 for n in rows.values())
+    assert "LeftSemi" in _plan(out)
+
+
+def test_dormant_customers_anti_join(spark, sf_dir):
+    out = entrymod.q_dormant_customers(spark, sf_dir)
+    dormant = {r.c_custkey for r in out.collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recent = {
+        r.o_custkey
+        for r in orders.filter(
+            F.col("o_orderdate") >= entrymod.DORMANT_CUTOFF
+        ).select("o_custkey").distinct().collect()
+    }
+    assert dormant, "cutoff should leave some dormant customers"
+    assert not (dormant & recent)
+    assert "LeftAnti" in _plan(out)
+
+
+def test_large_orders_threshold(spark, sf_dir):
+    out = entrymod.q_large_orders(spark, sf_dir).collect()
+    assert out
+    assert all(r.sum_qty > entrymod.LARGE_ORDER_QTY for r in out)
+    # one output row per qualifying order
+    keys = [r.o_orderkey for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_small_qty_revenue_broadcasts_per_part_agg(spark, sf_dir):
+    out = entrymod.q_small_qty_revenue(spark, sf_dir)
+    row = out.first()
+    assert row.n_items > 0 and row.total_revenue > 0
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_cust_running_total_monotone(spark, sf_dir):
+    out = entrymod.q_cust_running_total(spark, sf_dir)
+    pdf = out.toPandas().sort_values(["o_custkey", "order_seq"])
+    for _, g in pdf.groupby("o_custkey"):
+        rs = g["running_spend"].tolist()
+        assert rs == sorted(rs)  # cumulative spend never decreases
+        assert g["order_seq"].tolist() == list(range(1, len(g) + 1))
+        gaps = g["gap_days"].tolist()
+        assert gaps[0] != gaps[0]  # first order has no predecessor -> NaN
+        assert all(gd >= 0 for gd in gaps[1:])
+
+
+def test_click_attribution_matches_brute_force(spark, sf_dir):
+    out = entrymod.q_click_attribution(spark, sf_dir)
+    got = {r.event_id: r.clicks_12h for r in out.collect()}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    p = [(r.event_id, r.user_id, r.ts) for r in ev.filter(F.col("event_type") == "purchase").collect()]
+    c = [(r.user_id, r.ts) for r in ev.filter(F.col("event_type") == "click").collect()]
+    for eid, uid, ts in p:
+        want = sum(
+            1
+            for cu, ct in c
+            if cu == uid and ts - entrymod.CLICK_WINDOW_US <= ct <= ts
+        )
+        assert got[eid] == want, eid
+    # purchases only, every purchase present
+    assert len(got) == len(p)
+
+
+def test_sales_cube_totals_consistent(spark, sf_dir):
+    rows = entrymod.q_sales_cube(spark, sf_dir).collect()
+    by_key = {(r.returnflag, r.linestatus): r.n_items for r in rows}
+    grand = by_key[("ALL", "ALL")]
+    flags = {k[0] for k in by_key if k[0] != "ALL"}
+    stats = {k[1] for k in by_key if k[1] != "ALL"}
+    assert sum(by_key[(f, "ALL")] for f in flags) == grand
+    assert sum(by_key[("ALL", s)] for s in stats) == grand
+    assert len(by_key) == (len(flags) + 1) * (len(stats) + 1)
+
+
+def test_priority_distinct_bounds(spark, sf_dir):
+    rows = entrymod.q_priority_distinct(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r.n_custs <= r.n_orders
+        assert 1 <= r.n_statuses <= 3
+
+
+def test_normalized_embeddings_unit_norm(spark, sf_dir):
+    rows = entrymod.q_normalized_embeddings(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    raw = {r.vec_id: r.embedding for r in emb}
+    for r in rows:
+        v = raw[r.vec_id]
+        n = sum(x * x for x in v) ** 0.5
+        assert abs(r.l2_norm - n) < 1e-4
+        if n:
+            assert abs(r.nx0 - v[0] / n) < 1e-4
+
+
+def test_source_overlap_set_semantics(spark, sf_dir):
+    rows = entrymod.q_source_overlap(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en = {r.source for r in docs.filter(F.col("lang") == "en").select("source").distinct().collect()}
+    de = {r.source for r in docs.filter(F.col("lang") == "de").select("source").distinct().collect()}
+    both = {r.source for r in rows if r.op == "both"}
+    only = {r.source for r in rows if r.op == "en_only"}
+    assert both == en & de
+    assert only == en - de
+    assert not (both & only)
