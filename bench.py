@@ -123,6 +123,39 @@ def bench_queries(spark, sf_dir):
             right_cols=("event_id",), right_tiebreak="event_id",
         )
 
+    def q_interval_join():
+        from pyspark.sql import Window
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.expr("ts div 1000"))
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select(
+                "event_id", "user_id", "ts", "event_type",
+                (F.col("event_type") == "click").cast("int").alias("is_click"),
+            )
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rangeBetween(-12 * 3600 * 1_000_000, Window.currentRow)
+        )
+        return (
+            ev.withColumn("clicks_12h", F.sum("is_click").over(w))
+            .filter(F.col("event_type") == "purchase")
+        )
+
+    def q_large_orders():
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+        )
+        return orders.join(big, F.col("o_orderkey") == F.col("l_orderkey")).join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        )
+
     return {
         "knn_full": q_knn_full,
         "pipeline_metrics": q_pipeline_metrics,
@@ -135,6 +168,8 @@ def bench_queries(spark, sf_dir):
         "dup_groups": q_dup_groups,
         "top_tokens": q_top_tokens,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "large_orders": q_large_orders,
     }
 
 
