@@ -763,6 +763,41 @@ def q_normalized_embeddings(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish regex split) — the
+    per-document token budget of a training-data pipeline. Pure JVM-side
+    regexp, no Python in the hot path."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        bpe_tokens,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def q_event_props(spark, sf_dir):
+    """Semi-structured JSON extraction (get_json_object on the events props
+    column) + grouped aggregate — schema-on-read over an opaque payload,
+    which the reference's fixed-schema CSV path has no analog for."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count("*"), 6).alias("avg_k"),
+        )
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT — absent in the reference,
     SURVEY SS2.7): sources publishing in both 'en' and 'de' vs en-only."""
@@ -821,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_distinct": q_priority_distinct,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
+        "token_counts": q_token_counts,
+        "event_props": q_event_props,
     }
 
 
@@ -1425,6 +1462,21 @@ SELECT vec_id, round(nrm, 6) AS l2_norm,
 FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings)"""
+
+    sql["token_counts"] = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))::BIGINT
+         AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents"""
+
+    sql["event_props"] = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       round(sum(json_extract(props, '$.k')::BIGINT) / count(*)::DOUBLE, 6) AS avg_k
+FROM events GROUP BY event_type"""
 
     sql["source_overlap"] = """
 SELECT source, 'both' AS op FROM (

@@ -38,6 +38,17 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs / digit runs / symbol runs
+    (the GPT-2 pre-tokenizer's character-class split, without byte-level
+    merges). The subword-ish unit count a training pipeline budgets by;
+    pattern is portable Java-regex/RE2 so the oracle can replay it."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-token shingles (space-joined sliding windows) — the unit of MinHash
     near-dup detection. Empty array when the doc has < n tokens."""

@@ -86,3 +86,13 @@ def test_salted_counts_match_plain_groupby(spark):
     assert got == want
     top = heavy_hitters(df, "k", n=2).collect()
     assert [(r.key, r.n_rows, r.rank) for r in top] == [("hot", 500, 1), ("warm", 30, 2)]
+
+
+def test_bpe_tokens_splits_character_classes(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        bpe_tokens,
+    )
+
+    got = _one(spark, "It's a test-42x!", bpe_tokens(F.col("text")))
+    assert got == ["it", "'", "s", "a", "test", "-", "42", "x", "!"]
+    assert _one(spark, "", bpe_tokens(F.col("text"))) == []
