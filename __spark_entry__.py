@@ -763,6 +763,31 @@ def q_normalized_embeddings(spark, sf_dir):
     )
 
 
+SRP_NEARDUP_THRESHOLD = 0.98
+
+
+def q_srp_near_dups(spark, sf_dir):
+    """Embedding near-dup at scale: signed-random-projection (cosine) LSH —
+    sign-bit signatures from deterministic literal hyperplanes, banded
+    bucket join, exact cosine verify. Near-dups are constructed
+    deterministically (every 10th vector re-inserted under vec_id+1000000
+    with its first component scaled 1.1x), mirroring exact_dups. The
+    quadratic exact twin is emb_near_dups; this one's pair space is
+    LSH-bounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vd.alias("embedding"))
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) * 1.1), F.slice(vd, 2, 63)
+        ).alias("embedding"),
+    )
+    return ops.srp_near_duplicates(
+        base.unionByName(pert), threshold=SRP_NEARDUP_THRESHOLD
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Token counting both ways (whitespace + BPE-ish regex split) — the
     per-document token budget of a training-data pipeline. Pure JVM-side
@@ -858,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
         "event_props": q_event_props,
+        "srp_near_dups": q_srp_near_dups,
     }
 
 
@@ -1463,6 +1489,8 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings)"""
 
+    sql["srp_near_dups"] = _srp_sql()
+
     sql["token_counts"] = r"""
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))::BIGINT
@@ -1493,6 +1521,48 @@ SELECT source, 'en_only' AS op FROM (
 
     return sql
 
+
+
+def _srp_sql() -> str:
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        SRP_BANDS,
+        SRP_PLANES,
+        srp_hyperplanes,
+    )
+
+    planes = srp_hyperplanes(SRP_PLANES, 64)
+    rows = SRP_PLANES // SRP_BANDS
+    bits = [
+        f"(CASE WHEN list_dot_product(v, {plane!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    ]
+    band_exprs = [
+        " || ".join(bits[b * rows : (b + 1) * rows]) for b in range(SRP_BANDS)
+    ]
+    banded_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, ({band_exprs[b]}) AS band_key FROM u"
+        for b in range(SRP_BANDS)
+    )
+    cos = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1] * 1.1], v[2:64]) AS v
+  FROM base WHERE vec_id % 10 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+banded AS ({banded_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.doc_a, c.doc_b, {cos} AS cosine
+FROM cand c JOIN u x ON x.vec_id = c.doc_a JOIN u y ON y.vec_id = c.doc_b
+WHERE {cos} >= {SRP_NEARDUP_THRESHOLD}"""
 
 
 def _ivf_sql() -> str:

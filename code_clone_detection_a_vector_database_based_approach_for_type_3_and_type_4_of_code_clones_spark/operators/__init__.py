@@ -30,4 +30,6 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
+    srp_candidate_pairs,
+    srp_near_duplicates,
 )

@@ -411,3 +411,111 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (cosine) LSH — the scale path for embedding
+# near-dup detection. The reference delegates all vector indexing to Qdrant's
+# server-side HNSW (SURVEY SS4.1); this is the set-based analog: random
+# hyperplanes -> sign-bit signature -> banded bucket join -> exact verify.
+# Hyperplanes are DETERMINISTIC literals (SHA-256-derived), so the DuckDB
+# oracle replays the whole pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SRP_PLANES = 16
+SRP_BANDS = 2  # 2 bands x 8 rows: ~0.8% random-pair collision, ~1 recall near 1.0
+
+
+def srp_hyperplanes(n_planes: int = SRP_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (3 decimals,
+    derived from SHA-256 of "srp|plane|dim") — identical literals are
+    embedded in the Spark expressions and the oracle SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"srp|{p}|{d}".encode()).digest()[:8], "big"
+            )
+            row.append(round((h % 2001) / 1000.0 - 1.0, 3))
+        planes.append(row)
+    return planes
+
+
+def _srp_band_keys(vec: Column, n_planes: int, bands: int, dim: int) -> list[Column]:
+    """One concat-of-sign-bits string key per band, computed JVM-side with
+    higher-order functions (a pandas-UDF matmul is the >10^4-dim fast path;
+    at dim 64 the expression form stays in whole-stage codegen)."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    bits = []
+    for row in srp_hyperplanes(n_planes, dim):
+        plane = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(vd, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    rows = n_planes // bands
+    return [F.concat(*bits[b * rows : (b + 1) * rows]) for b in range(bands)]
+
+
+def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
+                        bands: int = SRP_BANDS, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Candidate pairs sharing at least one SRP band bucket (id_a < id_b).
+
+    Scale shape: signatures are one narrow projection of the embedding
+    table; the only join is in-bucket on (band_idx, band_key) — the pair
+    space is bounded by bucket occupancy, never |n|^2. Hot buckets are a
+    salting candidate, same playbook as heavy_hitters."""
+    keys = _srp_band_keys(F.col(vec_col), n_planes, bands, dim)
+    banded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), keys[b].alias("band_key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
+                        n_planes: int = SRP_PLANES, bands: int = SRP_BANDS,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64) -> DataFrame:
+    """SRP-LSH candidates verified with exact cosine >= threshold.
+
+    Output: ``doc_a, doc_b, cosine`` — same contract as
+    ``embedding_near_duplicates`` (the quadratic exact twin), but the pair
+    space is LSH-bounded, so it survives a 100x corpus scale-up."""
+    from ..functions.vector import cosine_similarity
+
+    cands = srp_candidate_pairs(embeddings, n_planes, bands, id_col, vec_col, dim)
+    va = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

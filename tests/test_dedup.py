@@ -153,3 +153,36 @@ def test_embedding_near_duplicates(spark):
     out = embedding_near_duplicates(emb, threshold=0.99).collect()
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
     assert out[0].cosine > 0.99
+
+
+def test_srp_near_duplicates_recall_vs_exact(spark, embeddings):
+    """SRP-LSH must recover (nearly) all pairs the exact quadratic operator
+    finds at the same threshold, while generating far fewer candidates than
+    the full pair space."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        srp_candidate_pairs,
+        srp_near_duplicates,
+    )
+
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", vd.alias("embedding"))
+    pert = embeddings.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at(vd, 1) * 1.1), F.slice(vd, 2, 63)).alias(
+            "embedding"
+        ),
+    )
+    u = base.unionByName(pert)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_duplicates(u, threshold=0.98).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in srp_near_duplicates(u, threshold=0.98).collect()}
+    assert exact, "perturbed union must contain near-dup pairs"
+    assert got <= exact  # verify step guarantees no false positives
+    assert len(got) >= 0.9 * len(exact)  # banded recall
+    n = u.count()
+    n_cands = srp_candidate_pairs(u).count()
+    assert n_cands < 0.1 * n * (n - 1) / 2  # LSH bounds the pair space
