@@ -763,6 +763,61 @@ def q_normalized_embeddings(spark, sf_dir):
     )
 
 
+def _media(spark, sf_dir) -> DataFrame:
+    """Deterministic media table synthesized from documents (the fixture set
+    has no binary columns): text bytes as opaque content, kind round-robin,
+    duration derived from the id — matches functions/multimodal.py's
+    schema contract."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            ((F.col("doc_id") % 10 + 1) * 1000).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_frame_samples(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal extension): each video row
+    expands to its frame timestamps, pure expression — the decode itself
+    stays behind the mapInPandas kernel (media_features)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.multimodal import (
+        frame_sample_plan,
+    )
+
+    out = frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
+    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal decode->resize->featurize over Arrow batches
+    (mapInPandas; deterministic fake decoder — the real kernel needs
+    PIL/ffmpeg, absent here by design). No SQL oracle: the content-hash-
+    seeded stand-in decoder is not SQL-expressible; rows-only check, with
+    pytest determinism coverage in tests/test_multimodal.py."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.multimodal import (
+        decode_and_featurize,
+    )
+
+    out = decode_and_featurize(_media(spark, sf_dir), fake=True)
+    return out.select(
+        "media_id",
+        "kind",
+        "format",
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x, 3).cast("string")), ","
+        ).alias("feature"),
+    )
+
+
 SRP_NEARDUP_THRESHOLD = 0.98
 
 
@@ -884,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "event_props": q_event_props,
         "srp_near_dups": q_srp_near_dups,
+        "frame_samples": q_frame_samples,
+        "media_features": q_media_features,
     }
 
 
@@ -1490,6 +1547,12 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
       FROM embeddings)"""
 
     sql["srp_near_dups"] = _srp_sql()
+
+    sql["frame_samples"] = """
+SELECT media_id, unnest(list_transform(range(0, n_frames), i -> i * 1000))::BIGINT
+         AS frame_ts_ms
+FROM (SELECT doc_id AS media_id, doc_id % 10 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 0)"""
 
     sql["token_counts"] = r"""
 SELECT doc_id,
