@@ -176,3 +176,31 @@ def sessionize_batch(events: DataFrame, gap_ns: int = SESSION_GAP_NS) -> DataFra
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("sum_value6"),
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    ``operators.dedup.exact_duplicates`` and the ingest-idempotency analog
+    of the reference's collection-exists guard (SURVEY S7, main.py:59-67).
+
+    Content-addresses each document (sha256, the same key the batch dedup
+    groups by) and keeps the FIRST arrival per hash;
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon, so state size tracks the event-time window instead
+    of the whole corpus (the unbounded-state variant is a one-line swap to
+    ``dropDuplicates``).
+
+    Source schema: ``doc_id long, text string, event_ts timestamp``.
+    Output: the deduplicated rows plus their ``content_hash``.
+    """
+    schema = "doc_id long, text string, event_ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return (
+        stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -192,3 +192,41 @@ def test_as_of_join_semantics(spark):
     assert out[1] == (10, 51)   # equal-ts rights visible; max id 51 wins
     assert out[2] == (15, 52)   # latest at-or-before 20
     assert out[3] == (None, None)  # right row is ts=6 > 5: nothing prior
+
+
+def test_dedup_stream_keeps_one_row_per_hash(spark, tmp_path):
+    import datetime as dt
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        dedup_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # 20 distinct texts, each arriving 3x within the watermark window
+    for i in range(20):
+        for rep in range(3):
+            rows.append(
+                (i * 100 + rep, f"document body {i}", base + dt.timedelta(minutes=rep))
+            )
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, event_ts timestamp"
+    ).coalesce(1).write.parquet(str(docs_dir / "b0"))
+
+    out = dedup_stream(spark, str(docs_dir / "b0"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT content_hash, count(*) AS n FROM dedup_test GROUP BY 1")
+    rows_out = got.collect()
+    assert len(rows_out) == 20          # one survivor per distinct text
+    assert all(r.n == 1 for r in rows_out)
+    total = spark.sql("SELECT count(*) AS n FROM dedup_test").first().n
+    assert total == 20
