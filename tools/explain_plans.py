@@ -42,6 +42,24 @@ def main() -> None:
         ),
         "minhash_signatures": ops.minhash_signatures(docs),
         "lsh_candidate_pairs": ops.lsh_candidate_pairs(docs),
+        "srp_candidate_pairs": ops.srp_candidate_pairs(
+            emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        ),
+        "semi_join_q4": (
+            orders.join(
+                li.filter(F.col("l_returnflag") == "R"),
+                orders.o_orderkey == li.l_orderkey,
+                "left_semi",
+            ).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        ),
+        "large_orders_q18": (
+            orders.join(
+                li.groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("sum_qty"))
+                .filter(F.col("sum_qty") > 150),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+        ),
     }
     for name, df in plans.items():
         print(f"\n===== {name} =====")
