@@ -1,0 +1,136 @@
+"""CLI entry point — the Spark-first replacement for the reference's
+``python main.py`` (main.py:15-23 argument surface).
+
+Parity notes (SURVEY §0 quirks intentionally fixed):
+- ``--normalized`` is a real store_true flag (the reference's ``type=bool``
+  parses any non-empty string truthy, main.py:19);
+- dataset paths are arguments (the reference hard-codes Windows paths,
+  main.py:51-54);
+- the Qdrant host/port/collection triple (main.py:17-18, 30-34) becomes
+  ``--index_path``: a partitioned parquet vector table with create-if-
+  absent semantics (S5/S7) — including the fix for the collection-name
+  collapse bug (SURVEY §0);
+- ``--model hash`` selects the deterministic hash embedder (no downloads);
+  any other value is treated as a SentenceTransformer name (M1) and needs
+  the library installed.
+
+Usage:
+    python -m <package> --dataset bcb --clones_csv CLONES.csv \
+        --functions_csv FUNCTIONS.csv --source_dir ./java_sources \
+        --index_path ./bcb_index --output_dir ./results
+    python -m <package> --dataset poj --poj_dir ./datasets/poj104
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clonespark",
+        description="PySpark-native clone-detection benchmark pipelines",
+    )
+    p.add_argument("--dataset", choices=("bcb", "poj"), default="poj",
+                   help="pipeline to run (reference default: poj, main.py:16)")
+    p.add_argument("--clones_csv", help="BCB CLONES.csv path")
+    p.add_argument("--functions_csv", help="BCB FUNCTIONS_CLEANED.csv path")
+    p.add_argument("--source_dir", help="BCB Java source tree")
+    p.add_argument("--poj_dir", help="POJ-104 dataset directory")
+    p.add_argument("--model", default="hash",
+                   help="'hash' (deterministic, no downloads) or a "
+                        "SentenceTransformer model name (main.py:20)")
+    p.add_argument("--normalized", action="store_true",
+                   help="L2-normalize embeddings (main.py:19, fixed flag)")
+    p.add_argument("--num_samples", type=int, default=500,
+                   help="benchmark probe count (main.py:21)")
+    p.add_argument("--k", type=int, default=100,
+                   help="retrieval depth (main.py:22)")
+    p.add_argument("--index_path", default=None,
+                   help="parquet vector-index table; created if absent (S7)")
+    p.add_argument("--output_dir", default=".",
+                   help="where the two results CSVs go (main.py:85-90)")
+    p.add_argument("--cpus", type=int, default=0,
+                   help="local[n] cores; 0 = all")
+    return p
+
+
+def _embedder(args):
+    from .functions.embed import embed_hash, embed_sentence_transformer
+    from .functions.vector import l2_normalize
+
+    if args.model == "hash":
+        base = embed_hash
+    else:
+        def base(df, text_col="text", out_col="embedding"):
+            return embed_sentence_transformer(
+                df, model_name=args.model, text_col=text_col, out_col=out_col
+            )
+
+    if not args.normalized:
+        return base
+
+    def normalized(df, text_col="text", out_col="embedding"):
+        out = base(df, text_col=text_col, out_col=out_col)
+        return out.withColumn(out_col, l2_normalize(F.col(out_col)))
+
+    return normalized
+
+
+def run(argv: list[str] | None = None) -> dict:
+    args = _build_parser().parse_args(argv)
+    from .session import get_spark
+    from .sources.csv_io import write_results_csv
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark("clonespark-cli", master=master)
+    embed = _embedder(args)
+
+    if args.dataset == "bcb":
+        missing = [n for n in ("clones_csv", "functions_csv", "source_dir")
+                   if not getattr(args, n)]
+        if missing:
+            raise SystemExit(f"--dataset bcb requires --{' --'.join(missing)}")
+        from .plans.bcb import bcb_pipeline
+        from .sources.files import source_lines_from_files
+
+        lines = source_lines_from_files(spark, args.source_dir)
+        # join on basenames: reference metadata stores absolute (Windows)
+        # paths while the scanned tree yields file:// URIs
+        basename = lambda c: F.element_at(F.split(c, r"[/\\]"), -1)  # noqa: E731
+        lines = lines.withColumn("name", basename(F.col("name")))
+        res = bcb_pipeline(
+            spark, args.clones_csv, args.functions_csv, lines,
+            index_path=args.index_path, embed=embed,
+            num_samples=args.num_samples, k=args.k,
+            functions_name_transform=basename,
+        )
+    else:
+        if not args.poj_dir:
+            raise SystemExit("--dataset poj requires --poj_dir")
+        from .plans.poj import poj_pipeline
+
+        res = poj_pipeline(
+            spark, args.poj_dir, index_path=args.index_path, embed=embed,
+            num_samples=args.num_samples, k=args.k,
+        )
+
+    detailed_path = f"{args.output_dir}/{args.dataset}_detailed_results.csv"
+    stats_path = f"{args.output_dir}/{args.dataset}_query_stats.csv"
+    write_results_csv(res.detailed, detailed_path)
+    write_results_csv(res.stats, stats_path)
+
+    m = res.metrics.first().asDict()
+    # metric printout, reference shape (bcb_utils.py:270-277)
+    print(f"Success rate: {m['success_rate']}")
+    print(f"Mean precision@{args.k}: {m['mean_precision_at_k']}")
+    print(f"MRR: {m['mrr']}")
+    print(f"MAP@{args.k}: {m['map_at_k']}")
+    return {"metrics": m, "detailed": detailed_path, "stats": stats_path}
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

@@ -43,6 +43,7 @@ def bcb_pipeline(
     num_samples: int = 500,
     k: int = 100,
     sample_seed: int = 42,
+    functions_name_transform=None,
 ) -> BcbResult:
     """Stages (SURVEY SS3.1), each a lazy plan:
 
@@ -60,6 +61,13 @@ def bcb_pipeline(
     """
     clones = read_clones_csv(spark, clones_csv)
     functions = read_functions_csv(spark, functions_csv)
+    if functions_name_transform is not None:
+        # CLI path normalization: reference metadata stores absolute paths
+        # (even Windows ones, main.py:51-54) while the scanned source tree
+        # yields URIs — join on whatever the caller maps both sides to
+        functions = functions.withColumn(
+            "name", functions_name_transform(F.col("name"))
+        )
     clone_map = build_clone_map(clones)
     corpus = build_corpus(clone_map, functions, source_lines)
 

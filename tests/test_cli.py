@@ -1,0 +1,107 @@
+"""CLI entry-point tests (``python -m <package>``) — the reference's
+``main.py`` argument surface driven end-to-end on synthetic on-disk inputs."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.__main__ import (  # noqa: E402
+    run,
+)
+
+
+@pytest.fixture()
+def bcb_disk_inputs(tmp_path):
+    pairs = [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 9)]
+    clones_csv = tmp_path / "CLONES.csv"
+    clones_csv.write_text(
+        "FUNCTION_ID_ONE,FUNCTION_ID_TWO\n"
+        + "\n".join(f"{a},{b}" for a, b in pairs) + "\n"
+    )
+    funcs_csv = tmp_path / "FUNCTIONS.csv"
+    # absolute-path NAMEs, like the reference metadata — the CLI joins on
+    # basenames
+    funcs_csv.write_text(
+        "ID,NAME,STARTLINE,ENDLINE\n"
+        + "\n".join(f"{i},C:\\data\\src\\f{i}.java,1,2" for i in range(1, 10))
+        + "\n"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(1, 10):
+        (src / f"f{i}.java").write_text(
+            f"code of function {i} line 1 cluster {(i - 1) // 3}\n"
+            f"code of function {i} line 2 cluster {(i - 1) // 3}\n"
+        )
+    return str(clones_csv), str(funcs_csv), str(src)
+
+
+def test_cli_bcb_end_to_end(spark, tmp_path, bcb_disk_inputs):
+    clones_csv, funcs_csv, src = bcb_disk_inputs
+    out_dir = tmp_path / "results"
+    out_dir.mkdir()
+    res = run([
+        "--dataset", "bcb",
+        "--clones_csv", clones_csv,
+        "--functions_csv", funcs_csv,
+        "--source_dir", src,
+        "--num_samples", "9",
+        "--k", "4",
+        "--normalized",
+        "--index_path", str(tmp_path / "bcb_index"),
+        "--output_dir", str(out_dir),
+    ])
+    m = res["metrics"]
+    for key in ("success_rate", "mean_precision_at_k", "mrr", "map_at_k"):
+        assert 0.0 <= m[key] <= 1.0
+    assert m["success_rate"] > 0  # clusters share text -> some hits
+    assert os.path.exists(res["detailed"])
+    assert os.path.exists(res["stats"])
+    # create-if-absent: second run reuses the index (S7) and reproduces
+    # identical metrics (deterministic sample + hash embedder)
+    res2 = run([
+        "--dataset", "bcb",
+        "--clones_csv", clones_csv,
+        "--functions_csv", funcs_csv,
+        "--source_dir", src,
+        "--num_samples", "9",
+        "--k", "4",
+        "--normalized",
+        "--index_path", str(tmp_path / "bcb_index"),
+        "--output_dir", str(out_dir),
+    ])
+    assert res2["metrics"] == m
+
+
+def test_cli_poj_end_to_end(spark, tmp_path):
+    root = tmp_path / "poj"
+    for cls in ("1", "2"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for j in range(4):
+            (d / f"{j}.txt").write_text(
+                f"problem {cls} solution {j} shared class body {cls}"
+            )
+    out_dir = tmp_path / "results"
+    out_dir.mkdir()
+    res = run([
+        "--dataset", "poj",
+        "--poj_dir", str(root),
+        "--num_samples", "8",
+        "--k", "3",
+        "--output_dir", str(out_dir),
+    ])
+    m = res["metrics"]
+    for key in ("success_rate", "mean_precision_at_k", "mrr", "map_at_k"):
+        assert 0.0 <= m[key] <= 1.0
+    assert os.path.exists(res["detailed"])
+
+
+def test_cli_missing_args_fail_fast():
+    with pytest.raises(SystemExit):
+        run(["--dataset", "bcb"])  # no paths
+    with pytest.raises(SystemExit):
+        run(["--dataset", "poj"])  # no poj_dir
