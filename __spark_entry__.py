@@ -745,6 +745,29 @@ def q_priority_distinct(spark, sf_dir):
     )
 
 
+def q_status_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): order counts and fixed-point revenue per
+    priority, one column pair per order status. The pivot value list is
+    FIXED (O/F/P), so the plan is a single pass — no extra distinct-values
+    job, which is the scale trap of an unconstrained pivot."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    out = (
+        orders.withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in ("O", "F", "P"):
+        cols.append(F.coalesce(f"{s}_n", F.lit(0).cast("bigint")).alias(f"n_{s}"))
+        cols.append(F.coalesce(f"{s}_rev", F.lit(0.0)).alias(f"rev_{s}"))
+    return out.select(*cols)
+
+
 def q_normalized_embeddings(spark, sf_dir):
     """SURVEY F7 (--normalized flag, main.py:19): L2 norm + unit-normalized
     first component per vector, pure higher-order array functions (JVM-side,
@@ -941,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
         "media_features": q_media_features,
+        "status_pivot": q_status_pivot,
     }
 
 
@@ -1547,6 +1571,19 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
       FROM embeddings)"""
 
     sql["srp_near_dups"] = _srp_sql()
+
+    sql["status_pivot"] = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN round(o_totalprice * 100)::BIGINT END) / 100.0, 2), 0.0) AS rev_O,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN round(o_totalprice * 100)::BIGINT END) / 100.0, 2), 0.0) AS rev_F,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN round(o_totalprice * 100)::BIGINT END) / 100.0, 2), 0.0) AS rev_P
+FROM orders GROUP BY o_orderpriority"""
 
     sql["frame_samples"] = """
 SELECT media_id, unnest(list_transform(range(0, n_frames), i -> i * 1000))::BIGINT

@@ -134,3 +134,22 @@ def test_source_overlap_set_semantics(spark, sf_dir):
     assert both == en & de
     assert only == en - de
     assert not (both & only)
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """Approximate aggregate (SURVEY §2.4 'absent' row's Spark mapping):
+    HLL++ distinct-count within its rsd bound on a real column."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = orders.select(F.countDistinct("o_custkey")).first()[0]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02)
+    ).first()[0]
+    assert abs(approx - exact) <= 0.1 * exact
+
+
+def test_status_pivot_row_conservation(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_status_pivot(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r.n_O + r.n_F + r.n_P for r in rows) == orders.count()
