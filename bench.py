@@ -123,6 +123,17 @@ def bench_queries(spark, sf_dir):
             right_cols=("event_id",), right_tiebreak="event_id",
         )
 
+    def q_srp_neardup():
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.select("vec_id", vd.alias("embedding"))
+        pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(F.array(F.element_at(vd, 1) * 1.1), F.slice(vd, 2, 63)).alias(
+                "embedding"
+            ),
+        )
+        return ops.srp_near_duplicates(base.unionByName(pert), threshold=0.98)
+
     def q_interval_join():
         from pyspark.sql import Window
 
@@ -170,6 +181,7 @@ def bench_queries(spark, sf_dir):
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "large_orders": q_large_orders,
+        "srp_neardup": q_srp_neardup,
     }
 
 
