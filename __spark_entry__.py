@@ -171,8 +171,10 @@ def q_snippet_extract(spark, sf_dir):
 
 
 def q_uuid5_ids(spark, sf_dir):
-    """SURVEY F1: UUIDv5 content ids (pytest-verified vs uuid.uuid5;
-    no SQL oracle — SHA-1 is unavailable in the oracle engine)."""
+    """SURVEY F1: UUIDv5 content ids. Oracle: CPython-precomputed VALUES
+    fixture (SHA-1 is unavailable in the oracle engine's SQL, so the
+    expected values come from ``uuid.uuid5`` itself — see
+    ``_uuid5_fixture_sql``); plus pytest bit-parity in test_ids.py."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", uuid5_udf(F.col("doc_id").cast("string")).alias("code_uuid"))
 
@@ -375,6 +377,29 @@ def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = ops.lsh_candidate_pairs(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE)
     return ops.ngram_jaccard_pairs(docs, pairs, MINHASH_SHINGLE)
+
+
+LSH_STATS_CAP = 2  # demo threshold so both overflow branches appear at sf0.01
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Hot-bucket accounting — the countable overflow side-channel of the
+    ``max_bucket`` cap in the LSH/SimHash/SRP pair generators: per-bucket
+    occupancy of every multi-member (band_idx, band_key) bucket, flagged
+    when it exceeds the cap. At 100 TB this histogram is what tells you a
+    boilerplate key went degenerate *before* it goes quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    banded = ops.minhash_bands(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE)
+    return (
+        ops.bucket_stats(banded, max_bucket=LSH_STATS_CAP)
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("band_idx").cast("bigint").alias("band_idx"),
+            "band_key",
+            "n_members",
+            "overflow",
+        )
+    )
 
 
 NEARDUP_JACCARD = 0.5  # verified-pair threshold feeding group resolution
@@ -935,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": q_exact_dups,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_groups": q_dup_groups,
         "simhash": q_simhash,
@@ -1118,11 +1144,34 @@ SELECT doc_id, {case} AS lang_pred FROM (
 )"""
 
 
+def _uuid5_fixture_sql() -> str:
+    """Full-value oracle for ``uuid5_ids``: the oracle engine has no SHA-1
+    builtin (sha256/md5 only), so UUIDv5 can't be rendered in SQL. Instead
+    the EXPECTED values come from CPython's reference ``uuid.uuid5`` —
+    independent of the Spark implementation under test — as an inline VALUES
+    fixture covering the fixtures' doc_id domain (0..4999 spans sf0.001-0.1).
+    The INNER JOIN onto ``documents`` means an out-of-domain doc_id surfaces
+    as a row-count mismatch rather than a silent pass.
+    """
+    import uuid as _uuid
+
+    rows = ",".join(
+        f"({i},'{_uuid.uuid5(_uuid.NAMESPACE_DNS, str(i))}')" for i in range(5000)
+    )
+    return (
+        "SELECT d.doc_id, m.code_uuid "
+        f"FROM documents d JOIN (VALUES {rows}) AS m(doc_id, code_uuid) "
+        "ON d.doc_id = m.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKENS
     h_tok = _HASH60("t")
     sh3 = _shingles_sql(toks, MINHASH_SHINGLE)
     sql: dict[str, str] = {}
+
+    sql["uuid5_ids"] = _uuid5_fixture_sql()
 
     sql["knn_topk"] = f"WITH {_KNN_CTES} SELECT query_id, result_id, score, rank FROM knn"
 
@@ -1292,6 +1341,12 @@ FROM sigs"""
 
     sql["lsh_pairs"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()}
 SELECT doc_a, doc_b FROM cand"""
+
+    sql["lsh_bucket_stats"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()}
+SELECT band_idx::BIGINT AS band_idx, band_key,
+       count(*)::BIGINT AS n_members,
+       count(*) > {LSH_STATS_CAP} AS overflow
+FROM banded GROUP BY 1, 2 HAVING count(*) > 1"""
 
     sql["ngram_jaccard"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
 shingled AS (
@@ -1478,14 +1533,14 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
        min(tsn) AS session_start,
        max(tsn) AS session_end,
        count(*)::BIGINT AS n_events,
-       sum(round(value * 1000000)::BIGINT) AS sum_value6
+       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_value6
 FROM numbered GROUP BY user_id, session_id"""
 
     sql["order_priority_check"] = """
@@ -1602,7 +1657,7 @@ FROM documents"""
     sql["event_props"] = """
 SELECT event_type,
        count(*)::BIGINT AS n_events,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        round(sum(json_extract(props, '$.k')::BIGINT) / count(*)::DOUBLE, 6) AS avg_k
 FROM events GROUP BY event_type"""
 

@@ -19,6 +19,7 @@ Two Spark-side implementations:
 from __future__ import annotations
 
 import uuid
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import Column
@@ -35,6 +36,19 @@ def _uuid5_dns(name: pd.Series) -> pd.Series:
 def uuid5_udf(name: Column) -> Column:
     """UUIDv5 (namespace DNS) of a string column, matching ``uuid.uuid5``."""
     return _uuid5_dns(name)
+
+
+def round_half_up6(x: float) -> int:
+    """``round(x * 1e6)`` with Spark's ``F.round`` semantics: HALF_UP on the
+    double's shortest decimal representation (Java ``BigDecimal.valueOf``).
+    Python's built-in ``round()`` is banker's rounding and diverges on .5
+    ties. The float multiply happens FIRST (matching the codegen plan's
+    double product), then ``Decimal(repr(p))`` reproduces Java's decimal
+    view of that double exactly, so Python-side folds (streaming
+    sessionizer) match their codegen batch twins bit-for-bit.
+    """
+    p = x * 1_000_000.0
+    return int(Decimal(repr(p)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
 def content_id(c: Column) -> Column:

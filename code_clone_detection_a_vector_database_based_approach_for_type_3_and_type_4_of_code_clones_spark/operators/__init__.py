@@ -22,14 +22,18 @@ from .relational import (  # noqa: F401
     salted_key_counts,
 )
 from .dedup import (  # noqa: F401
+    bucket_stats,
     duplicate_groups,
     embedding_near_duplicates,
     exact_duplicates,
     lsh_candidate_pairs,
+    minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_chunks,
     simhash_near_pairs,
+    srp_bands,
     srp_candidate_pairs,
     srp_near_duplicates,
 )

@@ -96,27 +96,19 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
-                        shingle_n: int = 3, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash-LSH near-dup candidates: band the signature, hash-join docs
-    sharing a (band_idx, band_key) bucket (SURVEY SS7 M6; the classic
-    shingle->minhash->band->bucket-join pipeline).
+def minhash_bands(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The banded-signature key table behind MinHash-LSH: one row per
+    (doc, band) with the band's signature slice rendered as a join key.
 
-    Bucketing is a single groupBy on (band_idx, band_key): each bucket's
-    members pair up via an in-bucket combination expression, so the signature
-    pipeline is computed ONCE (a band self-join would re-derive it for each
-    side). Cost is sum over buckets of |bucket|^2 — controlled by bands x
-    rows tuning; a pathological hot bucket would need salting or a bucket-
-    size cap, both upstream of this operator.
-
-    Output: ``doc_a, doc_b`` (a < b, distinct).
+    Output: ``doc_id, band_idx, band_key``.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col).filter(
         F.col("sig").isNotNull()
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -136,19 +128,72 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def bucket_stats(banded: DataFrame, key_cols: tuple[str, ...] = ("band_idx", "band_key"),
+                 max_bucket: int | None = None) -> DataFrame:
+    """Per-bucket occupancy for any banded key table (MinHash bands, SimHash
+    chunks, SRP bands) — the countable side-channel of the hot-bucket cap:
+    what ``max_bucket`` silently skips in the pair generators is loudly
+    visible here (``overflow = true`` rows), so a degenerate key (boilerplate
+    text, the zero vector) is an observable data-quality signal instead of a
+    hidden quadratic blowup.
+
+    Output: ``*key_cols, n_members`` (+ ``overflow`` when ``max_bucket``).
+    """
+    out = banded.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    if max_bucket is not None:
+        out = out.withColumn("overflow", F.col("n_members") > max_bucket)
+    return out
+
+
+def _expand_bucket_pairs(buckets: DataFrame, pair_expr: str,
+                         max_bucket: int | None) -> DataFrame:
+    """Shared tail of the bucketed pair generators: optionally drop buckets
+    larger than ``max_bucket`` (a B-member bucket expands to B*(B-1)/2 pairs
+    — one degenerate bucket of 10^6 identical docs would otherwise emit
+    5*10^11 pairs and sink the stage), then expand in-bucket combinations.
+    Skipped buckets stay countable via ``bucket_stats``; identical docs are
+    the exact-dedup operator's job, so capping near-dup buckets loses only
+    pairs a cheaper upstream pass already catches.
+    """
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    return buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                        shingle_n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, hash-join docs
+    sharing a (band_idx, band_key) bucket (SURVEY SS7 M6; the classic
+    shingle->minhash->band->bucket-join pipeline).
+
+    Bucketing is a single groupBy on (band_idx, band_key): each bucket's
+    members pair up via an in-bucket combination expression, so the signature
+    pipeline is computed ONCE (a band self-join would re-derive it for each
+    side). Cost is sum over buckets of |bucket|^2 — bounded by ``max_bucket``
+    when set: oversized buckets are excluded from expansion (and reported by
+    ``bucket_stats`` on ``minhash_bands``), so a pathological hot bucket
+    degrades to a counted skip instead of an in-bucket quadratic blowup.
+
+    Output: ``doc_a, doc_b`` (a < b, distinct).
+    """
+    banded = minhash_bands(docs, n_hashes, bands, shingle_n, text_col, id_col)
     buckets = (
         banded.groupBy("band_idx", "band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter(F.size("members") > 1)
     )
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, a -> "
-                    "transform(filter(ids, b -> a < b), b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
+        _expand_bucket_pairs(
+            buckets,
+            "flatten(transform(members, a -> "
+            "transform(filter(members, b -> a < b), b -> struct(a AS doc_a, b AS doc_b))))",
+            max_bucket,
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -173,10 +218,12 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     # pair-doc semi-join, final assembly), two of them behind broadcast
     # exchanges that AQE builds as concurrent jobs. A lazy persist loses the
     # race: each broadcast job re-derives the whole signature pipeline before
-    # the cache lands (measured 3-5x wall-clock blowup). Materialize eagerly
-    # so every downstream branch reads cached blocks.
-    pairs = pairs.persist()
-    pairs.count()
+    # the cache lands (measured 3-5x wall-clock blowup). localCheckpoint
+    # (eager) materializes up front like persist+count, but its blocks are
+    # released by the ContextCleaner when the result is garbage-collected —
+    # a DataFrame.persist would pin blocks in the CacheManager until an
+    # explicit unpersist, leaking across a long-lived session's many calls.
+    pairs = pairs.localCheckpoint(eager=True)
     e = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select(
@@ -266,30 +313,19 @@ def simhash(docs: DataFrame, text_col: str = "text",
     ).select("doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius, via the pigeonhole
-    chunk join: split the 60-bit fingerprint into ``max_hamming + 1`` chunks
-    — two fingerprints within the radius MUST agree on at least one whole
-    chunk, so candidates come from a hash join on (chunk_idx, chunk_value)
-    instead of the N^2 cross join. Every surviving pair is then verified
-    with the exact ``bit_count(xor)`` distance, so results are identical to
-    the brute-force form (which the DuckDB oracle runs).
+def simhash_chunks(docs: DataFrame, max_hamming: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The pigeonhole chunk-key table behind the SimHash Hamming join:
+    ``max_hamming + 1`` chunks per fingerprint, fingerprint carried along
+    so verification needs no second join.
 
-    Bucketing reuses the LSH pattern: one groupBy on the chunk key, pairs
-    expanded in-bucket with both fingerprints carried along, so the
-    fingerprint pipeline runs ONCE and verification needs no second join.
-    At 100 TB the chunk table is the thing you persist at ingest; each
-    chunk's bucket population is ~N / 2^15, and a hot bucket (a boilerplate
-    fingerprint) is visible as a countable skew key upstream.
-
-    Output: ``doc_a, doc_b, hamming`` (a < b, distinct).
+    Output: ``doc_id, simhash, chunk_idx, chunk_val``.
     """
     chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // chunks
     mask = (1 << chunk_bits) - 1
     s = simhash(docs, text_col, id_col)
-    chunked = s.select(
+    return s.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -307,6 +343,30 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via the pigeonhole
+    chunk join: split the 60-bit fingerprint into ``max_hamming + 1`` chunks
+    — two fingerprints within the radius MUST agree on at least one whole
+    chunk, so candidates come from a hash join on (chunk_idx, chunk_value)
+    instead of the N^2 cross join. Every surviving pair is then verified
+    with the exact ``bit_count(xor)`` distance, so results are identical to
+    the brute-force form (which the DuckDB oracle runs).
+
+    Bucketing reuses the LSH pattern: one groupBy on the chunk key, pairs
+    expanded in-bucket with both fingerprints carried along, so the
+    fingerprint pipeline runs ONCE and verification needs no second join.
+    At 100 TB the chunk table is the thing you persist at ingest; each
+    chunk's bucket population is ~N / 2^15, and a hot bucket (a boilerplate
+    fingerprint) is bounded by ``max_bucket`` + counted by ``bucket_stats``
+    on ``simhash_chunks`` (keyed ``("chunk_idx", "chunk_val")``).
+
+    Output: ``doc_a, doc_b, hamming`` (a < b, distinct).
+    """
+    chunked = simhash_chunks(docs, max_hamming, text_col, id_col)
     buckets = (
         chunked.groupBy("chunk_idx", "chunk_val")
         .agg(
@@ -315,15 +375,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.size("members") > 1)
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, a -> transform("
-                    "filter(members, b -> a.doc_id < b.doc_id), "
-                    "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
-                    "a.simhash AS sh_a, b.simhash AS sh_b))))"
-                )
-            ).alias("p")
+        _expand_bucket_pairs(
+            buckets,
+            "flatten(transform(members, a -> transform("
+            "filter(members, b -> a.doc_id < b.doc_id), "
+            "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.simhash AS sh_a, b.simhash AS sh_b))))",
+            max_bucket,
         )
         .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
         .distinct()
@@ -462,18 +520,16 @@ def _srp_band_keys(vec: Column, n_planes: int, bands: int, dim: int) -> list[Col
     return [F.concat(*bits[b * rows : (b + 1) * rows]) for b in range(bands)]
 
 
-def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
-                        bands: int = SRP_BANDS, id_col: str = "vec_id",
-                        vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Candidate pairs sharing at least one SRP band bucket (id_a < id_b).
+def srp_bands(embeddings: DataFrame, n_planes: int = SRP_PLANES,
+              bands: int = SRP_BANDS, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """The SRP sign-bit band-key table: one row per (vector, band).
 
-    Scale shape: signatures are one narrow projection of the embedding
-    table; the only join is in-bucket on (band_idx, band_key) — the pair
-    space is bounded by bucket occupancy, never |n|^2. Hot buckets are a
-    salting candidate, same playbook as heavy_hitters."""
+    Output: ``doc_id, band_idx, band_key``.
+    """
     keys = _srp_band_keys(F.col(vec_col), n_planes, bands, dim)
-    banded = embeddings.select(
-        F.col(id_col).alias("id"),
+    return embeddings.select(
+        F.col(id_col).alias("doc_id"),
         F.explode(
             F.array(
                 *[
@@ -484,16 +540,40 @@ def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select(
+        "doc_id",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
+                        bands: int = SRP_BANDS, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs sharing at least one SRP band bucket (id_a < id_b).
+
+    Scale shape: signatures are one narrow projection of the embedding
+    table, computed ONCE — pairs expand in-bucket after a single groupBy on
+    (band_idx, band_key) (the earlier band self-join re-derived the 16
+    sign-bit expressions for each side). The pair space is bounded by bucket
+    occupancy, never |n|^2, and ``max_bucket`` caps a degenerate bucket
+    (e.g. every zero vector lands in one key) to a counted skip —
+    ``bucket_stats`` on ``srp_bands`` is the side-channel."""
+    banded = srp_bands(embeddings, n_planes, bands, id_col, vec_col, dim)
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter(F.size("members") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+        _expand_bucket_pairs(
+            buckets,
+            "flatten(transform(members, a -> "
+            "transform(filter(members, b -> a < b), b -> struct(a AS doc_a, b AS doc_b))))",
+            max_bucket,
         )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -501,7 +581,8 @@ def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
 def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
                         n_planes: int = SRP_PLANES, bands: int = SRP_BANDS,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64) -> DataFrame:
+                        dim: int = 64,
+                        max_bucket: int | None = None) -> DataFrame:
     """SRP-LSH candidates verified with exact cosine >= threshold.
 
     Output: ``doc_a, doc_b, cosine`` — same contract as
@@ -509,7 +590,9 @@ def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
     space is LSH-bounded, so it survives a 100x corpus scale-up."""
     from ..functions.vector import cosine_similarity
 
-    cands = srp_candidate_pairs(embeddings, n_planes, bands, id_col, vec_col, dim)
+    cands = srp_candidate_pairs(
+        embeddings, n_planes, bands, id_col, vec_col, dim, max_bucket
+    )
     va = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (

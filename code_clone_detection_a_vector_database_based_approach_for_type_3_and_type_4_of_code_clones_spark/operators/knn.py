@@ -44,6 +44,34 @@ from ..functions.vector import cosine_similarity
 SCORE_DECIMALS = 6
 
 
+def _topk_rows(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Row indices (kk, Q) of the top-kk rows per column of ``sims`` by
+    (score desc, id asc) — the same tie-break ``_ranked_topk`` applies
+    globally. A plain ``argpartition`` on scores alone cuts ties at the
+    kk-th rounded score arbitrarily (6-decimal rounding makes ties real,
+    e.g. duplicated vectors) and can drop the row the global contract
+    keeps, making results nondeterministic and oracle-divergent.
+    """
+    order = np.argsort(ids, kind="stable")  # candidate rows, id-ascending
+    sel = np.argsort(-sims[order], axis=0, kind="stable")[:kk, :]
+    return order[sel]
+
+
+def _topk_cols(
+    scores: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k of aligned (Q, M) score/id matrices by
+    (score desc, id asc); returns the compacted (Q, k) pair."""
+    order = np.argsort(ids, axis=1, kind="stable")
+    s = np.take_along_axis(scores, order, axis=1)
+    sel = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    idx = np.take_along_axis(order, sel, axis=1)
+    return (
+        np.take_along_axis(scores, idx, axis=1),
+        np.take_along_axis(ids, idx, axis=1),
+    )
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k contract: rank by rounded score desc, id asc."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("result_id"))
@@ -121,11 +149,13 @@ def exact_knn_fast(
     qids = qrows["qid"].to_numpy(dtype=id_np)
     if len(qids) == 0:
         # empty probe set (e.g. every corpus row was dropped upstream):
-        # empty result, not a NumPy shape error
+        # empty result, not a NumPy shape error. result_id takes the INDEX
+        # id dtype so the empty schema agrees with the non-empty path even
+        # when probe and index id types differ.
         spark = probes.sparkSession
-        id_dt0 = dict(probes.dtypes)[query_id]
+        qid_dt0 = dict(probes.dtypes)[query_id]
         return spark.createDataFrame(
-            [], f"query_id {id_dt0}, result_id {id_dt0}, score double, rank int"
+            [], f"query_id {qid_dt0}, result_id {id_dt}, score double, rank int"
         )
     qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qrows["qv"]])
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -147,21 +177,17 @@ def exact_knn_fast(
             if exclude_self:
                 sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
             kk = min(k, sims.shape[0])
-            # local top-k per query within this batch
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, Q)
+            # local top-k per query within this batch (id-asc tie-break)
+            part = _topk_rows(sims, ids, kk)  # (kk, Q)
             batch_scores = np.take_along_axis(sims, part, axis=0).T  # (Q, kk)
             batch_ids = ids[part].T
             best_scores = np.concatenate([best_scores, batch_scores], axis=1)
             best_ids = np.concatenate([best_ids, batch_ids], axis=1)
             if best_scores.shape[1] > 4 * k:  # compact the running candidates
-                sel = np.argpartition(-best_scores, k - 1, axis=1)[:, :k]
-                best_scores = np.take_along_axis(best_scores, sel, axis=1)
-                best_ids = np.take_along_axis(best_ids, sel, axis=1)
+                best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
         if best_scores.shape[1]:
             if best_scores.shape[1] > k:
-                sel = np.argpartition(-best_scores, k - 1, axis=1)[:, :k]
-                best_scores = np.take_along_axis(best_scores, sel, axis=1)
-                best_ids = np.take_along_axis(best_ids, sel, axis=1)
+                best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
             qcol = np.repeat(qids, best_scores.shape[1])
             mask = np.isfinite(best_scores.ravel())
             yield pd.DataFrame(
@@ -296,9 +322,10 @@ def ivf_knn(
     id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_dt = dict(probes.dtypes)[query_id]
     if len(routed_pdf) == 0:
+        # result_id takes the index id dtype, mirroring out_schema below
         spark = probes.sparkSession
         return spark.createDataFrame(
-            [], f"query_id {qid_dt}, result_id {qid_dt}, score double, rank int"
+            [], f"query_id {qid_dt}, result_id {id_dt}, score double, rank int"
         )
     cell_probes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for cell, grp in routed_pdf.groupby("cell"):
@@ -328,8 +355,10 @@ def ivf_knn(
                 if exclude_self:
                     sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
                 # local top-k per query within this (batch, cell) group
+                # (id-asc tie-break so ties at the kk-th rounded score keep
+                # the row the global contract and the SQL oracle keep)
                 kk = min(k, sims.shape[0])
-                sel = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, Q)
+                sel = _topk_rows(sims, ids, kk)  # (kk, Q)
                 top_scores = np.take_along_axis(sims, sel, axis=0)  # (kk, Q)
                 top_ids = ids[sel]
                 mask = np.isfinite(top_scores.ravel(order="F"))

@@ -85,6 +85,8 @@ def sessionize_stream(
     import pandas as pd  # noqa: F401 — applyInPandasWithState ships pandas frames
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ..functions.ids import round_half_up6
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
@@ -118,7 +120,9 @@ def sessionize_stream(
                 pdf = pdf.sort_values("ts")
                 for ts, v in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy()):
                     ts = int(ts)
-                    v6 = int(round(float(v) * 1_000_000))
+                    # HALF_UP to match the batch twin's F.round (Python's
+                    # built-in round() is banker's and diverges on .5 ties)
+                    v6 = round_half_up6(float(v))
                     if open_s is None:
                         open_s = [ts, ts, 1, v6]
                     elif ts - open_s[1] > gap_ns:

@@ -6,13 +6,16 @@ from pyspark.sql import functions as F
 
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
     MINHASH_P,
+    bucket_stats,
     embedding_near_duplicates,
     exact_duplicates,
     lsh_candidate_pairs,
+    minhash_bands,
     minhash_params,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_chunks,
     simhash_near_pairs,
 )
 
@@ -64,6 +67,43 @@ def test_lsh_finds_planted_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     j = ngram_jaccard_pairs(d, lsh_candidate_pairs(d, 16, 4)).first()
     assert j.jaccard > 0.6
+
+
+def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
+    """1,000 identical docs land in one LSH bucket; uncapped that expands to
+    ~500k pairs (and at corpus scale, a quadratic stage-killer). With
+    ``max_bucket`` the bucket is skipped — bounded output — and stays
+    countable through the ``bucket_stats`` overflow side-channel."""
+    boiler = "this exact boilerplate footer appears on every single page " * 2
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(2000, "one normal document about spark " * 4),
+             (2001, "one normal document about spark " * 4 + "tail")]
+    d = _docs(spark, rows)
+
+    capped = lsh_candidate_pairs(d, 16, 4, max_bucket=100)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the degenerate bucket contributes NOTHING; the genuine near-dup pair
+    # in a small bucket survives
+    assert (2000, 2001) in got
+    assert len(got) <= 10  # bounded, nowhere near 1000*999/2
+
+    # the skip is observable: overflow buckets are counted, not silent
+    stats = bucket_stats(minhash_bands(d, 16, 4), max_bucket=100)
+    over = stats.filter(F.col("overflow")).collect()
+    assert over and all(r.n_members == 1000 for r in over)
+
+    # identical docs are exact-dedup's job — the cap loses nothing a
+    # cheaper upstream pass doesn't already catch
+    assert exact_duplicates(d).filter(F.col("n_dups") == 1000).count() == 1
+
+
+def test_simhash_hot_bucket_cap(spark):
+    d = _docs(spark, [(i, "same words every time") for i in range(50)])
+    assert simhash_near_pairs(d, max_hamming=3, max_bucket=10).count() == 0
+    stats = bucket_stats(
+        simhash_chunks(d), key_cols=("chunk_idx", "chunk_val"), max_bucket=10
+    )
+    assert stats.filter(F.col("overflow")).count() == 4  # all 4 chunk keys hot
 
 
 def test_simhash_identical_and_different(spark):

@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-ROWS_ONLY = {"uuid5_ids", "media_features"}
+ROWS_ONLY = {"media_features"}  # uuid5_ids gained a CPython-fixture oracle
 
 
 def test_oracle_keys_subset_of_queries():

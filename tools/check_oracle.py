@@ -45,6 +45,17 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     if len(m) == len(o):
         for c in m.columns:
             a, b = m[c], o[c]
+            # the driver's value-hash is dtype-sensitive: an int64 Spark
+            # column vs a float64 oracle column (e.g. DuckDB sum(BIGINT) ->
+            # HUGEINT -> float64 in pandas) hash-mismatches even when every
+            # value is numerically equal — flag kind mismatches loudly
+            if a.dtype.kind != b.dtype.kind and not (
+                a.dtype == object or b.dtype == object
+            ):
+                problems.append(
+                    f"col {c}: dtype kind mismatch {a.dtype} vs oracle {b.dtype}"
+                    " (driver hash would fail)"
+                )
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 af = pd.to_numeric(a, errors="coerce").astype(float)
                 bf = pd.to_numeric(b, errors="coerce").astype(float)
