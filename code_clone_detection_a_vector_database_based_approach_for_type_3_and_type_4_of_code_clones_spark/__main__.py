@@ -42,7 +42,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--poj_dir", help="POJ-104 dataset directory")
     p.add_argument("--model", default="hash",
                    help="'hash' (deterministic, no downloads) or a "
-                        "SentenceTransformer model name (main.py:20)")
+                        "SentenceTransformer model name from the catalog "
+                        "(main.py:20, embedding_models.yml)")
+    p.add_argument("--allow-any-model", action="store_true",
+                   help="accept a model name outside the catalog "
+                        "(embedding_models.yml parity is strict by default)")
     p.add_argument("--normalized", action="store_true",
                    help="L2-normalize embeddings (main.py:19, fixed flag)")
     p.add_argument("--num_samples", type=int, default=500,
@@ -82,8 +86,11 @@ def _embedder(args):
 
 def run(argv: list[str] | None = None) -> dict:
     args = _build_parser().parse_args(argv)
+    from .functions.models import validate_model
     from .session import get_spark
     from .sources.csv_io import write_results_csv
+
+    validate_model(args.model, allow_any=args.allow_any_model)
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("clonespark-cli", master=master)

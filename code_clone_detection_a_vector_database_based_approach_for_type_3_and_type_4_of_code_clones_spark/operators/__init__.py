@@ -23,6 +23,7 @@ from .relational import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     bucket_stats,
+    persist_bounded,
     duplicate_groups,
     embedding_near_duplicates,
     exact_duplicates,

@@ -44,17 +44,32 @@ from ..functions.vector import cosine_similarity
 SCORE_DECIMALS = 6
 
 
+# Scores are rounded to SCORE_DECIMALS before selection, so distinct scores
+# differ by >= ~10^-SCORE_DECIMALS. Subtracting (id-rank * eps) with
+# eps << that granularity makes a single argpartition respect the
+# (score desc, id asc) contract: equal scores separate strictly by rank
+# (eps*1 >> double ulp near 1.0), while distinct scores never reorder
+# (eps * max_rank <= half the score gap). A plain argpartition on scores
+# alone cuts ties at the kk-th rounded score arbitrarily (6-decimal
+# rounding makes ties real, e.g. duplicated vectors) and can drop the row
+# the global contract and the SQL oracle keep; a full argsort fixes that
+# but costs O(n log n * Q) per batch — the composite keeps O(n * Q).
+_SCORE_GRANULARITY = 10.0 ** (-SCORE_DECIMALS)
+
+
+def _tie_eps(n: int) -> float:
+    return _SCORE_GRANULARITY / (2.0 * max(n, 1))
+
+
 def _topk_rows(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     """Row indices (kk, Q) of the top-kk rows per column of ``sims`` by
     (score desc, id asc) — the same tie-break ``_ranked_topk`` applies
-    globally. A plain ``argpartition`` on scores alone cuts ties at the
-    kk-th rounded score arbitrarily (6-decimal rounding makes ties real,
-    e.g. duplicated vectors) and can drop the row the global contract
-    keeps, making results nondeterministic and oracle-divergent.
-    """
-    order = np.argsort(ids, kind="stable")  # candidate rows, id-ascending
-    sel = np.argsort(-sims[order], axis=0, kind="stable")[:kk, :]
-    return order[sel]
+    globally."""
+    order = np.argsort(ids, kind="stable")  # id-ascending candidate order
+    rank = np.empty(len(ids), dtype=np.float64)
+    rank[order] = np.arange(len(ids), dtype=np.float64)
+    comp = sims - rank[:, None] * _tie_eps(len(ids))
+    return np.argpartition(-comp, kk - 1, axis=0)[:kk, :]
 
 
 def _topk_cols(
@@ -62,13 +77,17 @@ def _topk_cols(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k of aligned (Q, M) score/id matrices by
     (score desc, id asc); returns the compacted (Q, k) pair."""
+    m = scores.shape[1]
     order = np.argsort(ids, axis=1, kind="stable")
-    s = np.take_along_axis(scores, order, axis=1)
-    sel = np.argsort(-s, axis=1, kind="stable")[:, :k]
-    idx = np.take_along_axis(order, sel, axis=1)
+    rank = np.empty_like(scores)
+    np.put_along_axis(
+        rank, order, np.broadcast_to(np.arange(m, dtype=np.float64), scores.shape), axis=1
+    )
+    comp = scores - rank * _tie_eps(m)
+    sel = np.argpartition(-comp, k - 1, axis=1)[:, :k]
     return (
-        np.take_along_axis(scores, idx, axis=1),
-        np.take_along_axis(ids, idx, axis=1),
+        np.take_along_axis(scores, sel, axis=1),
+        np.take_along_axis(ids, sel, axis=1),
     )
 
 
@@ -127,6 +146,7 @@ def exact_knn_fast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    probe_block: int = 8192,
 ) -> DataFrame:
     """Exact cosine top-k via one NumPy matmul per index partition.
 
@@ -137,6 +157,15 @@ def exact_knn_fast(
     partition computes sim = Xn @ Qn.T in float64 and keeps only its local
     top-k per query, so executor->shuffle traffic is Q*k per partition
     regardless of partition size.
+
+    Probe sets larger than ``probe_block`` are processed in BLOCKS inside
+    the same single index scan: each batch is scored against one block at a
+    time, so the similarity matrix is bounded at (batch x probe_block)
+    doubles no matter how many probes ship — 10^6 probes against a 10k-row
+    Arrow batch would otherwise allocate an 80 GB sim matrix in one go.
+    Per-query results are independent, so blocking changes nothing in the
+    output. (Past the closure-size ceiling — probes themselves in the GBs —
+    the design switches to ``ivf_knn``, not bigger blocks.)
     """
     qrows = (
         probes.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
@@ -162,41 +191,55 @@ def exact_knn_fast(
     qnorm[qnorm == 0.0] = 1.0
     qn = qmat / qnorm
     nq = len(qids)
+    blocks = [
+        (qids[s : s + probe_block], qn[s : s + probe_block])
+        for s in range(0, nq, probe_block)
+    ]
 
     out_schema = f"query_id {id_dt}, result_id {id_dt}, score double"
 
     def topk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best_scores = np.full((nq, 0), -np.inf)
-        best_ids = np.full((nq, 0), -1 if id_np is np.int64 else None, dtype=id_np)
+        state = [
+            (
+                np.full((len(bq), 0), -np.inf),
+                np.full((len(bq), 0), -1 if id_np is np.int64 else None, dtype=id_np),
+            )
+            for bq, _ in blocks
+        ]
         for pdf in batches:
             ids = pdf["rid"].to_numpy(dtype=id_np)
             xmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
             xnorm[xnorm == 0.0] = 1.0
-            sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
-            if exclude_self:
-                sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
-            kk = min(k, sims.shape[0])
-            # local top-k per query within this batch (id-asc tie-break)
-            part = _topk_rows(sims, ids, kk)  # (kk, Q)
-            batch_scores = np.take_along_axis(sims, part, axis=0).T  # (Q, kk)
-            batch_ids = ids[part].T
-            best_scores = np.concatenate([best_scores, batch_scores], axis=1)
-            best_ids = np.concatenate([best_ids, batch_ids], axis=1)
-            if best_scores.shape[1] > 4 * k:  # compact the running candidates
-                best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
-        if best_scores.shape[1]:
-            if best_scores.shape[1] > k:
-                best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
-            qcol = np.repeat(qids, best_scores.shape[1])
-            mask = np.isfinite(best_scores.ravel())
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol[mask],
-                    "result_id": best_ids.ravel()[mask],
-                    "score": best_scores.ravel()[mask],
-                }
-            )
+            xn = xmat / xnorm  # normalized ONCE per batch, reused per block
+            for bi, (bqids, bqn) in enumerate(blocks):
+                best_scores, best_ids = state[bi]
+                sims = np.round(xn @ bqn.T, SCORE_DECIMALS)  # (B, Qblock)
+                if exclude_self:
+                    sims = np.where(ids[:, None] == bqids[None, :], -np.inf, sims)
+                kk = min(k, sims.shape[0])
+                # local top-k per query within this batch (id-asc tie-break)
+                part = _topk_rows(sims, ids, kk)  # (kk, Qblock)
+                batch_scores = np.take_along_axis(sims, part, axis=0).T
+                batch_ids = ids[part].T
+                best_scores = np.concatenate([best_scores, batch_scores], axis=1)
+                best_ids = np.concatenate([best_ids, batch_ids], axis=1)
+                if best_scores.shape[1] > 4 * k:  # compact running candidates
+                    best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
+                state[bi] = (best_scores, best_ids)
+        for (bqids, _), (best_scores, best_ids) in zip(blocks, state):
+            if best_scores.shape[1]:
+                if best_scores.shape[1] > k:
+                    best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
+                qcol = np.repeat(bqids, best_scores.shape[1])
+                mask = np.isfinite(best_scores.ravel())
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol[mask],
+                        "result_id": best_ids.ravel()[mask],
+                        "score": best_scores.ravel()[mask],
+                    }
+                )
 
     candidates = (
         index.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))

@@ -105,3 +105,32 @@ def test_cli_missing_args_fail_fast():
         run(["--dataset", "bcb"])  # no paths
     with pytest.raises(SystemExit):
         run(["--dataset", "poj"])  # no poj_dir
+
+
+def test_cli_unknown_model_fails_fast():
+    """--model is validated against the catalog (embedding_models.yml
+    parity) BEFORE any Spark work; --allow-any-model bypasses, matching the
+    reference's accept-any-HF-id runtime behavior."""
+    with pytest.raises(SystemExit, match="model catalog"):
+        run(["--dataset", "poj", "--model", "no-such-model-xyz"])
+    # bypass flag skips catalog validation and proceeds to the next check
+    # (missing --poj_dir), proving validation itself was the gate above
+    with pytest.raises(SystemExit, match="poj_dir"):
+        run(["--dataset", "poj", "--model", "no-such-model-xyz",
+             "--allow-any-model"])
+
+
+def test_model_catalog_registry():
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.models import (
+        MODEL_CATALOG,
+        model_info,
+    )
+
+    # the reference catalog (embedding_models.yml:1-74) + the builtin
+    assert len(MODEL_CATALOG) == 25
+    code_models = [m for m in MODEL_CATALOG.values() if m.kind == "code"]
+    assert [m.name for m in code_models] == ["jinaai/jina-embeddings-v2-base-code"]
+    assert model_info("bge-large-en-v1.5").num_params_m == 335
+    assert model_info("hash").kind == "builtin"
+    with pytest.raises(KeyError, match="known models"):
+        model_info("nope")

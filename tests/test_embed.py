@@ -58,3 +58,75 @@ def test_sentence_transformer_gated(spark):
         pass
     with pytest.raises(ImportError, match="embed_hash"):
         embed_sentence_transformer(df)
+
+
+_FAKE_ST = '''\
+"""Deterministic stand-in for sentence_transformers (test fixture)."""
+import numpy as np
+
+
+class SentenceTransformer:
+    def __init__(self, name):
+        self.name = name
+
+    def encode(self, texts, batch_size=32, normalize_embeddings=False):
+        out = []
+        for t in texts:
+            v = np.array(
+                [float(len(t)), float(sum(map(ord, t)) % 97) + 1.0, 1.0],
+                dtype=np.float32,
+            )
+            if normalize_embeddings:
+                v = v / np.linalg.norm(v)
+            out.append(v)
+        return np.stack(out)
+'''
+
+
+def test_sentence_transformer_fake_module(spark, tmp_path, monkeypatch):
+    """Drive the real-model path END-TO-END (mapInPandas batching, schema
+    assembly, per-worker model cache) with a deterministic fake
+    sentence_transformers module shipped to the workers via addPyFile —
+    the reference's core capability (bcb_utils.py:101, main.py:36)
+    executed without the model download. NOTE: must run after the gated
+    test above (the fake stays importable for the rest of the session).
+    """
+    import sys
+
+    fake = tmp_path / "sentence_transformers.py"
+    fake.write_text(_FAKE_ST)
+    monkeypatch.syspath_prepend(str(tmp_path))  # driver-side import gate
+    spark.sparkContext.addPyFile(str(fake))  # worker-side import in encode()
+    try:
+        rows = [(i, f"document number {i} " * (i % 4 + 1)) for i in range(37)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+        out = embed_sentence_transformer(
+            df, model_name="fake-model", batch_size=8, normalize=True
+        )
+        assert [f.simpleString() for f in out.schema.fields] == [
+            "doc_id:bigint", "text:string", "embedding:array<float>",
+        ]
+        got = {r.doc_id: (r.text, r.embedding) for r in out.collect()}
+        assert len(got) == 37  # every row survives batching across partitions
+
+        import numpy as np
+
+        for i, text in rows:
+            t, emb = got[i]
+            assert t == text  # passthrough columns intact
+            v = np.array(
+                [float(len(text)), float(sum(map(ord, text)) % 97) + 1.0, 1.0],
+                dtype=np.float32,
+            )
+            v = v / np.linalg.norm(v)
+            assert emb == pytest.approx(v.tolist(), abs=1e-6)  # right text->vec routing
+            assert sum(x * x for x in emb) == pytest.approx(1.0, abs=1e-5)  # normalize flag
+
+        # second invocation goes through the per-worker cache branch
+        again = embed_sentence_transformer(
+            df, model_name="fake-model", batch_size=8, normalize=True
+        )
+        got2 = {r.doc_id: r.embedding for r in again.collect()}
+        assert got2 == {k: v for k, (_, v) in got.items()}
+    finally:
+        sys.modules.pop("sentence_transformers", None)

@@ -35,6 +35,48 @@ def test_fast_path_multi_partition(spark, embeddings):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_probe_block_chunking_identical(spark, embeddings):
+    """A probe set larger than ``probe_block`` must produce rows identical
+    to the single-block run (blocking only bounds the per-batch sim-matrix
+    size; per-query results are independent of the blocking)."""
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 150)
+    one_block = _collect_sorted(exact_knn_fast(probes, embeddings, k=6))
+    chunked = _collect_sorted(
+        exact_knn_fast(probes, embeddings.repartition(4), k=6, probe_block=64)
+    )
+    pd.testing.assert_frame_equal(one_block, chunked)
+
+
+def test_tied_scores_keep_lowest_ids(spark):
+    """Duplicated vectors make every score tie at the rounded 6th decimal;
+    the local top-k selection must keep the rows the global contract
+    (score desc, result_id asc) keeps — i.e. the LOWEST ids — in both
+    physical strategies, regardless of partitioning."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [1.0, 2.0, 3.0] if i % 2 == 0 else [float(rng.random()) for _ in range(3)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(1000, [1.0, 2.0, 3.0])], "query_id long, query_vec array<double>"
+    )
+    want = _collect_sorted(exact_knn(probes, emb, k=7))
+    # 30 duplicates tie at score 1.0; top-7 must be the 7 smallest even ids
+    assert want.result_id.tolist() == [0, 2, 4, 6, 8, 10, 12]
+    for parts in (1, 8):
+        got = _collect_sorted(exact_knn_fast(probes, emb.repartition(parts), k=7))
+        pd.testing.assert_frame_equal(want, got)
+    got_ivf = _collect_sorted(
+        ivf_knn(probes, emb, k=7, n_centroids=4, nprobe=4)
+    )
+    pd.testing.assert_frame_equal(want, got_ivf)
+
+
 def test_self_exclusion(spark, embeddings):
     r = self_knn(embeddings, k=5, n_probes=50)
     assert r.filter(F.col("query_id") == F.col("result_id")).count() == 0

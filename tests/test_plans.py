@@ -93,3 +93,9 @@ def test_scalability_sweep_shape(spark, embeddings):
     ).collect()
     assert [r.size for r in out] == [50, 100]
     assert all(r.ingest_seconds > 0 and r.avg_query_time_seconds > 0 for r in out)
+    # B2 memory columns: absolute used-heap is positive and sane; the
+    # delta is best-effort (GC may make it negative) but always present
+    import math
+
+    assert all(r.heap_used_mb > 0 and not math.isnan(r.heap_used_mb) for r in out)
+    assert all(not math.isnan(r.ingest_heap_delta_mb) for r in out)
