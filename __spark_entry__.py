@@ -892,8 +892,11 @@ def q_srp_near_dups(spark, sf_dir):
             F.array(F.element_at(vd, 1) * 1.1), F.slice(vd, 2, 63)
         ).alias("embedding"),
     )
+    # vectorized signature stage: bit-identical to the expression form
+    # (left-to-right fold parity, pytest-pinned), so the SQL oracle is
+    # unchanged while the per-row lambda interpretation cost disappears
     return ops.srp_near_duplicates(
-        base.unionByName(pert), threshold=SRP_NEARDUP_THRESHOLD
+        base.unionByName(pert), threshold=SRP_NEARDUP_THRESHOLD, vectorized=True
     )
 
 

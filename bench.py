@@ -136,7 +136,9 @@ def bench_queries(spark, sf_dir):
                 "embedding"
             ),
         )
-        return ops.srp_near_duplicates(base.unionByName(pert), threshold=0.98)
+        return ops.srp_near_duplicates(
+            base.unionByName(pert), threshold=0.98, vectorized=True
+        )
 
     def q_interval_join():
         from pyspark.sql import Window

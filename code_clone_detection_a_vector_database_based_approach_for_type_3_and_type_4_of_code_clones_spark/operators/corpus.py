@@ -85,7 +85,11 @@ def build_corpus(
     ``try/except`` (P6) made explicit: inner joins express exactly
     "keep rows where both lookups succeed".
 
-    Output: ``code_uuid, func_id, code_contents, clones``.
+    Output: ``code_uuid, func_id, code_contents, clones, is_base64``.
+    ``is_base64`` mirrors the reference's point-payload flag
+    (bcb_utils.py:111, always False there too: contents are stored
+    decoded) — carried so an index row is payload-complete for a consumer
+    migrating off the reference.
     """
     snippets = extract_snippets(functions, source_lines)
     return (
@@ -98,6 +102,7 @@ def build_corpus(
             "func_id",
             F.col("snippet").alias("code_contents"),
             "clones",
+            F.lit(False).alias("is_base64"),
         )
     )
 

@@ -549,11 +549,26 @@ def _srp_band_keys(vec: Column, n_planes: int, bands: int, dim: int) -> list[Col
 
 def srp_bands(embeddings: DataFrame, n_planes: int = SRP_PLANES,
               bands: int = SRP_BANDS, id_col: str = "vec_id",
-              vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+              vec_col: str = "embedding", dim: int = 64,
+              vectorized: bool = False) -> DataFrame:
     """The SRP sign-bit band-key table: one row per (vector, band).
+
+    Two bit-identical physical forms:
+
+    - expression (default): higher-order-function dot products, fully
+      SQL-replayable — the oracle twin.
+    - ``vectorized``: Arrow-batched ``mapInPandas``, one NumPy pass per
+      batch — the high-dim fast path (the expression form re-interprets
+      ``n_planes`` aggregate lambdas per row). The dot product accumulates
+      dimension-by-dimension LEFT-TO-RIGHT, exactly the fold order of
+      ``F.aggregate`` — same float64 rounding at every step, so the sign
+      bits (and the SQL oracle) agree bit-for-bit; a BLAS matmul's pairwise
+      summation could flip the sign of a near-zero dot.
 
     Output: ``doc_id, band_idx, band_key``.
     """
+    if vectorized:
+        return _srp_bands_vectorized(embeddings, n_planes, bands, id_col, vec_col, dim)
     keys = _srp_band_keys(F.col(vec_col), n_planes, bands, dim)
     return embeddings.select(
         F.col(id_col).alias("doc_id"),
@@ -574,10 +589,56 @@ def srp_bands(embeddings: DataFrame, n_planes: int = SRP_PLANES,
     )
 
 
+def _srp_bands_vectorized(embeddings: DataFrame, n_planes: int, bands: int,
+                          id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """NumPy form of ``srp_bands`` (see its docstring for the bit-parity
+    argument). One (B, n_planes) accumulator per Arrow batch; band keys are
+    assembled with vectorized char-joins, no per-row Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(srp_hyperplanes(n_planes, dim))  # (P, dim)
+    rows_per_band = n_planes // bands
+    id_dt = dict(embeddings.dtypes)[id_col]
+    out_schema = f"doc_id {id_dt}, band_idx int, band_key string"
+
+    def sign_keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )  # (B, dim)
+            acc = np.zeros((len(x), n_planes))
+            for d in range(dim):  # left-to-right fold == F.aggregate order
+                acc += x[:, d : d + 1] * planes[None, :, d]
+            bits = np.where(acc >= 0, "1", "0").astype("U1")  # (B, P)
+            frames = []
+            for b in range(bands):
+                key = bits[:, b * rows_per_band]
+                for r in range(1, rows_per_band):
+                    key = np.char.add(key, bits[:, b * rows_per_band + r])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy(),
+                            "band_idx": np.full(len(x), b, dtype=np.int32),
+                            "band_key": key,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(sign_keys, schema=out_schema)
+
+
 def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
                         bands: int = SRP_BANDS, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        vectorized: bool = False) -> DataFrame:
     """Candidate pairs sharing at least one SRP band bucket (id_a < id_b).
 
     Scale shape: signatures are one narrow projection of the embedding
@@ -587,7 +648,9 @@ def srp_candidate_pairs(embeddings: DataFrame, n_planes: int = SRP_PLANES,
     occupancy, never |n|^2, and ``max_bucket`` caps a degenerate bucket
     (e.g. every zero vector lands in one key) to a counted skip —
     ``bucket_stats`` on ``srp_bands`` is the side-channel."""
-    banded = srp_bands(embeddings, n_planes, bands, id_col, vec_col, dim)
+    banded = srp_bands(
+        embeddings, n_planes, bands, id_col, vec_col, dim, vectorized
+    )
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.collect_list("doc_id").alias("members"))
@@ -609,16 +672,19 @@ def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
                         n_planes: int = SRP_PLANES, bands: int = SRP_BANDS,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        vectorized: bool = False) -> DataFrame:
     """SRP-LSH candidates verified with exact cosine >= threshold.
 
     Output: ``doc_a, doc_b, cosine`` — same contract as
     ``embedding_near_duplicates`` (the quadratic exact twin), but the pair
-    space is LSH-bounded, so it survives a 100x corpus scale-up."""
+    space is LSH-bounded, so it survives a 100x corpus scale-up.
+    ``vectorized`` swaps the signature stage to the bit-identical NumPy
+    path (see ``srp_bands``) — same pairs, same oracle."""
     from ..functions.vector import cosine_similarity
 
     cands = srp_candidate_pairs(
-        embeddings, n_planes, bands, id_col, vec_col, dim, max_bucket
+        embeddings, n_planes, bands, id_col, vec_col, dim, max_bucket, vectorized
     )
     va = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))

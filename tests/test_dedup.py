@@ -195,6 +195,35 @@ def test_embedding_near_duplicates(spark):
     assert out[0].cosine > 0.99
 
 
+def test_srp_vectorized_bit_parity(spark, embeddings):
+    """The NumPy fast path must produce the EXACT band keys of the
+    expression form (left-to-right fold parity), hence identical candidate
+    pairs — the SQL oracle covers both."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        srp_bands,
+        srp_near_duplicates,
+    )
+
+    expr_bands = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in srp_bands(embeddings).collect()
+    }
+    fast_bands = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in srp_bands(embeddings, vectorized=True).collect()
+    }
+    assert expr_bands == fast_bands
+    a = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in srp_near_duplicates(embeddings, threshold=0.9).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in srp_near_duplicates(embeddings, threshold=0.9, vectorized=True).collect()
+    }
+    assert a == b
+
+
 def test_srp_near_duplicates_recall_vs_exact(spark, embeddings):
     """SRP-LSH must recover (nearly) all pairs the exact quadratic operator
     finds at the same threshold, while generating far fewer candidates than
