@@ -935,6 +935,149 @@ def q_event_props(spark, sf_dir):
     )
 
 
+CHUNK_SIZE = 50     # tokens per training chunk
+CHUNK_STRIDE = 40   # 10-token overlap between consecutive chunks
+STRATA_N = 5        # docs per language stratum
+SLIDE_WIN_US = 2 * 3600 * 1_000_000   # sliding window length
+SLIDE_STEP_US = 3600 * 1_000_000      # slide
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking for LM training-sample prep (overlapping
+    windows carry context across boundaries) — pure array expressions,
+    exploded only at the end."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        token_chunks,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = token_chunks(tokens(F.col("text")), CHUNK_SIZE, CHUNK_STRIDE)
+    return docs.select("doc_id", F.explode(ch).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def q_redacted_docs(spark, sf_dir):
+    """PII scrubbing with redaction accounting. The synthetic corpus has no
+    PII, so deterministic fakes are planted first (same constructed-input
+    pattern as exact_dups): every 5th doc gains an email + long number."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id "),
+            (F.col("doc_id") * 1_000_000 + 123456).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    cols = redact_pii(planted)
+    return docs.select(
+        "doc_id",
+        cols["redacted"].alias("redacted"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_numbers"].alias("n_numbers"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Most distinctive token per document by a TF-IDF-style score. The
+    score is the log-free rational surrogate tf/(df+1) — exact in IEEE
+    doubles, so it replays bit-identically in the oracle (ln() parity
+    across libms is not guaranteed; at scale the same plan runs with ln).
+    Two shuffles (doc-term tf, term df) + a broadcast of the term-df table
+    back onto the tf table, then a per-doc top-1 window."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = (
+        tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "token")
+        .withColumn(
+            "score", F.round(F.col("tf") / (F.col("df") + F.lit(1.0)), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
+
+
+def q_latest_events(spark, sf_dir):
+    """CDC-style latest-row-per-key dedup (snapshot compaction): newest
+    event per (user, event_type), deterministic tie-break — the
+    contract-explicit form of dropDuplicates."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    out = ops.latest_per_key(
+        ev, ["user_id", "event_type"], order_col="ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value6"),
+    )
+
+
+def q_stratified_docs(spark, sf_dir):
+    """Exact-n-per-stratum deterministic sample (5 docs per language) by
+    portable hash order — the reproducible analog of sampleBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.stratified_sample_deterministic(
+        docs.select("doc_id", "lang"), "lang", "doc_id", STRATA_N
+    )
+
+
+def q_sliding_events(spark, sf_dir):
+    """Sliding-window aggregation (2h window, 1h slide — each event lands
+    in exactly two windows): the batch twin of a streaming
+    F.window(slideDuration=...) aggregation, keyed on exact epoch-us
+    integers so both engines align windows identically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    et = F.timestamp_micros(F.expr("ts div 1000"))
+    win = F.window(et, "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_value6"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value6",
+        )
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT — absent in the reference,
     SURVEY SS2.7): sources publishing in both 'en' and 'de' vs en-only."""
@@ -996,6 +1139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
         "event_props": q_event_props,
+        "doc_chunks": q_doc_chunks,
+        "redacted_docs": q_redacted_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "latest_events": q_latest_events,
+        "stratified_docs": q_stratified_docs,
+        "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
         "media_features": q_media_features,
@@ -1662,6 +1811,86 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT
          AS n_bpe_tokens
 FROM documents"""
+
+    sql["doc_chunks"] = f"""
+SELECT doc_id, (s / {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM (SELECT doc_id, {toks} AS toks FROM documents),
+     UNNEST(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS t(s)
+WHERE len(toks) > 0"""
+
+    _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _DIGITS_RE = r"[0-9]{6,}"
+    sql["redacted_docs"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com id ' || (doc_id * 1000000 + 123456)::VARCHAR
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_DIGITS_RE}'))::BIGINT AS n_numbers
+FROM planted"""
+
+    sql["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfc AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+)
+SELECT doc_id, token AS top_term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(tf / (df + 1.0), 6) AS score
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf.tf / (dfc.df + 1.0), 6) DESC,
+                                     tf.token ASC) AS rn
+  FROM tf JOIN dfc USING (token)
+) WHERE rn = 1"""
+
+    sql["latest_events"] = """
+SELECT user_id, event_type, ts, event_id, value6 FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id,
+         round(value * 1000000)::BIGINT AS value6,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+    sql["stratified_docs"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_HASH60('doc_id::VARCHAR')} ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {STRATA_N}"""
+
+    sql["sliding_events"] = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS tsu, event_type, value FROM events
+),
+w AS (
+  SELECT unnest([(tsu // {SLIDE_STEP_US}) * {SLIDE_STEP_US},
+                 (tsu // {SLIDE_STEP_US}) * {SLIDE_STEP_US} - {SLIDE_STEP_US}])
+           AS window_start,
+         event_type, value
+  FROM e
+)
+SELECT window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_value6
+FROM w GROUP BY window_start, event_type"""
 
     sql["event_props"] = """
 SELECT event_type,

@@ -49,6 +49,60 @@ def bpe_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
 
 
+def token_chunks(toks: Column, size: int = 50, stride: int = 40) -> Column:
+    """Overlapping token windows for training-sample preparation: chunk
+    ``idx`` covers tokens ``[idx*stride, idx*stride + size)`` (so
+    ``size - stride`` tokens of overlap carry context across chunk
+    boundaries — the standard long-document windowing for LM training).
+    Chunk starts cover every token at least once; a final sub-stride tail
+    is absorbed by the preceding chunk's overlap. Empty docs yield no
+    chunks. Pure array expressions (sequence -> transform -> slice) — one
+    pass, no explode until the caller chooses to.
+
+    Output: ``array<struct<chunk_idx int, chunk_text string>>``.
+    """
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk_text"),
+        ),
+    )
+
+
+# portable Java-regex/RE2 patterns (no lookaround, no backrefs) so the SQL
+# oracle replays them byte-for-byte
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_PATTERN = r"[0-9]{6,}"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Best-effort PII scrubbing for corpus preparation: replace email
+    addresses and long digit runs (phone/account/id numbers) with typed
+    placeholders, and count what was redacted so the scrub is observable
+    (a silent scrub is unauditable at corpus scale).
+
+    Returns ``{"redacted", "n_emails", "n_numbers"}`` columns.
+    """
+    return {
+        "redacted": F.regexp_replace(
+            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+            LONG_DIGITS_PATTERN,
+            "<NUM>",
+        ),
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast(
+            "bigint"
+        ),
+        "n_numbers": F.size(
+            F.regexp_extract_all(text, F.lit(LONG_DIGITS_PATTERN), 0)
+        ).cast("bigint"),
+    }
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-token shingles (space-joined sliding windows) — the unit of MinHash
     near-dup detection. Empty array when the doc has < n tokens."""

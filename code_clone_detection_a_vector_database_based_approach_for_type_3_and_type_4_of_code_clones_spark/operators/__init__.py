@@ -19,7 +19,9 @@ from .corpus import (  # noqa: F401
 from .relational import (  # noqa: F401
     as_of_join,
     heavy_hitters,
+    latest_per_key,
     salted_key_counts,
+    stratified_sample_deterministic,
 )
 from .dedup import (  # noqa: F401
     bucket_stats,

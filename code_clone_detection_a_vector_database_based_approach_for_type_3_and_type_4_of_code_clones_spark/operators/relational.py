@@ -109,3 +109,46 @@ def heavy_hitters(df: DataFrame, key: Column | str, n: int = 20,
         .limit(n)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_col: str,
+                   tiebreak_col: str) -> DataFrame:
+    """Keep the newest row per key (CDC-style dedup / snapshot compaction —
+    the batch form of `dropDuplicates` made DETERMINISTIC: `dropDuplicates`
+    keeps an arbitrary first-seen row, this keeps the one the contract
+    names: max ``order_col``, ties by max ``tiebreak_col``).
+
+    One shuffle on the key; WindowGroupLimit pushes the rank-1 filter into
+    partial top-1 per map partition before it, so the shuffle carries one
+    row per (key, map partition), not the history.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc(tiebreak_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_deterministic(df: DataFrame, strata_col: str,
+                                    key_col: str, n_per_stratum: int) -> DataFrame:
+    """Exact-n-per-stratum sample, reproducible across engines: rank rows
+    within each stratum by the portable ``stable_hash64`` of the key (plus
+    key tiebreak) and keep the first n. The deterministic analog of
+    ``df.sampleBy(fractions, seed)`` — sampleBy is probabilistic per-row
+    (no exact n, seed-stable only within one Spark version), while hash
+    order replays identically in any engine with SHA-256.
+
+    One shuffle on the stratum; WindowGroupLimit bounds it map-side.
+    """
+    from ..functions.ids import stable_hash64
+
+    w = Window.partitionBy(strata_col).orderBy("_hk", key_col)
+    return (
+        df.withColumn("_hk", stable_hash64(F.col(key_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn", "_hk")
+    )

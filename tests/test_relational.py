@@ -153,3 +153,40 @@ def test_status_pivot_row_conservation(spark, sf_dir):
     rows = em.q_status_pivot(spark, sf_dir).collect()
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert sum(r.n_O + r.n_F + r.n_P for r in rows) == orders.count()
+
+
+def test_latest_per_key_deterministic_ties(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        latest_per_key,
+    )
+
+    rows = [
+        (1, "click", 100, 7),
+        (1, "click", 100, 9),   # ts tie -> larger event_id wins
+        (1, "click", 50, 99),
+        (2, "view", 10, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    ).repartition(4)
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in latest_per_key(
+            df, ["user_id", "event_type"], "ts", "event_id"
+        ).collect()
+    }
+    assert got == {(1, "click"): 9, (2, "view"): 1}
+
+
+def test_stratified_sample_exact_n_and_reproducible(spark, sf_dir):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        stratified_sample_deterministic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    a = stratified_sample_deterministic(docs, "lang", "doc_id", 3)
+    per = {r.lang: r.n for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 3 for n in per.values())
+    # reproducible across physical layouts
+    b = stratified_sample_deterministic(docs.repartition(13), "lang", "doc_id", 3)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

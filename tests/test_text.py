@@ -96,3 +96,61 @@ def test_bpe_tokens_splits_character_classes(spark):
     got = _one(spark, "It's a test-42x!", bpe_tokens(F.col("text")))
     assert got == ["it", "'", "s", "a", "test", "-", "42", "x", "!"]
     assert _one(spark, "", bpe_tokens(F.col("text"))) == []
+
+
+def test_token_chunks_overlap_and_edges(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        token_chunks,
+        tokens,
+    )
+
+    def chunks(text, size, stride):
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            token_chunks(tokens(F.col("text")), size, stride).alias("c")
+        ).first().c
+
+    # 12 tokens, size 5 / stride 4: starts 0,4,8 — 1-token overlap
+    words = " ".join(f"w{i}" for i in range(12))
+    got = chunks(words, 5, 4)
+    assert [c.chunk_idx for c in got] == [0, 1, 2]
+    assert got[0].chunk_text == "w0 w1 w2 w3 w4"
+    assert got[1].chunk_text == "w4 w5 w6 w7 w8"   # overlap carries w4
+    assert got[2].chunk_text == "w8 w9 w10 w11"    # tail clamps
+    # short doc -> exactly one chunk; empty doc -> none
+    assert [c.chunk_text for c in chunks("a b", 5, 4)] == ["a b"]
+    assert chunks("", 5, 4) == []
+    # every token appears in at least one chunk
+    covered = " ".join(c.chunk_text for c in got).split()
+    assert set(covered) == set(words.split())
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail.example.org or call 1234567890"),
+            (2, "short 12345 stays, code 999999 goes"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = redact_pii(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            cols["redacted"].alias("redacted"),
+            cols["n_emails"].alias("n_emails"),
+            cols["n_numbers"].alias("n_numbers"),
+        ).collect()
+    }
+    assert out[1].redacted == "mail me at <EMAIL> or call <NUM>"
+    assert (out[1].n_emails, out[1].n_numbers) == (1, 1)
+    # 5-digit run is below the redaction floor; 6-digit goes
+    assert out[2].redacted == "short 12345 stays, code <NUM> goes"
+    assert (out[2].n_emails, out[2].n_numbers) == (0, 1)
+    assert out[3].redacted == "clean text"
