@@ -47,6 +47,9 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
     SIMHASH_BITS,
     minhash_params,
 )
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (  # noqa: E402
+    load_events_micros,
+)
 
 # ---------------------------------------------------------------------------
 # shared tuning constants (Spark side and SQL side must agree)
@@ -528,17 +531,15 @@ def q_asof_click(spark, sf_dir):
     user's most recent click at-or-before it (max event_id breaks
     equal-timestamp ties). One shuffle + carry-forward window — not a
     per-key range cross join (operators.relational.as_of_join)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    # compare at MICROsecond resolution on both engines: the oracle engine
-    # parses these parquet timestamps at us precision, so the ns tail must
-    # not influence the <= comparison anywhere
-    ts_us = F.expr("ts div 1000").alias("ts")
+    # epoch-us integers on both engines: load_events_micros normalizes ts
+    # regardless of the fixture's physical type (ns INT64 or timestamp[us]),
+    # matching the oracle's epoch_us exactly
+    ev = load_events_micros(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", ts_us
+        "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", ts_us
+        "event_id", "user_id", "ts"
     )
     out = ops.as_of_join(
         purchases,
@@ -560,16 +561,12 @@ def q_asof_click(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregate over events (batch form of the streaming
-    demo; SURVEY SS2.10 extension). The fixture stores nanosecond parquet
-    timestamps, which Spark only reads as raw INT64 (nanosAsLong), so the
-    hour bucket is computed by integer epoch arithmetic — timezone-proof and
-    identical in the oracle. ``sum_value`` is fixed-point (see evaluate.py
-    determinism note)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    # integer `div`, not float `/`: epoch-ns (~1.7e18) exceeds double's 2^53
-    # exact-integer range, so float division could misplace hour boundaries
-    hour_epoch = F.expr("ts div 3600000000000") * 3600
+    demo; SURVEY SS2.10 extension). The hour bucket is integer arithmetic on
+    normalized epoch-us — timezone-proof and identical in the oracle.
+    ``sum_value`` is fixed-point (see evaluate.py determinism note)."""
+    ev = load_events_micros(spark, sf_dir)
+    # integer `div`, not float `/`: float division could misplace boundaries
+    hour_epoch = F.expr("ts div 3600000000") * 3600
     return (
         ev.withColumn("value6", F.round(F.col("value") * 1_000_000).cast("bigint"))
         .groupBy(hour_epoch.alias("hour_epoch"), F.col("event_type"))
@@ -588,13 +585,11 @@ def q_sessionize(spark, sf_dir):
         sessionize_batch,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
     # microsecond ticks: the oracle engine's TIMESTAMP is us-precision, so
     # both engines sessionize on the same integers (sessionize_batch is
     # unit-agnostic — gap expressed in the same ticks)
-    ev_us = ev.withColumn("ts", F.expr("ts div 1000"))
-    return sessionize_batch(ev_us, gap_ns=30 * 60 * 1_000_000)
+    ev_us = load_events_micros(spark, sf_dir)
+    return sessionize_batch(ev_us, gap_ticks=30 * 60 * 1_000_000)
 
 
 DORMANT_CUTOFF = "2000-01-01"   # anti-join recency cutoff
@@ -718,10 +713,8 @@ def q_click_attribution(spark, sf_dir):
     count the same user's clicks in the preceding 12 hours. Union-then-
     window — ONE shuffle on user_id and a linear per-partition pass —
     instead of a per-user range cross join (which explodes on hot users)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts", F.expr("ts div 1000"))  # microseconds, oracle-equal
+        load_events_micros(spark, sf_dir)  # epoch-us ts, oracle-equal
         .filter(F.col("event_type").isin("purchase", "click"))
         .select(
             "event_id",
@@ -921,8 +914,7 @@ def q_event_props(spark, sf_dir):
     """Semi-structured JSON extraction (get_json_object on the events props
     column) + grouped aggregate — schema-on-read over an opaque payload,
     which the reference's fixed-schema CSV path has no analog for."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = load_events_micros(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
         ev.withColumn("k", k)
@@ -1029,8 +1021,7 @@ def q_latest_events(spark, sf_dir):
     """CDC-style latest-row-per-key dedup (snapshot compaction): newest
     event per (user, event_type), deterministic tie-break — the
     contract-explicit form of dropDuplicates."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    ev = load_events_micros(spark, sf_dir)
     out = ops.latest_per_key(
         ev, ["user_id", "event_type"], order_col="ts", tiebreak_col="event_id"
     )
@@ -1057,23 +1048,23 @@ def q_sliding_events(spark, sf_dir):
     in exactly two windows): the batch twin of a streaming
     F.window(slideDuration=...) aggregation, keyed on exact epoch-us
     integers so both engines align windows identically."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    et = F.timestamp_micros(F.expr("ts div 1000"))
-    win = F.window(et, "2 hours", "1 hour")
+    ev = load_events_micros(spark, sf_dir)
+    # explode each event into its two covering windows by integer epoch-us
+    # arithmetic (identical in the oracle's unnest) — tz-proof, unlike
+    # F.window whose alignment follows spark.sql.session.timeZone
+    base = F.expr(f"ts div {SLIDE_STEP_US}") * SLIDE_STEP_US
     return (
-        ev.groupBy(win.alias("w"), F.col("event_type"))
+        ev.select(
+            F.explode(F.array(base, base - SLIDE_STEP_US)).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
                 "sum_value6"
             ),
-        )
-        .select(
-            F.unix_micros(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value6",
         )
     )
 

@@ -29,6 +29,9 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark import (  # noqa: E402
     operators as ops,
 )
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (  # noqa: E402
+    load_events_micros,
+)
 
 BENCH_K = 100          # reference retrieval depth (main.py:22)
 BENCH_PROBES = 500     # reference benchmark sample size (main.py:21)
@@ -114,8 +117,7 @@ def bench_queries(spark, sf_dir):
         return ops.heavy_hitters(toks, "token", n=20)
 
     def q_asof_join():
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = load_events_micros(spark, sf_dir)
         purchases = ev.filter(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts"
         )
@@ -143,10 +145,8 @@ def bench_queries(spark, sf_dir):
     def q_interval_join():
         from pyspark.sql import Window
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.expr("ts div 1000"))
+            load_events_micros(spark, sf_dir)
             .filter(F.col("event_type").isin("purchase", "click"))
             .select(
                 "event_id", "user_id", "ts", "event_type",

@@ -1,5 +1,11 @@
 """Sources & sinks (SURVEY SS2.1)."""
 
 from .csv_io import read_clones_csv, read_functions_csv, write_results_csv  # noqa: F401
+from .events import (  # noqa: F401
+    load_events_micros,
+    normalize_ts_micros,
+    read_events_raw,
+    ts_micros_expr,
+)
 from .files import poj_directory_source, source_lines_from_files  # noqa: F401
 from .index import index_exists, load_index, write_index  # noqa: F401

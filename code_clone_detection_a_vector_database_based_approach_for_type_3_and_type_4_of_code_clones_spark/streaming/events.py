@@ -6,10 +6,11 @@ engine for the training-data-pipeline north star. The batch forms are
 oracle-checked (``events_hourly``, ``sessionize`` in __spark_entry__); the
 streaming form reuses the same aggregation logic under a watermark.
 
-The events fixture stores NANOSECOND parquet timestamps; Spark 4 reads
-those only as raw INT64 (``spark.sql.legacy.parquet.nanosAsLong``), so all
-event-time arithmetic here is integer epoch-ns — exact, timezone-proof,
-and identical in DuckDB (``epoch_ns``).
+All event-time arithmetic here is integer epoch-MICROseconds — exact,
+timezone-proof, and identical in DuckDB (``epoch_us``). Ingestion goes
+through ``sources.events``, which normalizes the fixture's physical ``ts``
+type (INT64-ns legacy or parquet timestamp[us]) to epoch-us BIGINT, so the
+streaming and batch forms share one unit everywhere.
 """
 
 from __future__ import annotations
@@ -17,8 +18,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.events import (
+    SESSION_GAP_US,
+    US_PER_SEC,
+    normalize_ts_micros,
+    read_events_raw,
+)
+
 NS_PER_SEC = 1_000_000_000
-SESSION_GAP_NS = 30 * 60 * NS_PER_SEC  # 30-minute inactivity gap
+SESSION_GAP_NS = 30 * 60 * NS_PER_SEC  # legacy-unit constant (ns twin)
+
+
+def _event_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over an events directory with ``ts`` normalized to
+    epoch-us BIGINT and an ``event_time`` TIMESTAMP derived from it.
+
+    Streaming sources need an explicit schema; we sniff it from a static
+    read of the same directory (which also handles the legacy INT64-ns
+    flag), so the stream accepts either physical ``ts`` type.
+    """
+    static_schema = read_events_raw(spark, events_dir).schema
+    reader = spark.readStream.schema(static_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = normalize_ts_micros(reader.parquet(events_dir))
+    return stream.withColumn("event_time", F.timestamp_micros(F.col("ts")))
 
 
 def streaming_hourly_counts(
@@ -28,19 +56,12 @@ def streaming_hourly_counts(
 ) -> DataFrame:
     """Streaming tumbling-window counts per event_type with late-data
     handling. Source: parquet file stream (new files picked up per
-    micro-batch); event time derived from the ns-epoch column; watermark
-    bounds state. Write with ``.writeStream`` + ``trigger(availableNow=True)``
-    for a catch-up batch run (how the test drives it).
+    micro-batch); event time derived from the normalized epoch-us column;
+    watermark bounds state. Write with ``.writeStream`` +
+    ``trigger(availableNow=True)`` for a catch-up batch run (how the test
+    drives it).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / NS_PER_SEC)
-    )
+    with_time = _event_stream(spark, events_dir)
     return (
         with_time.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
@@ -60,7 +81,7 @@ def streaming_hourly_counts(
 def sessionize_stream(
     spark: SparkSession,
     events_dir: str,
-    gap_ns: int = SESSION_GAP_NS,
+    gap_us: int = SESSION_GAP_US,
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -70,8 +91,9 @@ def sessionize_stream(
     built-in windows can't express).
 
     Per user (the grouping key) the state holds the one open session
-    ``(start, end, n, sum_value6)``. Each micro-batch's events are folded in
-    event-time order: a gap larger than ``gap_ns`` closes the open session
+    ``(start, end, n, sum_value6)``. All ticks are epoch-MICROseconds (the
+    normalized ``ts`` unit). Each micro-batch's events are folded in
+    event-time order: a gap larger than ``gap_us`` closes the open session
     (emitted immediately, mode append) and starts a new one. The open
     session is emitted when the event-time watermark passes its end + gap
     (``GroupStateTimeout.EventTimeTimeout``) — so results stream out as soon
@@ -87,17 +109,8 @@ def sessionize_stream(
 
     from ..functions.ids import round_half_up6
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_dir)
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / NS_PER_SEC)
+    with_time = _event_stream(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
     ).withWatermark("event_time", watermark)
 
     out_schema = (
@@ -125,7 +138,7 @@ def sessionize_stream(
                     v6 = round_half_up6(float(v))
                     if open_s is None:
                         open_s = [ts, ts, 1, v6]
-                    elif ts - open_s[1] > gap_ns:
+                    elif ts - open_s[1] > gap_us:
                         closed.append((user_id, *open_s))
                         open_s = [ts, ts, 1, v6]
                     else:
@@ -135,7 +148,7 @@ def sessionize_stream(
             if open_s is not None:
                 state.update(tuple(open_s))
                 # close once the watermark passes session_end + gap (ms)
-                state.setTimeoutTimestamp((open_s[1] + gap_ns) // 1_000_000 + 1)
+                state.setTimeoutTimestamp((open_s[1] + gap_us) // 1_000 + 1)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -152,21 +165,24 @@ def sessionize_stream(
     )
 
 
-def sessionize_batch(events: DataFrame, gap_ns: int = SESSION_GAP_NS) -> DataFrame:
+def sessionize_batch(events: DataFrame, gap_ticks: int = SESSION_GAP_US) -> DataFrame:
     """Gap-based sessionization as a window plan (the batch twin of a
     ``applyInPandasWithState`` streaming sessionizer): a new session starts
-    when the gap to the previous event of the same user exceeds ``gap_ns``.
-    Classic lag -> boundary flag -> running sum = session index.
+    when the gap to the previous event of the same user exceeds
+    ``gap_ticks``. Classic lag -> boundary flag -> running sum = session
+    index.
 
-    Input needs ``ts`` as epoch-ns BIGINT. Output one row per session:
-    ``user_id, session_id, session_start, session_end, n_events, sum_value6``
-    (epoch-ns bounds; value summed fixed-point for oracle determinism).
+    Unit-agnostic: ``ts`` is any integer tick column and ``gap_ticks`` is
+    expressed in the same ticks (epoch-us for fixture-derived inputs).
+    Output one row per session: ``user_id, session_id, session_start,
+    session_end, n_events, sum_value6`` (tick bounds; value summed
+    fixed-point for oracle determinism).
     """
     w = Window.partitionBy("user_id").orderBy("ts")
     flagged = events.withColumn(
         "new_session",
         F.when(
-            (F.col("ts") - F.lag("ts").over(w)) > gap_ns, 1
+            (F.col("ts") - F.lag("ts").over(w)) > gap_ticks, 1
         ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
     ).withColumn(
         "session_id",

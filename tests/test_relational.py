@@ -77,10 +77,11 @@ def test_cust_running_total_monotone(spark, sf_dir):
 def test_click_attribution_matches_brute_force(spark, sf_dir):
     out = entrymod.q_click_attribution(spark, sf_dir)
     got = {r.event_id: r.clicks_12h for r in out.collect()}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("ts div 1000")
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
     )
+
+    ev = load_events_micros(spark, sf_dir)
     p = [(r.event_id, r.user_id, r.ts) for r in ev.filter(F.col("event_type") == "purchase").collect()]
     c = [(r.user_id, r.ts) for r in ev.filter(F.col("event_type") == "click").collect()]
     for eid, uid, ts in p:

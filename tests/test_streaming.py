@@ -4,23 +4,27 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+    US_PER_SEC,
+)
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
     NS_PER_SEC,
     sessionize_batch,
     streaming_hourly_counts,
 )
 
-MIN_NS = 60 * NS_PER_SEC
+MIN_NS = 60 * NS_PER_SEC   # tick unit the raw test fixtures are written in
+MIN_US = 60 * US_PER_SEC   # tick unit the normalized pipeline operates in
 
 
 def test_sessionize_golden(spark):
     # user 1: events at t=0, 10min, 50min (gap>30min splits) -> 2 sessions
     # user 2: single event -> 1 session
     rows = [
-        (1, 0 * MIN_NS, 1.0),
-        (1, 10 * MIN_NS, 2.0),
-        (1, 50 * MIN_NS, 3.0),
-        (2, 5 * MIN_NS, 4.0),
+        (1, 0 * MIN_US, 1.0),
+        (1, 10 * MIN_US, 2.0),
+        (1, 50 * MIN_US, 3.0),
+        (2, 5 * MIN_US, 4.0),
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts long, value double")
     out = {
@@ -30,7 +34,7 @@ def test_sessionize_golden(spark):
     assert set(out) == {(1, 1), (1, 2), (2, 1)}
     s11 = out[(1, 1)]
     assert s11.n_events == 2
-    assert s11.session_start == 0 and s11.session_end == 10 * MIN_NS
+    assert s11.session_start == 0 and s11.session_end == 10 * MIN_US
     assert s11.sum_value6 == 3_000_000
     assert out[(1, 2)].n_events == 1
 
@@ -54,7 +58,6 @@ def test_streaming_hourly_matches_batch(spark, tmp_path, sf_dir):
         "SELECT event_type, sum(n_events) AS n FROM hourly_test GROUP BY event_type"
     ).collect()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     want = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .groupBy("event_type")
@@ -78,6 +81,7 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     )
 
     HOUR_NS = 3600 * NS_PER_SEC
+    HOUR_US = 3600 * US_PER_SEC
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -139,16 +143,20 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_test").collect()
     }
 
-    ev = spark.createDataFrame(all_rows, schema)
+    # batch twin on the same rows, normalized to the pipeline's epoch-us
+    # ticks (fixtures are written ns INT64 — exercising the legacy path)
+    ev = spark.createDataFrame(all_rows, schema).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
     batch_sessions = sessionize_batch(ev).collect()
     # the stream emits every session the batch form finds EXCEPT those still
     # open at the final watermark: trailing per-user sessions whose
     # (end + gap) timeout lies beyond max(event_time) - watermark_delay
-    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
-        SESSION_GAP_NS,
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        SESSION_GAP_US,
     )
 
-    final_wm_ns = max(r[1] for r in all_rows) - 2 * HOUR_NS
+    final_wm_us = max(r[1] for r in all_rows) // 1000 - 2 * HOUR_US
     last_start = {}
     for r in batch_sessions:
         last_start[r.user_id] = max(last_start.get(r.user_id, -1), r.session_start)
@@ -156,14 +164,14 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value6)
         for r in batch_sessions
         if r.session_start != last_start[r.user_id]
-        or r.session_end + SESSION_GAP_NS <= final_wm_ns
+        or r.session_end + SESSION_GAP_US <= final_wm_us
     }
     assert got == want
     # user1's idle [11h] session was emitted by the event-time TIMEOUT path
     # (no later user1 event ever closed it by gap)
-    assert (1, 11 * HOUR_NS, 11 * HOUR_NS, 1, 5_000_000) in got
+    assert (1, 11 * HOUR_US, 11 * HOUR_US, 1, 5_000_000) in got
     # user2's [21h] session is still open -> not emitted
-    assert not any(r[0] == 2 and r[1] == 21 * HOUR_NS for r in got)
+    assert not any(r[0] == 2 and r[1] == 21 * HOUR_US for r in got)
 
 
 def test_as_of_join_semantics(spark):
