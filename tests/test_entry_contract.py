@@ -1,7 +1,8 @@
 """Driver-contract invariants for __spark_entry__.py: every query builds
-(analyzes) lazily, oracle keys line up, and the documented rows-only
-exceptions are exactly the two known ones. Catches analysis-time breakage
-(renamed columns, bad expressions) in seconds, without executing plans."""
+(analyzes) lazily, oracle keys line up, and every query has a full-value
+oracle (media_features was the last rows-only one — it gained a NumPy
+VALUES fixture). Catches analysis-time breakage (renamed columns, bad
+expressions) in seconds, without executing plans."""
 
 import os
 import sys
@@ -10,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-ROWS_ONLY = {"media_features"}  # uuid5_ids gained a CPython-fixture oracle
+ROWS_ONLY = set()  # every query now has a full-value oracle
 
 
 def test_oracle_keys_subset_of_queries():

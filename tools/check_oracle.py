@@ -3,6 +3,13 @@ its oracle_sql() twin on DuckDB at sf0.01, compare row count, column names
 and order-insensitive values. Usage:
 
     python tools/check_oracle.py [query_name ...]
+    python tools/check_oracle.py --analyze-only   # fast pre-commit gate
+
+``--analyze-only`` builds every Spark plan (forcing analysis/resolution) and
+parses every oracle SQL against the DuckDB catalog WITHOUT executing either —
+it catches schema drift in the fixtures (e.g. the events.ts physical-type
+change that silently broke a whole round's artifacts), renamed columns, and
+bad expressions in seconds. Run it before committing round artifacts.
 """
 
 from __future__ import annotations
@@ -95,8 +102,36 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--analyze-only"]
+    analyze_only = "--analyze-only" in sys.argv[1:]
+    only = set(args)
     failed = []
+    if analyze_only:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            try:
+                cols = fn(spark, sf_dir).columns  # forces analysis, no exec
+                assert cols and len(cols) == len(set(cols))
+            except Exception as e:
+                print(f"FAIL  {name}: spark analysis: {str(e).splitlines()[0]}")
+                failed.append(name)
+                continue
+            if name in oracles:
+                try:
+                    # EXPLAIN parses + binds the SQL without running it
+                    con.sql(f"EXPLAIN {oracles[name]}")
+                except Exception as e:
+                    print(f"FAIL  {name}: duckdb parse: {str(e).splitlines()[0]}")
+                    failed.append(name)
+                    continue
+            print(f"ok    {name} (analyzed)")
+        print()
+        if failed:
+            print(f"{len(failed)} FAILED: {failed}")
+            return 1
+        print("all queries analyze")
+        return 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
