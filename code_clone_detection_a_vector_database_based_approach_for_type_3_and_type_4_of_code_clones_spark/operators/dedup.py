@@ -419,19 +419,33 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
-def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
+def duplicate_groups(
+    pairs: DataFrame,
+    iterations: int = 3,
+    until_converged: bool = False,
+    max_iterations: int = 50,
+) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS with an elected keeper:
     min-label propagation over the undirected pair graph, the final step of
     a corpus-dedup pipeline (pairs alone don't say which docs to drop when
     A~B and B~C but A!~C).
 
-    ``iterations`` is FIXED (not loop-to-fixpoint) so the operator is
-    deterministic and SQL-replayable by unrolling; labels converge for any
-    component whose nodes are within ``iterations`` hops of the component's
-    minimum. Near-dup components are overwhelmingly tiny (pairs/triples);
-    at 100 TB you would loop with a convergence check — or use the
-    alternating large-star/small-star formulation for O(log n) rounds —
-    on exactly this plan shape (each round: one join + one min-agg).
+    Two modes:
+
+    - default: ``iterations`` FIXED (not loop-to-fixpoint) so the operator
+      is deterministic and SQL-replayable by unrolling; labels converge for
+      any component whose nodes are within ``iterations`` hops of the
+      component's minimum. Near-dup components are overwhelmingly tiny
+      (pairs/triples), so 3 rounds suffice for real corpora.
+    - ``until_converged=True``: the 100-TB path — loop the same plan shape
+      (one join + one min-agg per round) until NO label changes, bounded by
+      ``max_iterations``. The change check is a ``limit(1).count()`` on the
+      round's already-checkpointed (tiny) label frame, so it adds one cheap
+      driver round-trip per iteration, and the loop exits after diameter
+      rounds instead of scanning to the bound. (The alternating
+      large-star/small-star formulation would cut rounds to O(log n);
+      min-propagation keeps the per-round plan identical to the
+      SQL-replayable form.)
 
     Output: ``doc_id, group_id, is_keeper`` for every doc in some pair.
     """
@@ -453,7 +467,8 @@ def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
     labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(iterations):
+    rounds = max_iterations if until_converged else iterations
+    for _ in range(rounds):
         neigh = (
             sym.join(
                 labels.select(
@@ -464,9 +479,14 @@ def duplicate_groups(pairs: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nl").alias("min_nl"))
         )
-        labels = labels.join(neigh, "doc_id").select(
-            "doc_id", F.least(F.col("label"), F.col("min_nl")).alias("label")
+        staged = labels.join(neigh, "doc_id").select(
+            "doc_id",
+            F.least(F.col("label"), F.col("min_nl")).alias("label"),
+            (F.col("min_nl") < F.col("label")).alias("changed"),
         ).localCheckpoint(eager=True)
+        labels = staged.select("doc_id", "label")
+        if until_converged and staged.filter("changed").limit(1).count() == 0:
+            break
     return labels.select(
         "doc_id",
         F.col("label").alias("group_id"),

@@ -255,3 +255,24 @@ def test_srp_near_duplicates_recall_vs_exact(spark, embeddings):
     n = u.count()
     n_cands = srp_candidate_pairs(u).count()
     assert n_cands < 0.1 * n * (n - 1) / 2  # LSH bounds the pair space
+
+
+def test_duplicate_groups_converges_on_long_chain(spark):
+    """A path component wider than the fixed hop count: 0-1-2-...-7
+    (diameter 7). Three fixed rounds CANNOT pull node 7 down to label 0;
+    until_converged must — and must stop at the diameter, not scan to the
+    max_iterations bound."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    fixed = {r.doc_id: r.group_id for r in duplicate_groups(chain).collect()}
+    assert fixed[7] != 0  # fixed-3-rounds provably under-propagates here
+    conv = {
+        r.doc_id: (r.group_id, r.is_keeper)
+        for r in duplicate_groups(chain, until_converged=True).collect()
+    }
+    assert conv == {i: (0, i == 0) for i in range(8)}

@@ -84,3 +84,41 @@ def test_index_create_if_absent(spark, tmp_path, embeddings):
     # mode="ignore" semantics: second write is a no-op (S7 skip-if-exists)
     write_index(embeddings.limit(20), path)
     assert load_index(spark, path).count() == 10
+
+
+def test_events_micros_physical_type_robust(spark, tmp_path):
+    """load_events_micros must yield identical epoch-us BIGINTs whether the
+    fixture stores ts as INT64 epoch-ns (legacy rounds), parquet
+    timestamp[us] (current rounds), or an instant TIMESTAMP column — the
+    r2 fixture flip broke six queries; this pins the normalization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+
+    us = [1_704_067_200_000_000, 1_704_067_201_500_000, 1_704_070_800_000_001]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "click"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"], pa.string()),
+    }
+    variants = {
+        "ns_int64": pa.array([u * 1000 for u in us], pa.int64()),
+        "ts_us": pa.array(us, pa.timestamp("us")),
+        "ts_us_utc": pa.array(us, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({**base, "ts": ts_arr}), str(d / "events.parquet"))
+        df = load_events_micros(spark, str(d))
+        assert dict(df.dtypes)["ts"] == "bigint", name
+        got[name] = sorted((r.event_id, r.ts) for r in df.collect())
+    want = sorted(zip([1, 2, 3], us))
+    for name, rows in got.items():
+        assert rows == want, name
