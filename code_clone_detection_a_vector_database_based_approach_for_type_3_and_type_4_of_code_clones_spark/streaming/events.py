@@ -224,3 +224,57 @@ def dedup_stream(
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window_us: int = 12 * 3600 * US_PER_SEC,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: each purchase paired
+    with the same user's clicks in the preceding ``window_us`` — the
+    streaming twin of the batch ``click_attribution`` range-frame window
+    (which stays the oracle-checked form).
+
+    Both sides carry a watermark and the join condition bounds ``c_time``
+    to ``[p_time - window, p_time]`` ON THE EVENT-TIME COLUMNS — that pair
+    is what lets Structured Streaming compute how long each side's state
+    must be retained and evict it, so state is bounded by the watermark
+    horizon + window, not by the stream's history. (An equivalent predicate
+    on the integer ``ts`` columns would be correct but unprovable to the
+    state manager — it would keep state forever.)
+
+    Output: ``purchase_id, user_id, p_ts, click_id, c_ts`` (epoch-us), one
+    row per qualifying (purchase, click) pair, inner join.
+    """
+    ev = _event_stream(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {window_us} MICROSECOND"))
+        & (F.col("c_time") <= F.col("p_time"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
+    )

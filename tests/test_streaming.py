@@ -238,3 +238,66 @@ def test_dedup_stream_keeps_one_row_per_hash(spark, tmp_path):
     assert all(r.n == 1 for r in rows_out)
     total = spark.sql("SELECT count(*) AS n FROM dedup_test").first().n
     assert total == 20
+
+
+def test_click_purchase_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval self-join (purchases x same-user clicks within
+    the lookback window): under availableNow catch-up, the inner join must
+    emit exactly the batch join's pairs — including equal-timestamp clicks
+    (closed upper bound) and excluding ones just outside the window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        click_purchase_join_stream,
+    )
+
+    HOUR_US = 3600 * US_PER_SEC
+    W = 2 * HOUR_US  # 2h lookback for the test
+    # user 1: clicks at 1h, 2h30m, purchase at 3h  -> both qualify (3h-2h=1h)
+    #         click at 0h29m59.999999 is OUTSIDE [1h, 3h]
+    # user 2: click exactly AT the purchase ts (closed upper bound)
+    # user 3: purchase with no clicks -> inner join drops it
+    rows = [
+        (1, 1 * HOUR_US, 1, "click", 0.0, ""),
+        (2, HOUR_US // 2 - 1, 1, "click", 0.0, ""),
+        (3, 2 * HOUR_US + 30 * 60 * US_PER_SEC, 1, "click", 0.0, ""),
+        (4, 3 * HOUR_US, 1, "purchase", 0.0, ""),
+        (5, 5 * HOUR_US, 2, "click", 0.0, ""),
+        (6, 5 * HOUR_US, 2, "purchase", 0.0, ""),
+        (7, 9 * HOUR_US, 3, "purchase", 0.0, ""),
+    ]
+    d = tmp_path / "join_stream"
+    d.mkdir()
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = click_purchase_join_stream(spark, str(d), window_us=W)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cpjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM cpjoin_test").collect()
+    }
+    want = {(4, 1), (4, 3), (6, 5)}
+    assert got == want
+    # sanity: outputs carry exact epoch-us integers
+    r = spark.sql("SELECT * FROM cpjoin_test WHERE purchase_id = 6").first()
+    assert r.p_ts == 5 * HOUR_US and r.c_ts == 5 * HOUR_US and r.user_id == 2
