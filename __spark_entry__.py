@@ -919,6 +919,45 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Intra-doc repetition quality signals (Gopher-style filters):
+    duplicated word-3-gram mass (pure map-side expressions) + top-token
+    fraction (explode -> two-stage count -> max, the shuffle-scalable form
+    of a per-doc mode). A training pipeline drops docs above thresholds;
+    here the thresholds stay with the consumer so the oracle checks the
+    raw signals."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        repetition_stats,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = repetition_stats(F.col("text"))
+    base = docs.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+    top = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_shingles",
+        "n_distinct_shingles",
+        "dup_shingle_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("top_cnt"), F.lit(0)) / F.col("n_tokens").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+    )
+
+
 def q_event_props(spark, sf_dir):
     """Semi-structured JSON extraction (get_json_object on the events props
     column) + grouped aggregate — schema-on-read over an opaque payload,
@@ -1127,7 +1166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
-        "small_qty_revenue": q_small_qty_revenue,
         "cust_running_total": q_cust_running_total,
         "click_attribution": q_click_attribution,
         "sales_cube": q_sales_cube,
@@ -1135,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
         "event_props": q_event_props,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -1155,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
         "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -1870,6 +1910,34 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT
          AS n_bpe_tokens
 FROM documents"""
+
+    _sh3 = _shingles_sql("toks", 3)
+    sql["repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         {_sh3} AS sh
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       len(sh)::BIGINT AS n_shingles,
+       len(list_distinct(sh))::BIGINT AS n_distinct_shingles,
+       CASE WHEN len(sh) > 0
+            THEN round(1.0 - len(list_distinct(sh)) / len(sh)::DOUBLE, 6)
+            ELSE 0.0 END AS dup_shingle_ratio,
+       CASE WHEN s.n_tokens > 0
+            THEN round(coalesce(top.top_cnt, 0) / s.n_tokens::DOUBLE, 6)
+            ELSE 0.0 END AS top_token_frac
+FROM s LEFT JOIN top ON top.doc_id = s.doc_id"""
 
     sql["doc_chunks"] = f"""
 SELECT doc_id, (s / {CHUNK_STRIDE})::BIGINT AS chunk_idx,

@@ -194,3 +194,25 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * 31 + stable_hash64(t) % p) % p,
     )
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Intra-document repetition signals (Gopher/RefinedWeb-style quality
+    filters): duplicated word-3-gram mass within one document. High ratios
+    flag boilerplate/spam docs a training pipeline should drop. Pure
+    column expressions — map-only, no shuffle, no UDF. (The companion
+    top-token fraction needs a per-token count and lives in the query as
+    an explode + two-stage agg — the scalable form; an expression version
+    would be O(distinct x tokens) per doc.)"""
+    toks = tokens(text)
+    sh = word_shingles(toks, 3)
+    n_sh = F.size(sh)
+    n_uniq = F.size(F.array_distinct(sh))
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_shingles": n_sh.cast("bigint"),
+        "n_distinct_shingles": n_uniq.cast("bigint"),
+        "dup_shingle_ratio": F.when(
+            n_sh > 0, F.round(F.lit(1.0) - n_uniq / n_sh.cast("double"), 6)
+        ).otherwise(F.lit(0.0)),
+    }

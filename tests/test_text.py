@@ -154,3 +154,29 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert out[2].redacted == "short 12345 stays, code <NUM> goes"
     assert (out[2].n_emails, out[2].n_numbers) == (0, 1)
     assert out[3].redacted == "clean text"
+
+
+def test_repetition_stats_golden(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        repetition_stats,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 9 toks, 7 shingles, 3 distinct
+        (2, "w x y z"),             # 4 toks, 2 shingles, both unique
+        (3, "solo"),                # < 3 toks -> no shingles
+        (4, ""),                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = repetition_stats(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in stats.items()]).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_shingles, r1.n_distinct_shingles) == (9, 7, 3)
+    assert abs(r1.dup_shingle_ratio - round(1 - 3 / 7, 6)) < 1e-9
+    assert out[2].dup_shingle_ratio == 0.0
+    assert out[3].n_shingles == 0 and out[3].dup_shingle_ratio == 0.0
+    assert out[4].n_tokens == 0 and out[4].dup_shingle_ratio == 0.0
