@@ -919,6 +919,26 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_quantized_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding index (4x memory cut —
+    the difference between an in-memory and a spilling ANN index at 100 TB).
+    Map-only double-arithmetic expressions; scale emitted nano-fixed-point
+    and codes as a joined string so the oracle compares exact integers."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.vector import (
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qd["scale"] * 1_000_000_000.0).cast("bigint").alias("scale9"),
+        F.array_join(
+            F.transform(qd["q"], lambda x: x.cast("string")), ","
+        ).alias("q_codes"),
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Intra-doc repetition quality signals (Gopher-style filters):
     duplicated word-3-gram mass (pure map-side expressions) + top-token
@@ -1145,7 +1165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "uuid5_ids": q_uuid5_ids,
         "deterministic_sample": q_deterministic_sample,
-        "topk_per_group": q_topk_per_group,
         "top_tokens": q_top_tokens,
         "asof_click": q_asof_click,
         "exact_dups": q_exact_dups,
@@ -1174,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition_stats,
+        "quantized_embeddings": q_quantized_embeddings,
         "event_props": q_event_props,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -1195,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "large_orders": q_large_orders,
         "small_qty_revenue": q_small_qty_revenue,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -1910,6 +1931,21 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT
          AS n_bpe_tokens
 FROM documents"""
+
+    sql["quantized_embeddings"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+s AS (
+  SELECT vec_id, vd,
+         list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
+  FROM v
+)
+SELECT vec_id,
+       round(amax / 127.0 * 1000000000.0)::BIGINT AS scale9,
+       CASE WHEN amax <> 0
+            THEN array_to_string(
+                   list_transform(vd, x -> round(x / (amax / 127.0))::INT), ',')
+            ELSE array_to_string(list_transform(vd, x -> 0), ',') END AS q_codes
+FROM s"""
 
     _sh3 = _shingles_sql("toks", 3)
     sql["repetition_stats"] = f"""

@@ -78,3 +78,30 @@ def l2_normalize(a: Column) -> Column:
     ad = _as_double(a)
     n = l2_norm(a)
     return F.when(n != 0.0, F.transform(ad, lambda x: x / n)).otherwise(ad)
+
+
+def quantize_int8(a: Column) -> dict[str, Column]:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` in [-127, 127]. Cuts the index's vector
+    memory 4x (float32 -> int8) — at 100 TB the difference between an
+    in-memory ANN index and one that spills. Pure column expressions
+    (double arithmetic end-to-end, so the DuckDB oracle replays it
+    bit-for-bit); dequantize is ``q_i * scale``.
+
+    Returns ``{"scale": double, "q": array<int>}`` (ints hold the [-127,127]
+    codes; cast to tinyint at the storage boundary). Zero vectors get
+    scale 0 and all-zero codes.
+    """
+    ad = _as_double(a)
+    amax = F.aggregate(ad, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax != 0.0,
+        F.transform(ad, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(ad, lambda x: F.lit(0)))
+    return {"scale": scale, "q": q}
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Inverse of ``quantize_int8``: ``x_i ~ q_i * scale`` (double)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -62,3 +62,62 @@ def test_pandas_cosine_agrees_with_expression(spark, embeddings):
         F.round(cosine_similarity_pandas(F.col("va"), F.col("vb")), 6).alias("pd"),
     ).collect()
     assert all(r.expr == r.pd for r in both)
+
+
+def test_quantize_int8_roundtrip_bounds(spark, embeddings):
+    """q in [-127,127]; dequantization error per component <= scale/2;
+    zero vectors quantize to all-zero codes with scale 0."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    with_zero = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999999, [0.0] * 64)], "vec_id long, embedding array<float>"
+        )
+    )
+    qd = quantize_int8(F.col("embedding"))
+    out = with_zero.select(
+        "vec_id",
+        qd["scale"].alias("scale"),
+        qd["q"].alias("q"),
+        dequantize_int8(qd["q"], qd["scale"]).alias("deq"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.q), r.vec_id
+        if r.vec_id == 999999:
+            assert r.scale == 0.0 and all(c == 0 for c in r.q)
+            continue
+        assert r.scale > 0
+        for x, d in zip(r.vd, r.deq):
+            assert abs(x - d) <= r.scale / 2 + 1e-12, r.vec_id
+
+
+def test_quantized_cosine_recall(spark, embeddings):
+    """Top-10 cosine neighbors computed on dequantized int8 vectors must
+    overlap the exact top-10 by >= 80% on average — the quality bar that
+    justifies the 4x memory cut."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    scale = np.abs(m).max(axis=1, keepdims=True) / 127.0
+    q = np.round(m / scale)
+    deq = q * scale
+
+    def topk(mat, k=10):
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = n @ n.T
+        np.fill_diagonal(sims, -np.inf)
+        return np.argsort(-sims, axis=1)[:, :k]
+
+    exact, approx = topk(m), topk(deq)
+    overlap = np.mean(
+        [len(set(a) & set(b)) / 10.0 for a, b in zip(exact, approx)]
+    )
+    assert overlap >= 0.8, overlap
