@@ -8,4 +8,10 @@ from .events import (  # noqa: F401
     ts_micros_expr,
 )
 from .files import poj_directory_source, source_lines_from_files  # noqa: F401
-from .index import index_exists, load_index, write_index  # noqa: F401
+from .index import (  # noqa: F401
+    index_exists,
+    load_index,
+    load_quantized_index,
+    write_index,
+    write_quantized_index,
+)

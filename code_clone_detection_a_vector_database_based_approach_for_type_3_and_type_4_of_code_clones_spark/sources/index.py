@@ -48,3 +48,46 @@ def load_index(spark: SparkSession, path: str, cells: list | None = None) -> Dat
     if cells is not None:
         df = df.filter(F.col("cell").isin(cells))
     return df
+
+
+def write_quantized_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "ignore",
+) -> None:
+    """S5 at scale: persist the vector table int8-quantized — ``tinyint``
+    codes + one float scale per vector, ~4x smaller on disk and in the scan
+    than float32 arrays. Composes with the kNN operators through
+    ``load_quantized_index`` (lazy map-side dequantize), so no operator
+    changes shape; recall cost of the quantization is pinned by test at
+    >= 0.8 top-10 overlap.
+    """
+    from ..functions.vector import quantize_int8
+
+    qd = quantize_int8(F.col(vec_col))
+    out = df.select(
+        F.col(id_col),
+        qd["scale"].cast("float").alias("scale"),
+        F.transform(qd["q"], lambda x: x.cast("tinyint")).alias("q"),
+    )
+    out.write.mode(mode).parquet(path)
+
+
+def load_quantized_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Load a quantized index as ``(id_col, vec_col array<double>)`` —
+    dequantization is a map-side projection fused into the scan, so
+    consumers (exact_knn_fast, ivf_knn) are byte-for-byte unchanged."""
+    from ..functions.vector import dequantize_int8
+
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col(id_col),
+        dequantize_int8(F.col("q"), F.col("scale").cast("double")).alias(vec_col),
+    )

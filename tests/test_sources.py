@@ -122,3 +122,50 @@ def test_events_micros_physical_type_robust(spark, tmp_path):
     want = sorted(zip([1, 2, 3], us))
     for name, rows in got.items():
         assert rows == want, name
+
+
+def test_quantized_index_roundtrip_size_and_recall(spark, tmp_path, embeddings):
+    """The int8 index table must be substantially smaller than the float32
+    one on disk, dequantize lazily into the unchanged kNN operator, and
+    keep >= 0.8 average top-10 recall vs the exact float index."""
+    import os
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        exact_knn_fast,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.index import (
+        load_quantized_index,
+        write_index,
+        write_quantized_index,
+    )
+
+    raw_path = str(tmp_path / "raw_index")
+    q_path = str(tmp_path / "q_index")
+    write_index(embeddings.select("vec_id", "embedding"), raw_path)
+    write_quantized_index(embeddings, q_path)
+
+    def disk(p):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert disk(q_path) < disk(raw_path) * 0.45  # ~4x smaller, margin for footers
+
+    from pyspark.sql import functions as F
+
+    probes = embeddings.filter("vec_id < 30").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = exact_knn_fast(probes, spark.read.parquet(raw_path), k=10)
+    approx = exact_knn_fast(probes, load_quantized_index(spark, q_path), k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.result_id)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.result_id)
+    recall = sum(len(e[q] & a.get(q, set())) / len(e[q]) for q in e) / len(e)
+    assert recall >= 0.8, recall
