@@ -947,13 +947,34 @@ def q_repetition_stats(spark, sf_dir):
     here the thresholds stay with the consumer so the oracle checks the
     raw signals."""
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
-        repetition_stats,
         tokens,
+        word_shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    stats = repetition_stats(F.col("text"))
-    base = docs.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+    # Generate barrier (explode of a 1-element struct array): tokenize +
+    # shingle run ONCE per row. A flat projection re-inlines them per
+    # reference — higher-order lambdas get fresh variable ids each
+    # occurrence, so codegen subexpression elimination can't dedupe them
+    # (the CollapseProject trap documented at operators/dedup.py minhash).
+    toks = tokens(F.col("text"))
+    mat = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(F.struct(toks.alias("toks"), word_shingles(toks, 3).alias("sh")))
+        ).alias("s"),
+    )
+    n_sh = F.size("s.sh")
+    n_uniq = F.size(F.array_distinct("s.sh"))
+    base = mat.select(
+        "doc_id",
+        F.size("s.toks").cast("bigint").alias("n_tokens"),
+        n_sh.cast("bigint").alias("n_shingles"),
+        n_uniq.cast("bigint").alias("n_distinct_shingles"),
+        F.when(n_sh > 0, F.round(F.lit(1.0) - n_uniq / n_sh.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_shingle_ratio"),
+    )
     top = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")

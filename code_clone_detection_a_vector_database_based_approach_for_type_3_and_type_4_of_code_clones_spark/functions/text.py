@@ -203,7 +203,13 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     column expressions — map-only, no shuffle, no UDF. (The companion
     top-token fraction needs a per-token count and lives in the query as
     an explode + two-stage agg — the scalable form; an expression version
-    would be O(distinct x tokens) per doc.)"""
+    would be O(distinct x tokens) per doc.)
+
+    Scale note: selecting several of these columns in ONE flat projection
+    re-inlines the tokenize/shingle subtrees per reference (higher-order
+    lambdas defeat codegen subexpression elimination); hot-path consumers
+    should materialize ``toks``/``sh`` behind a Generate barrier first —
+    see ``q_repetition_stats`` in ``__spark_entry__.py``."""
     toks = tokens(text)
     sh = word_shingles(toks, 3)
     n_sh = F.size(sh)
