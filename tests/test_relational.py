@@ -191,3 +191,29 @@ def test_stratified_sample_exact_n_and_reproducible(spark, sf_dir):
     # reproducible across physical layouts
     b = stratified_sample_deterministic(docs.repartition(13), "lang", "doc_id", 3)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_event_queries_are_timezone_invariant(spark, sf_dir):
+    """Event-time queries must produce identical rows whatever
+    spark.sql.session.timeZone is — the driver/bench sessions don't pin it.
+    India (+5:30, non-whole-hour) and New York (DST transitions) are the
+    adversarial zones; epoch-us integer arithmetic must not see either."""
+    qs = [
+        entrymod.q_asof_click,
+        entrymod.q_events_hourly,
+        entrymod.q_sliding_events,
+        entrymod.q_latest_events,
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        base = []
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for q in qs:
+            base.append({tuple(r) for r in q(spark, sf_dir).collect()})
+        for tz in ("Asia/Kolkata", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for q, want in zip(qs, base):
+                got = {tuple(r) for r in q(spark, sf_dir).collect()}
+                assert got == want, (q.__name__, tz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
