@@ -273,14 +273,22 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN — the Spark-shaped analog of the
     ANN index Qdrant builds server-side for the reference (SURVEY SS4.1).
 
     Deterministic centroid choice (the ``n_centroids`` lowest-id vectors)
-    keeps the operator fully SQL-replayable; a KMeans refinement can swap in
-    without changing the plan shape. Index vectors land in the cell of their
-    nearest centroid; each probe searches only its ``nprobe`` nearest cells.
+    keeps the operator fully SQL-replayable. ``refine_iters > 0`` runs that
+    many spherical-KMeans (Lloyd, cosine-assignment) rounds on a bounded
+    deterministic sample (the ``refine_sample`` lowest-id vectors, driver-
+    side NumPy) starting from the same lowest-id init — better-balanced
+    cells, identical plan shape, still fully deterministic (np.argmax first-
+    max tie-break; empty clusters keep their previous centroid). The SQL
+    oracle covers the unrefined default; the refined path is pinned by the
+    recall/balance pytest. Index vectors land in the cell of their nearest
+    centroid; each probe searches only its ``nprobe`` nearest cells.
 
     Centroids are always driver-small, so they are collected once and baked
     into the plan as literal arrays: cell assignment and probe routing are
@@ -298,31 +306,57 @@ def ivf_knn(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .collect()
     )
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+    if refine_iters > 0:
+        # spherical KMeans on a bounded deterministic sample: assignment by
+        # cosine (normalized argmax, first-max tie-break), mean update,
+        # empty clusters keep their previous centroid — all driver-side
+        # NumPy on <= refine_sample vectors, so cluster-scale cost is nil
+        sample = (
+            index.orderBy(F.col(id_col))
+            .limit(int(refine_sample))
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        )
+        X = np.asarray([list(r.v) for r in sample], dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        C = np.asarray(cent_vecs, dtype=np.float64)
+        for _ in range(refine_iters):
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            assign = np.argmax(Xn @ Cn.T, axis=1)
+            for j in range(C.shape[0]):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        cent_vecs = [[float(v) for v in row] for row in C]
+        cent_ids = list(range(C.shape[0]))
+
     # centroid norms accumulated left-to-right, matching the SQL oracle's
     # list_dot_product accumulation order bit-for-bit
     cnorms = []
-    for r in cent_rows:
+    for cv in cent_vecs:
         s = 0.0
-        for v in r.cent_vec:
-            s += float(v) * float(v)
+        for v in cv:
+            s += v * v
         cnorms.append(math.sqrt(s))
 
     # The whole centroid bank is baked in as ONE parsed SQL expression
     # (per-literal Column construction costs a py4j round-trip each — 1000+
     # lits took ~6 s of driver time to build; one expr parse is ms).
     def cos_sql(i: int) -> str:
-        arr = "array(" + ",".join(repr(float(v)) + "D" for v in cent_rows[i].cent_vec) + ")"
+        arr = "array(" + ",".join(repr(v) + "D" for v in cent_vecs[i]) + ")"
         dot = f"aggregate(zip_with(__vd, {arr}, (x, y) -> x * y), 0D, (a, v) -> a + v)"
         return f"round({dot} / (__vn * {cnorms[i]!r}D), {SCORE_DECIMALS})"
 
     sims_sql = (
         "array("
         + ",".join(
-            f"struct({cos_sql(i)} as sim, {-i} as neg_idx)" for i in range(len(cent_rows))
+            f"struct({cos_sql(i)} as sim, {-i} as neg_idx)" for i in range(len(cent_vecs))
         )
         + ")"
     )
-    ids_sql = "array(" + ",".join(f"{r.cent_id}L" for r in cent_rows) + ")"
+    ids_sql = "array(" + ",".join(f"{cid}L" for cid in cent_ids) + ")"
 
     def with_vec_prep(df, vcol: str):
         return df.withColumn("__vd", F.col(vcol).cast("array<double>")).withColumn(

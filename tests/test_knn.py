@@ -136,3 +136,47 @@ def test_ivf_recall_reasonable(spark, embeddings):
         hits += len(e & a)
         total += len(e)
     assert hits / total > 0.3  # nprobe/n_centroids = 25% of cells searched
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark, embeddings):
+    """refine_iters runs deterministic spherical-KMeans rounds on the
+    centroid bank; at fixed nprobe the refined cells must not lose recall
+    vs the lowest-id-init default (measured 0.69 -> 0.74 on this fixture)
+    and the whole operator stays deterministic (same inputs, same rows)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        exact_knn_fast,
+        ivf_knn,
+    )
+
+    probes = embeddings.filter("vec_id < 30").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    e = {}
+    for r in exact_knn_fast(probes, embeddings, k=10).collect():
+        e.setdefault(r.query_id, set()).add(r.result_id)
+
+    def recall(iters):
+        a = {}
+        for r in ivf_knn(
+            probes, embeddings, k=10, n_centroids=8, nprobe=3, refine_iters=iters
+        ).collect():
+            a.setdefault(r.query_id, set()).add(r.result_id)
+        return sum(len(e[q] & a.get(q, set())) / len(e[q]) for q in e) / len(e)
+
+    base, refined = recall(0), recall(5)
+    assert refined >= base
+    assert refined >= 0.7
+    # determinism: a second refined run yields identical pairs
+    runs = []
+    for _ in range(2):
+        runs.append(
+            sorted(
+                (r.query_id, r.result_id, r.score, r.rank)
+                for r in ivf_knn(
+                    probes, embeddings, k=10, n_centroids=8, nprobe=3, refine_iters=5
+                ).collect()
+            )
+        )
+    assert runs[0] == runs[1]
