@@ -2,9 +2,11 @@
 
 from .vector import (  # noqa: F401
     cosine_similarity,
+    dequantize_int8,
     dot,
     l2_norm,
     l2_normalize,
+    quantize_int8,
 )
 from .ids import (  # noqa: F401
     content_id,
@@ -16,6 +18,7 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
     tokens,
     word_shingles,

@@ -2,6 +2,9 @@
 reference is strictly batch, SURVEY SS2.10)."""
 
 from .events import (  # noqa: F401
+    click_purchase_join_stream,
+    dedup_stream,
     sessionize_batch,
+    sessionize_stream,
     streaming_hourly_counts,
 )
