@@ -939,6 +939,20 @@ def q_quantized_embeddings(spark, sf_dir):
     )
 
 
+CONTAM_N = 8          # decontamination n-gram width
+CONTAM_EVAL_DOCS = 10  # eval corpus = doc_id < this
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (pre-training hygiene): training docs
+    sharing any word-8-gram with the eval corpus (doc_id < 10 here). The
+    eval n-gram set broadcasts; the corpus never shuffles except the
+    per-doc hit count (operators.relational.ngram_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < CONTAM_EVAL_DOCS)
+    return ops.ngram_contamination(docs, ev, n=CONTAM_N)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Intra-doc repetition quality signals (Gopher-style filters):
     duplicated word-3-gram mass (pure map-side expressions) + top-token
@@ -1206,7 +1220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
-        "cust_running_total": q_cust_running_total,
         "click_attribution": q_click_attribution,
         "sales_cube": q_sales_cube,
         "priority_distinct": q_priority_distinct,
@@ -1215,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
+        "contamination": q_contamination,
         "event_props": q_event_props,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -1237,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "small_qty_revenue": q_small_qty_revenue,
         "topk_per_group": q_topk_per_group,
+        "cust_running_total": q_cust_running_total,
     }
 
 
@@ -1967,6 +1982,20 @@ SELECT vec_id,
                    list_transform(vd, x -> round(x / (amax / 127.0))::INT), ',')
             ELSE array_to_string(list_transform(vd, x -> 0), ',') END AS q_codes
 FROM s"""
+
+    _sh8 = _shingles_sql("toks", CONTAM_N)
+    sql["contamination"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_sh8}) AS ngram FROM t),
+ev AS (SELECT DISTINCT ngram FROM sh WHERE doc_id < {CONTAM_EVAL_DOCS}),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.ngram)::BIGINT AS n_hit
+  FROM sh JOIN ev USING (ngram) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit, 0)::BIGINT AS n_contaminated_ngrams,
+       coalesce(h.n_hit, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
 
     _sh3 = _shingles_sql("toks", 3)
     sql["repetition_stats"] = f"""

@@ -152,3 +152,49 @@ def stratified_sample_deterministic(df: DataFrame, strata_col: str,
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn", "_hk")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``n``-gram with an evaluation corpus — the standard pre-training
+    hygiene pass that keeps test sets out of the training data.
+
+    Scale shape: the eval corpus is small by definition, so its DISTINCT
+    n-gram set broadcasts; the training side explodes its n-grams map-side
+    and the broadcast hash join filters them WITHOUT shuffling the corpus —
+    the only shuffle is the per-doc hit count (partial-agg combined). At
+    100 TB the eval n-gram set can also be a bloom filter pushed into the
+    scan; the exact-join form here is the oracle-checkable contract.
+
+    Output: one row per training doc — ``id_col, n_contaminated_ngrams,
+    is_contaminated`` (docs with no hit included, count 0).
+    """
+    from ..functions.text import tokens, word_shingles
+
+    ev = (
+        eval_docs.select(
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("ngram")
+        )
+        .distinct()
+    )
+    tr = docs.select(
+        F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("ngram")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("ngram").alias("n_hit"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated_ngrams"
+        ),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("is_contaminated"),
+    )

@@ -217,3 +217,28 @@ def test_event_queries_are_timezone_invariant(spark, sf_dir):
                 assert got == want, (q.__name__, tz)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ngram_contamination_golden_and_broadcast(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        ngram_contamination,
+    )
+
+    eval_txt = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, eval_txt),                                # exact eval copy
+        (2, "prefix words " + eval_txt + " suffix"),  # contains the eval text
+        (3, "quick brown fox jumps over the lazy cat today now ok"),  # <8-gram overlap
+        (4, "completely different words in every position here today"),
+        (5, "short doc"),                             # too short for 8-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(0, eval_txt)], "doc_id long, text string")
+    out = ngram_contamination(docs, ev, n=8)
+    got = {r.doc_id: (r.n_contaminated_ngrams, r.is_contaminated) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # every doc present, hit or not
+    assert got[1][1] and got[2][1]      # both contain eval 8-grams
+    assert got[1][0] == 3               # 10 tokens -> 3 8-grams, all hits
+    assert not got[3][1] and not got[4][1] and not got[5][1]
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan  # eval n-gram set broadcasts
