@@ -24,10 +24,14 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     right_tiebreak: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Point-in-time (as-of) join: for each left row, attach the LATEST
     right row of the same key with ``right_ts <= left_ts`` — the classic
     time-series enrichment Spark has no built-in operator for.
+    ``tolerance`` (same ticks as the ts columns) bounds staleness: a match
+    older than ``left_ts - tolerance`` is nulled out map-side after the
+    carry-forward — no change to the shuffle or sort.
 
     Implemented as the scalable union + carry-forward formulation, not a
     range cross join: tag both sides, union, sort per key by (ts, side)
@@ -68,11 +72,22 @@ def as_of_join(
         .alias(f"right_{c}")
         for c in right_cols
     ]
-    return (
+    out = (
         unioned.select("*", *carried_out)
         .filter(F.col("_side") == 1)
         .drop("_side", "_rts")
     )
+    if tolerance is not None:
+        rts = f"right_{right_ts}"
+        out = out.withColumn(
+            "_fresh",
+            F.col(rts).isNotNull()
+            & (F.col(rts) >= F.col(left_ts) - F.lit(tolerance)),
+        )
+        for c in (rts, *[f"right_{c}" for c in right_cols]):
+            out = out.withColumn(c, F.when(F.col("_fresh"), F.col(c)))
+        out = out.drop("_fresh")
+    return out
 
 
 def salted_key_counts(df: DataFrame, key: Column | str,

@@ -301,3 +301,27 @@ def test_click_purchase_join_stream_matches_batch(spark, tmp_path):
     # sanity: outputs carry exact epoch-us integers
     r = spark.sql("SELECT * FROM cpjoin_test WHERE purchase_id = 6").first()
     assert r.p_ts == 5 * HOUR_US and r.c_ts == 5 * HOUR_US and r.user_id == 2
+
+
+def test_as_of_join_tolerance(spark):
+    """tolerance bounds staleness: a prior right row older than
+    left_ts - tolerance must NOT attach (nulls instead); a fresh one must."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, 50), (2, 100, 200)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(90, 100, 40)], "event_id long, user_id long, ts long"
+    )
+    out = {
+        r.event_id: (r.right_ts, r.right_event_id)
+        for r in as_of_join(
+            left, right, key="user_id", right_cols=("event_id",),
+            right_tiebreak="event_id", tolerance=20,
+        ).collect()
+    }
+    assert out[1] == (40, 90)        # 50-40=10 <= 20: fresh
+    assert out[2] == (None, None)    # 200-40=160 > 20: stale -> nulls
