@@ -61,6 +61,15 @@ def main() -> None:
             )
         ),
     }
+
+    # round-3 additions: events ingestion, quantization, repetition,
+    # decontamination — keep PLANS.md claims reproducible
+    import __spark_entry__ as entrymod
+
+    plans["click_attribution_events_us"] = entrymod.q_click_attribution(spark, sf)
+    plans["quantized_embeddings"] = entrymod.q_quantized_embeddings(spark, sf)
+    plans["repetition_stats"] = entrymod.q_repetition_stats(spark, sf)
+    plans["contamination"] = entrymod.q_contamination(spark, sf)
     for name, df in plans.items():
         print(f"\n===== {name} =====")
         df.explain("formatted")
