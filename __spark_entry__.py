@@ -939,6 +939,21 @@ def q_quantized_embeddings(spark, sf_dir):
     )
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT_W = 0.1
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling (training-mixture reweighting):
+    keep each doc with its source's probability, decided by the portable
+    stable_hash64 of (source, id) — reproducible across runs, layouts, and
+    engines; no RNG (operators.relational.mixture_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.mixture_sample(
+        docs.select("doc_id", "source"), MIX_WEIGHTS, MIX_DEFAULT_W
+    )
+
+
 CONTAM_N = 8          # decontamination n-gram width
 CONTAM_EVAL_DOCS = 10  # eval corpus = doc_id < this
 
@@ -1221,7 +1236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
-        "sales_cube": q_sales_cube,
         "priority_distinct": q_priority_distinct,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
@@ -1229,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
+        "mixture_sample": q_mixture_sample,
         "event_props": q_event_props,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -1252,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "topk_per_group": q_topk_per_group,
         "cust_running_total": q_cust_running_total,
+        "sales_cube": q_sales_cube,
     }
 
 
@@ -1982,6 +1998,16 @@ SELECT vec_id,
                    list_transform(vd, x -> round(x / (amax / 127.0))::INT), ',')
             ELSE array_to_string(list_transform(vd, x -> 0), ',') END AS q_codes
 FROM s"""
+
+    _mix_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in MIX_WEIGHTS.items())
+        + f" ELSE {MIX_DEFAULT_W!r} END"
+    )
+    sql["mixture_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_HASH60("source || ':' || doc_id::VARCHAR")} % 1000000 <
+      round(({_mix_case}) * 1000000)::BIGINT"""
 
     _sh8 = _shingles_sql("toks", CONTAM_N)
     sql["contamination"] = f"""

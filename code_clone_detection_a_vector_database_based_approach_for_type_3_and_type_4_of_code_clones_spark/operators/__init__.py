@@ -20,6 +20,7 @@ from .relational import (  # noqa: F401
     as_of_join,
     heavy_hitters,
     latest_per_key,
+    mixture_sample,
     ngram_contamination,
     salted_key_counts,
     stratified_sample_deterministic,

@@ -213,3 +213,33 @@ def ngram_contamination(
         ),
         (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("is_contaminated"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    source's probability — the training-mixture reweighting stage (e.g.
+    up-sample books, down-sample web crawl). The keep decision is a pure
+    function of ``(source, id)`` via the engine-portable ``stable_hash64``,
+    so it is reproducible across runs, layouts, AND engines (the DuckDB
+    oracle replays it exactly) — no RNG, no ``sample()`` nondeterminism.
+    Map-side filter; pushes to the scan when the columns allow.
+    """
+    from ..functions.ids import stable_hash64
+
+    pairs = []
+    for k, v in weights.items():
+        pairs += [F.lit(k), F.lit(float(v))]
+    wcol = F.coalesce(
+        F.create_map(*pairs)[F.col(source_col)], F.lit(float(default_weight))
+    )
+    thresh = F.round(wcol * 1_000_000).cast("bigint")
+    h = stable_hash64(
+        F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    return df.filter(h < thresh)

@@ -242,3 +242,25 @@ def test_ngram_contamination_golden_and_broadcast(spark):
     assert not got[3][1] and not got[4][1] and not got[5][1]
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan  # eval n-gram set broadcasts
+
+
+def test_mixture_sample_deterministic_and_weighted(spark, sf_dir):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    w = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = mixture_sample(docs, w, default_weight=0.2)
+    per = {r.source: r.n for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == total["src0"]        # weight 1.0 keeps everything
+    assert "src2" not in per                   # weight 0.0 drops everything
+    assert 0 < per.get("src1", 0) < total["src1"]
+    # reproducible across physical layouts
+    b = mixture_sample(docs.repartition(17), w, default_weight=0.2)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
