@@ -169,3 +169,34 @@ def test_quantized_index_roundtrip_size_and_recall(spark, tmp_path, embeddings):
         a.setdefault(r.query_id, set()).add(r.result_id)
     recall = sum(len(e[q] & a.get(q, set())) / len(e[q]) for q in e) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_events_micros_nanos_parquet_fallback(spark, tmp_path):
+    """A true parquet TIMESTAMP(NANOS) fixture (the r1/r2 physical type):
+    the plain read refuses it, read_events_raw enables the legacy
+    nanosAsLong conf and retries, and the INT64-ns branch lands on the
+    same epoch-us integers as every other physical type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+
+    us = [1_704_067_200_000_000, 1_704_067_201_500_000]
+    d = tmp_path / "ns_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+                "event_id": pa.array([1, 2], pa.int64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = load_events_micros(spark, str(d))
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert sorted((r.event_id, r.ts) for r in df.collect()) == list(
+        zip([1, 2], us)
+    )
