@@ -939,6 +939,37 @@ def q_quantized_embeddings(spark, sf_dir):
     )
 
 
+CMS_PROBE_TOKENS = 20  # lexicographically-smallest distinct tokens probed
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream (relational d x w
+    counter table, portable hash — exactly replayable in the oracle, unlike
+    Spark's opaque binary count_min_sketch). Probes the 20 smallest
+    distinct tokens and returns estimate alongside exact count — the CMS
+    upper-bound property (est >= exact) is hash-checked, not just
+    asserted (operators.sketch)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = count_min_build(toks, "token")
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy("token")
+        .limit(CMS_PROBE_TOKENS)
+    )
+    est = count_min_estimate(sketch, probes.select("token"), "token")
+    return probes.join(est, "token").select("token", "exact_cnt", "est")
+
+
 MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 MIX_DEFAULT_W = 0.1
 
@@ -1236,7 +1267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
-        "priority_distinct": q_priority_distinct,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
@@ -1244,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
         "mixture_sample": q_mixture_sample,
+        "cms_token_counts": q_cms_token_counts,
         "event_props": q_event_props,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -1268,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "cust_running_total": q_cust_running_total,
         "sales_cube": q_sales_cube,
+        "priority_distinct": q_priority_distinct,
     }
 
 
@@ -1998,6 +2030,24 @@ SELECT vec_id,
                    list_transform(vd, x -> round(x / (amax / 127.0))::INT), ',')
             ELSE array_to_string(list_transform(vd, x -> 0), ',') END AS q_codes
 FROM s"""
+
+    _cms_h = stable_hash64_sql("'cms' || i::VARCHAR || ':' || token")
+    sql["cms_token_counts"] = f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+counts AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY token),
+probes AS (SELECT * FROM counts ORDER BY token LIMIT {CMS_PROBE_TOKENS}),
+sk AS (
+  SELECT i AS row_i, {_cms_h} % 1024 AS bucket, count(*)::BIGINT AS cnt
+  FROM tok CROSS JOIN range(4) t(i) GROUP BY 1, 2
+),
+est AS (
+  SELECT p.token, min(coalesce(s.cnt, 0))::BIGINT AS est
+  FROM probes p CROSS JOIN range(4) t(i)
+  LEFT JOIN sk s ON s.row_i = t.i
+    AND s.bucket = {stable_hash64_sql("'cms' || i::VARCHAR || ':' || p.token")} % 1024
+  GROUP BY p.token
+)
+SELECT p.token, p.exact_cnt, e.est FROM probes p JOIN est e USING (token)"""
 
     _mix_case = (
         "CASE source "

@@ -25,6 +25,10 @@ from .relational import (  # noqa: F401
     salted_key_counts,
     stratified_sample_deterministic,
 )
+from .sketch import (  # noqa: F401
+    count_min_build,
+    count_min_estimate,
+)
 from .dedup import (  # noqa: F401
     bucket_stats,
     persist_bounded,
