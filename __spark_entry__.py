@@ -815,18 +815,24 @@ def _media(spark, sf_dir) -> DataFrame:
     has no binary columns): text bytes as opaque content, kind round-robin,
     duration derived from the id — matches functions/multimodal.py's
     schema contract."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.multimodal import (
+        FAKE_META_HEIGHT,
+        FAKE_META_WIDTH,
+        KIND_BY_MOD,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video")
-        .when(F.col("doc_id") % 3 == 1, "image")
-        .otherwise("audio")
+        F.when(F.col("doc_id") % 3 == 0, KIND_BY_MOD[0])
+        .when(F.col("doc_id") % 3 == 1, KIND_BY_MOD[1])
+        .otherwise(KIND_BY_MOD[2])
         .alias("kind"),
         F.col("text").cast("binary").alias("content"),
         F.struct(
             F.lit("fake").alias("format"),
-            F.lit(8).cast("int").alias("width"),
-            F.lit(8).cast("int").alias("height"),
+            F.lit(FAKE_META_WIDTH).cast("int").alias("width"),
+            F.lit(FAKE_META_HEIGHT).cast("int").alias("height"),
             ((F.col("doc_id") % 10 + 1) * 1000).cast("bigint").alias("duration_ms"),
         ).alias("meta"),
     )
@@ -1485,30 +1491,33 @@ def _media_features_fixture_sql() -> str:
     sf dir from $SF_DIR (default sf0.01, the driver's correctness scale);
     the JOIN onto ``documents`` keeps row counts honest.
     """
-    import hashlib as _hashlib
     from decimal import ROUND_HALF_UP as _RHU, Decimal as _Dec
 
-    import numpy as _np
     import pyarrow.parquet as _pq
 
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.multimodal import (
+        FAKE_META_HEIGHT,
+        FAKE_META_WIDTH,
+        KIND_BY_MOD,
+        fake_feature,
+    )
+
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    tbl = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    kinds = {0: "video", 1: "image", 2: "audio"}
-    tw = th = 32
-    ys = _np.linspace(0, 7, th).astype(int)  # meta height/width are 8 in _media
-    xs = _np.linspace(0, 7, tw).astype(int)
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"media_features oracle fixture needs {path} (SF_DIR={sf_dir!r}); "
+            "set SF_DIR to a testdata scale dir containing documents.parquet"
+        )
+    tbl = _pq.read_table(path, columns=["doc_id", "text"])
+    kinds = KIND_BY_MOD
     rows = []
     for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        content = text.encode("utf-8")
-        seed = int(_hashlib.sha256(content).hexdigest()[:8], 16)
-        px = (
-            _np.random.default_rng(seed)
-            .integers(0, 256, size=(8, 8, 3), dtype=_np.uint8)
-            .astype(_np.float64)
+        # the SAME kernel the Spark query executes (one source of truth for
+        # fixture geometry, resize grid, and feature slice)
+        feat = fake_feature(
+            text.encode("utf-8"), FAKE_META_WIDTH, FAKE_META_HEIGHT
         )
-        small = px[_np.ix_(ys, xs)]
-        pooled = small.reshape(4, th // 4, 4, tw // 4, 3).mean(axis=(1, 3))
-        feat = pooled.ravel()[:16].astype(_np.float32)
         milli = ",".join(
             str(
                 int(

@@ -54,6 +54,17 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_DIM = 16
 
+#: default decode->featurize resize grid (see :func:`fake_feature`)
+TARGET_SIZE = (32, 32)
+
+#: geometry of the synthesized media fixture's fake frames (driver `_media`
+#: table and its oracle fixture both derive from these — one source of truth)
+FAKE_META_WIDTH = 8
+FAKE_META_HEIGHT = 8
+
+#: fixture kind assignment: kind = KIND_BY_MOD[media_id % 3]
+KIND_BY_MOD = {0: "video", 1: "image", 2: "audio"}
+
 
 def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in decoder: content-hash-seeded uint8 frame.
@@ -65,9 +76,30 @@ def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def fake_feature(
+    content: bytes,
+    width: int,
+    height: int,
+    target_size: tuple[int, int] = TARGET_SIZE,
+) -> np.ndarray:
+    """Pure per-item twin of :func:`decode_and_featurize`'s kernel:
+    fake-decode ``content`` at (height, width), nearest-neighbor resize to
+    ``target_size``, 4x4 channel-wise block means, first ``FEATURE_DIM``
+    floats. The Spark kernel and the driver's precomputed VALUES oracle both
+    call THIS function, so a kernel tweak can never desynchronize them.
+    """
+    tw, th = target_size
+    px = _fake_pixels(content, width, height).astype(np.float64)
+    ys = np.linspace(0, px.shape[0] - 1, th).astype(int)
+    xs = np.linspace(0, px.shape[1] - 1, tw).astype(int)
+    small = px[np.ix_(ys, xs)]
+    pooled = small.reshape(4, th // 4, 4, tw // 4, 3).mean(axis=(1, 3))
+    return pooled.ravel()[:FEATURE_DIM].astype(np.float32)
+
+
 def decode_and_featurize(
     media: DataFrame,
-    target_size: tuple[int, int] = (32, 32),
+    target_size: tuple[int, int] = TARGET_SIZE,
     fake: bool = False,
 ) -> DataFrame:
     """Decode -> resize -> mean-pool feature vector per media row, as one
@@ -93,14 +125,9 @@ def decode_and_featurize(
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 w = (meta["width"] if meta is not None else None) or tw
                 h = (meta["height"] if meta is not None else None) or th
-                px = _fake_pixels(bytes(content), w, h).astype(np.float64)
-                # nearest-neighbor "resize" to target, then channel-wise
-                # block means -> FEATURE_DIM-float signature
-                ys = np.linspace(0, px.shape[0] - 1, th).astype(int)
-                xs = np.linspace(0, px.shape[1] - 1, tw).astype(int)
-                small = px[np.ix_(ys, xs)]
-                pooled = small.reshape(4, th // 4, 4, tw // 4, 3).mean(axis=(1, 3))
-                feats.append(pooled.ravel()[:FEATURE_DIM].astype(np.float32).tolist())
+                feats.append(
+                    fake_feature(bytes(content), w, h, (tw, th)).tolist()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -330,7 +330,10 @@ def ivf_knn(
                 if len(members):
                     C[j] = members.mean(axis=0)
         cent_vecs = [[float(v) for v in row] for row in C]
-        cent_ids = list(range(C.shape[0]))
+        # cent_ids stay the ORIGINAL lowest-id vec_ids (positions are
+        # unchanged by Lloyd updates), so cell identifiers are stable across
+        # refined and unrefined modes: a cell-partitioned index written under
+        # one mode selects the same directories under the other
 
     # centroid norms accumulated left-to-right, matching the SQL oracle's
     # list_dot_product accumulation order bit-for-bit

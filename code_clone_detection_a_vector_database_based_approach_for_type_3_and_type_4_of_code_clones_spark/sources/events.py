@@ -64,14 +64,22 @@ def normalize_ts_micros(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     """Read an events parquet file/dir, tolerating the legacy INT64-ns
-    physical type: if the plain read fails (Spark refuses TIMESTAMP(NANOS)
-    without the legacy flag), enable ``nanosAsLong`` and retry. The flag is
+    physical type: if the plain read fails with Spark's specific
+    TIMESTAMP(NANOS) refusal, enable ``nanosAsLong`` and retry. The flag is
     left set in that case — it must still hold at execution time for the
     ns scan, and it is a no-op for non-nanos files.
+
+    Only the nanos refusal triggers the fallback; any other failure
+    (missing path, corrupt footer, permission error) re-raises unchanged so
+    the root cause is never masked and session state is never mutated as a
+    side effect of an unrelated error.
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:  # narrow below: retry iff it's the nanos refusal
+        msg = str(exc)
+        if "TIMESTAMP(NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -200,3 +200,23 @@ def test_events_micros_nanos_parquet_fallback(spark, tmp_path):
     assert sorted((r.event_id, r.ts) for r in df.collect()) == list(
         zip([1, 2], us)
     )
+
+
+def test_events_read_reraises_unrelated_errors(spark, tmp_path):
+    """The nanosAsLong fallback fires ONLY on the TIMESTAMP(NANOS) refusal:
+    an unrelated failure (missing path) re-raises the original error and
+    leaves the session conf untouched."""
+    import pytest
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        read_events_raw,
+    )
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    with pytest.raises(Exception) as exc:
+        read_events_raw(spark, str(tmp_path / "does_not_exist.parquet"))
+    assert "nanosAsLong" not in str(exc.value)
+    # conf not mutated as a side effect of the unrelated failure
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+    )

@@ -105,6 +105,11 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--analyze-only"]
     analyze_only = "--analyze-only" in sys.argv[1:]
     only = set(args)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        return 2
     failed = []
     if analyze_only:
         for name, fn in qs.items():
