@@ -487,6 +487,21 @@ def q_ivf_knn(spark, sf_dir):
     return ops.ivf_knn(probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
+def q_knn_join(spark, sf_dir):
+    """Probe-DISTRIBUTED IVF kNN (operators.knn.ivf_knn_join): EVERY vector
+    probes — the self-dedup shape a training pipeline runs, which cannot go
+    through ivf_knn's driver-closure probe routing at scale. Routing is a
+    map-side expression; scoring is a cogrouped Arrow matmul per cell; both
+    sides shuffle once, keyed by cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.ivf_knn_join(
+        probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
 def q_doc_knn(spark, sf_dir):
     """End-to-end corpus search composition (SURVEY SS3.1 steps 5-7 in one
     lazy plan): documents -> deterministic hash embedder (M1 test-path) ->
@@ -1268,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_knn": q_ivf_knn,
+        "knn_join": q_knn_join,
         "doc_knn": q_doc_knn,
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
@@ -1811,6 +1827,7 @@ SELECT doc_id,
 FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
 
     sql["ivf_knn"] = _ivf_sql()
+    sql["knn_join"] = _ivf_sql(probe_pred="TRUE")
 
     h_tok_b = _HASH60("t")
     sql["doc_knn"] = f"""
@@ -2256,7 +2273,10 @@ FROM cand c JOIN u x ON x.vec_id = c.doc_a JOIN u y ON y.vec_id = c.doc_b
 WHERE {cos} >= {SRP_NEARDUP_THRESHOLD}"""
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(probe_pred: str = "vec_id < 50") -> str:
+    """IVF oracle, parameterized by the probe predicate: ``ivf_knn`` and
+    ``ivf_knn_join`` share one routing/scoring semantics, so one SQL serves
+    both (the join form differs only in physical strategy)."""
     return f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
@@ -2276,7 +2296,7 @@ assigned AS (
 ),
 q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < 50
+  FROM embeddings WHERE {probe_pred}
 ),
 routed AS (
   SELECT query_id, qv, cell FROM (

@@ -4,6 +4,7 @@ from .knn import (  # noqa: F401
     exact_knn,
     exact_knn_fast,
     ivf_knn,
+    ivf_knn_join,
     self_knn,
 )
 from .evaluate import (  # noqa: F401

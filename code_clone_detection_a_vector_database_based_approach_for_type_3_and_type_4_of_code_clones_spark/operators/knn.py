@@ -23,7 +23,15 @@ result_id ascending, the probe row itself excluded — SURVEY P3/O1/W5):
 - ``ivf_knn``        IVF-style ANN: partition the index into Voronoi cells
                      around centroids, probe only ``nprobe`` cells per query
                      — the scale path analogous to Qdrant's server-side ANN
-                     index (HNSW) the reference relies on.
+                     index (HNSW) the reference relies on. Probe routing is
+                     collected to the driver (bounded by the reference's
+                     500-probe protocol).
+- ``ivf_knn_join``   the probe-DISTRIBUTED IVF form: identical results to
+                     ``ivf_knn``, but probes never touch the driver — cell
+                     routing is a map-side expression on the probe
+                     DataFrame and scoring is a cogrouped Arrow matmul per
+                     cell. Use it when the probe set itself is a table
+                     (e.g. every document probes for self-dedup).
 
 Scores are rounded to ``SCORE_DECIMALS`` BEFORE ranking in every strategy so
 rank order is reproducible across engines (Spark, NumPy/BLAS and DuckDB may
@@ -298,6 +306,108 @@ def ivf_knn(
     computed once at ingest and persisted as a partition column, so a query
     touches nprobe/n_centroids of the data — partition pruning does the rest.
     """
+    assigned, routed = _ivf_assign_route(
+        probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
+        vec_col, refine_iters, refine_sample,
+    )
+
+    # Probe routing is driver-small by design (Q x nprobe rows; the
+    # reference samples 500 probes) — collect it once and ship a per-cell
+    # probe matrix in the UDF closure, exactly the exact_knn_fast shape:
+    # the index side NEVER shuffles, Python sees each index row once, and
+    # each (batch, cell) group is scored with ONE float64 matmul instead of
+    # a per-candidate-row pandas call (measured ~4x on the bench config).
+    # For probe sets too large to collect, use ``ivf_knn_join`` — identical
+    # results, probes stay distributed.
+    routed_pdf = routed.select("query_id", "query_vec", "cell").toPandas()
+    id_dt = dict(index.dtypes)[id_col]
+    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
+    qid_dt = dict(probes.dtypes)[query_id]
+    if len(routed_pdf) == 0:
+        # result_id takes the index id dtype, mirroring out_schema below
+        spark = probes.sparkSession
+        return spark.createDataFrame(
+            [], f"query_id {qid_dt}, result_id {id_dt}, score double, rank int"
+        )
+    cell_probes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cell, grp in routed_pdf.groupby("cell"):
+        qids = grp["query_id"].to_numpy(dtype=id_np)
+        qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in grp["query_vec"]])
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorm[qnorm == 0.0] = 1.0
+        cell_probes[int(cell)] = (qids, qmat / qnorm)
+
+    out_schema = f"query_id {qid_dt}, result_id {id_dt}, score double"
+
+    def score_cells(batches):
+        for pdf in batches:
+            parts = []
+            for cell, grp in pdf.groupby("cell"):
+                probe = cell_probes.get(int(cell))
+                if probe is None:
+                    continue
+                qids, qn = probe
+                ids = grp["result_id"].to_numpy(dtype=id_np)
+                xmat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in grp["vec"]]
+                )
+                xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
+                xnorm[xnorm == 0.0] = 1.0
+                sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
+                if exclude_self:
+                    sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
+                # local top-k per query within this (batch, cell) group
+                # (id-asc tie-break so ties at the kk-th rounded score keep
+                # the row the global contract and the SQL oracle keep)
+                kk = min(k, sims.shape[0])
+                sel = _topk_rows(sims, ids, kk)  # (kk, Q)
+                top_scores = np.take_along_axis(sims, sel, axis=0)  # (kk, Q)
+                top_ids = ids[sel]
+                mask = np.isfinite(top_scores.ravel(order="F"))
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids, kk)[mask],
+                            "result_id": top_ids.ravel(order="F")[mask],
+                            "score": top_scores.ravel(order="F")[mask],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    candidates = assigned.select("result_id", "vec", "cell").mapInPandas(
+        score_cells, schema=out_schema
+    )
+    # a probe routed to nprobe cells can see the same index row only once
+    # (cells partition the index), so no dedup is needed before ranking
+    return _ranked_topk(candidates, k)
+
+
+def _ivf_assign_route(
+    probes: DataFrame,
+    index: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+    id_col: str,
+    vec_col: str,
+    refine_iters: int,
+    refine_sample: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF front end: collect the (driver-small) centroid bank, bake
+    it into ONE parsed SQL expression, and return the two map-side
+    DataFrames every IVF strategy builds on:
+
+    - ``assigned``: ``(result_id, vec, cell)`` — each index row in the cell
+      of its nearest centroid (cosine, smallest-cent_id tie-break);
+    - ``routed``: ``(query_id, query_vec, cell)`` — each probe exploded to
+      its ``nprobe`` nearest cells.
+
+    Both are pure projections (NO shuffle, NO window, NO driver round-trip
+    for the data); only the ``n_centroids`` centroid vectors are collected.
+    """
     import math
 
     cent_rows = (
@@ -391,72 +501,116 @@ def ivf_knn(
         ).alias("cell"),
     )
 
-    # Probe routing is driver-small by design (Q x nprobe rows; the
-    # reference samples 500 probes) — collect it once and ship a per-cell
-    # probe matrix in the UDF closure, exactly the exact_knn_fast shape:
-    # the index side NEVER shuffles, Python sees each index row once, and
-    # each (batch, cell) group is scored with ONE float64 matmul instead of
-    # a per-candidate-row pandas call (measured ~4x on the bench config).
-    routed_pdf = routed.select("query_id", "query_vec", "cell").toPandas()
+    return assigned, routed
+
+
+def ivf_knn_join(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
+    index_block: int = 8192,
+) -> DataFrame:
+    """Probe-DISTRIBUTED IVF kNN: row-identical to ``ivf_knn`` at the same
+    parameters, with NO driver round-trip for the probes.
+
+    ``ivf_knn`` ships the routed probe set in the UDF closure — the right
+    shape for the reference's 500-probe benchmark protocol, but a hard
+    driver ceiling when the probe side is itself a table (a 10^7-probe
+    self-dedup pass where every document probes). This form lifts that
+    ceiling:
+
+    - probe->cell routing stays a pure map-side expression (the centroid
+      bank is baked into the plan, exactly as in ``ivf_knn``);
+    - scoring is ``routed cogroup assigned ON cell`` via
+      ``applyInPandas``: per cell, ONE float64 matmul of that cell's probes
+      against its members, blocked at ``index_block`` index rows so the sim
+      matrix stays bounded regardless of cell size, emitting only the local
+      top-k per probe;
+    - a final window picks the global top-k from <= nprobe*k candidates
+      per probe.
+
+    Scale shape: both sides shuffle ONCE, keyed by cell — sized by the
+    probe table + the touched index cells, never |Q|x|N|. With the index
+    PERSISTED cell-partitioned (``sources.index.write_index(partition_by=
+    "cell")``), the index side of the cogroup reads only matching partition
+    directories. Cell skew is the watch item: a degenerate cell lands one
+    big cogroup group (AQE cannot split it) — the centroid-refinement path
+    (``refine_iters``) is the balancing lever.
+    """
+    assigned, routed = _ivf_assign_route(
+        probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
+        vec_col, refine_iters, refine_sample,
+    )
     id_dt = dict(index.dtypes)[id_col]
-    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_dt = dict(probes.dtypes)[query_id]
-    if len(routed_pdf) == 0:
-        # result_id takes the index id dtype, mirroring out_schema below
-        spark = probes.sparkSession
-        return spark.createDataFrame(
-            [], f"query_id {qid_dt}, result_id {id_dt}, score double, rank int"
+    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
+    qid_np = (
+        np.int64 if qid_dt in ("bigint", "int", "smallint", "tinyint") else object
+    )
+    out_schema = f"query_id {qid_dt}, result_id {id_dt}, score double"
+    empty = pd.DataFrame({"query_id": [], "result_id": [], "score": []})
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: this cell's routed probes; right: this cell's index members.
+        # Either side can be empty (cell with no probes / probe routed to a
+        # cell that lost all members) -> no candidates from this cell.
+        if not len(left) or not len(right):
+            return empty
+        qids = left["query_id"].to_numpy(dtype=qid_np)
+        qmat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in left["query_vec"]]
         )
-    cell_probes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for cell, grp in routed_pdf.groupby("cell"):
-        qids = grp["query_id"].to_numpy(dtype=id_np)
-        qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in grp["query_vec"]])
         qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
         qnorm[qnorm == 0.0] = 1.0
-        cell_probes[int(cell)] = (qids, qmat / qnorm)
+        qn = qmat / qnorm
+        best_scores = np.full((len(qids), 0), -np.inf)
+        best_ids = np.full(
+            (len(qids), 0), -1 if id_np is np.int64 else None, dtype=id_np
+        )
+        for s in range(0, len(right), index_block):
+            chunk = right.iloc[s : s + index_block]
+            ids = chunk["result_id"].to_numpy(dtype=id_np)
+            xmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in chunk["vec"]]
+            )
+            xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
+            xnorm[xnorm == 0.0] = 1.0
+            sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
+            if exclude_self:
+                sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[0])
+            sel = _topk_rows(sims, ids, kk)  # (kk, Q)
+            best_scores = np.concatenate(
+                [best_scores, np.take_along_axis(sims, sel, axis=0).T], axis=1
+            )
+            best_ids = np.concatenate([best_ids, ids[sel].T], axis=1)
+            if best_scores.shape[1] > 4 * k:  # compact running candidates
+                best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
+        if best_scores.shape[1] > k:
+            best_scores, best_ids = _topk_cols(best_scores, best_ids, k)
+        mask = np.isfinite(best_scores.ravel())
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, best_scores.shape[1])[mask],
+                "result_id": best_ids.ravel()[mask],
+                "score": best_scores.ravel()[mask],
+            }
+        )
 
-    out_schema = f"query_id {qid_dt}, result_id {id_dt}, score double"
-
-    def score_cells(batches):
-        for pdf in batches:
-            parts = []
-            for cell, grp in pdf.groupby("cell"):
-                probe = cell_probes.get(int(cell))
-                if probe is None:
-                    continue
-                qids, qn = probe
-                ids = grp["result_id"].to_numpy(dtype=id_np)
-                xmat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in grp["vec"]]
-                )
-                xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
-                xnorm[xnorm == 0.0] = 1.0
-                sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
-                if exclude_self:
-                    sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
-                # local top-k per query within this (batch, cell) group
-                # (id-asc tie-break so ties at the kk-th rounded score keep
-                # the row the global contract and the SQL oracle keep)
-                kk = min(k, sims.shape[0])
-                sel = _topk_rows(sims, ids, kk)  # (kk, Q)
-                top_scores = np.take_along_axis(sims, sel, axis=0)  # (kk, Q)
-                top_ids = ids[sel]
-                mask = np.isfinite(top_scores.ravel(order="F"))
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(qids, kk)[mask],
-                            "result_id": top_ids.ravel(order="F")[mask],
-                            "score": top_scores.ravel(order="F")[mask],
-                        }
-                    )
-                )
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
-
-    candidates = assigned.select("result_id", "vec", "cell").mapInPandas(
-        score_cells, schema=out_schema
+    candidates = (
+        routed.select("query_id", "query_vec", "cell")
+        .groupby("cell")
+        .cogroup(assigned.select("result_id", "vec", "cell").groupby("cell"))
+        .applyInPandas(score_cell, schema=out_schema)
     )
-    # a probe routed to nprobe cells can see the same index row only once
-    # (cells partition the index), so no dedup is needed before ranking
+    # cells partition the index, so a probe sees each index row at most once
     return _ranked_topk(candidates, k)

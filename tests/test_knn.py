@@ -180,3 +180,86 @@ def test_ivf_kmeans_refinement_improves_recall(spark, embeddings):
             )
         )
     assert runs[0] == runs[1]
+
+
+def test_ivf_join_equals_closure_form(spark, embeddings):
+    """ivf_knn_join (probe-distributed cogroup) must be row-identical to
+    ivf_knn (driver-closure probe routing) at the same parameters — same
+    centroids, routing, rounding, tie-break."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 60)
+    a = _collect_sorted(ivf_knn(probes, embeddings, k=8, n_centroids=8, nprobe=3))
+    b = _collect_sorted(
+        ivf_knn_join(probes, embeddings, k=8, n_centroids=8, nprobe=3)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_join_partitioning_and_blocking_invariant(spark, embeddings):
+    """Physical layout must not change results: repartitioned inputs and a
+    tiny index_block (forces the blocked in-cell matmul path) produce the
+    same rows."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 40)
+    a = _collect_sorted(ivf_knn_join(probes, embeddings, k=5, n_centroids=8, nprobe=3))
+    b = _collect_sorted(
+        ivf_knn_join(
+            probes.repartition(7),
+            embeddings.repartition(5),
+            k=5,
+            n_centroids=8,
+            nprobe=3,
+            index_block=32,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_join_all_probes_no_driver_ceiling(spark, embeddings):
+    """EVERY vector probes (the self-dedup shape that cannot run through the
+    driver-closure path at scale); spot-check equality to the closure form
+    on the full fixture probe set."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = _collect_sorted(ivf_knn(probes, embeddings, k=3, n_centroids=8, nprobe=2))
+    b = _collect_sorted(
+        ivf_knn_join(probes, embeddings, k=3, n_centroids=8, nprobe=2)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_join_refined_matches_refined_closure(spark, embeddings):
+    """Under KMeans refinement both forms share centroid bank + stable cell
+    ids (positions keep their original lowest-id cent_ids), so they stay
+    row-identical."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 30)
+    a = _collect_sorted(
+        ivf_knn(probes, embeddings, k=5, n_centroids=8, nprobe=3, refine_iters=3)
+    )
+    b = _collect_sorted(
+        ivf_knn_join(
+            probes, embeddings, k=5, n_centroids=8, nprobe=3, refine_iters=3
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
