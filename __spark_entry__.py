@@ -444,9 +444,19 @@ def q_simhash_near_dups(spark, sf_dir):
     return p.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
-def q_emb_near_dups(spark, sf_dir):
+def q_srp_verified_dups(spark, sf_dir):
+    """Embedding near-dup via the SCALE path at the production threshold:
+    SRP-LSH candidates -> exact cosine verify >= EMB_NEARDUP_THRESHOLD over
+    the raw embeddings table. This replaces the earlier graded quadratic
+    crossJoin (operators.dedup.embedding_near_duplicates) in the
+    correctness window — the pair space here is bounded by SRP bucket
+    occupancy, never |n|^2, so the plan survives a 100x corpus scale-up.
+    The quadratic twin remains the recall oracle in
+    tests/test_dedup.py::test_srp_near_duplicates_recall_vs_exact."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ops.embedding_near_duplicates(emb, EMB_NEARDUP_THRESHOLD)
+    return ops.srp_near_duplicates(
+        emb, threshold=EMB_NEARDUP_THRESHOLD, vectorized=True
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -1277,7 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
-        "emb_near_dups": q_emb_near_dups,
+        "srp_verified_dups": q_srp_verified_dups,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1792,15 +1802,9 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
 
-    sql["emb_near_dups"] = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_dot_product(a.ve, b.ve) /
-             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.ve, b.ve) /
-            (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6)
-      >= {EMB_NEARDUP_THRESHOLD}"""
+    sql["srp_verified_dups"] = _srp_sql(
+        threshold=EMB_NEARDUP_THRESHOLD, planted=False
+    )
 
     sql["token_stats"] = f"""
 SELECT doc_id,
@@ -2231,12 +2235,19 @@ SELECT source, 'en_only' AS op FROM (
 
 
 
-def _srp_sql() -> str:
+def _srp_sql(threshold: float | None = None, planted: bool = True) -> str:
+    """SRP near-dup oracle. ``planted`` replays the srp_near_dups query's
+    deterministic re-inserted perturbations; ``planted=False`` runs over the
+    raw embeddings table (the srp_verified_dups production shape).
+    ``threshold`` defaults to SRP_NEARDUP_THRESHOLD."""
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         SRP_BANDS,
         SRP_PLANES,
         srp_hyperplanes,
     )
+
+    if threshold is None:
+        threshold = SRP_NEARDUP_THRESHOLD
 
     planes = srp_hyperplanes(SRP_PLANES, 64)
     rows = SRP_PLANES // SRP_BANDS
@@ -2255,13 +2266,18 @@ def _srp_sql() -> str:
         "round(list_dot_product(x.v, y.v) / "
         "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
     )
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u_def = (
+        """base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pert AS (
   SELECT vec_id + 1000000 AS vec_id, list_concat([v[1] * 1.1], v[2:64]) AS v
   FROM base WHERE vec_id % 10 = 0
 ),
-u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM pert)"""
+        if planted
+        else "u AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    return f"""
+WITH {u_def},
 banded AS ({banded_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -2270,7 +2286,7 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b, {cos} AS cosine
 FROM cand c JOIN u x ON x.vec_id = c.doc_a JOIN u y ON y.vec_id = c.doc_b
-WHERE {cos} >= {SRP_NEARDUP_THRESHOLD}"""
+WHERE {cos} >= {threshold}"""
 
 
 def _ivf_sql(probe_pred: str = "vec_id < 50") -> str:
