@@ -1263,37 +1263,45 @@ def q_source_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
-    # stable long-green TPC-H-shaped queries rotate to the back (still
-    # pytest- and bench-covered; see COVERAGE.md rotation note). No query
-    # may go two consecutive rounds outside the window.
+    # stable long-green queries rotate to the back (still pytest-,
+    # check_oracle- and bench-covered; see COVERAGE.md rotation note).
+    # No query may go two consecutive rounds outside the window —
+    # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
+    # against the committed CORRECTNESS_r{N}.json artifacts: every tail
+    # entry must have a green row in the latest round's artifact.
+    # Round-4 rotation: the 13 TPC-H-shaped r3-tail queries are back in the
+    # window (front), new r4 queries follow, and 14 r1+r2+r3-green
+    # stalwarts take their turn in the tail.
     return {
-        "knn_topk": q_knn_topk,
-        "knn_detailed": q_knn_detailed,
-        "query_stats": q_query_stats,
-        "ir_metrics_poj": q_ir_metrics_poj,
-        "ir_metrics_bcb": q_ir_metrics_bcb,
-        "clone_map": q_clone_map,
-        "lookup_join": q_lookup_join,
-        "snippet_extract": q_snippet_extract,
-        "uuid5_ids": q_uuid5_ids,
-        "deterministic_sample": q_deterministic_sample,
-        "top_tokens": q_top_tokens,
-        "asof_click": q_asof_click,
-        "exact_dups": q_exact_dups,
-        "minhash_sigs": q_minhash_sigs,
+        # --- due back in the window (r3 tail) ---
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
+        "sales_rollup": q_sales_rollup,
+        "price_percentiles": q_price_percentiles,
+        "order_priority_check": q_order_priority_check,
+        "dormant_customers": q_dormant_customers,
+        "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "topk_per_group": q_topk_per_group,
+        "cust_running_total": q_cust_running_total,
+        "sales_cube": q_sales_cube,
+        "priority_distinct": q_priority_distinct,
+        # --- new in round 4 (never checked) ---
+        "knn_join": q_knn_join,
+        "srp_verified_dups": q_srp_verified_dups,
+        # --- r3-green, staying in the window ---
         "lsh_pairs": q_lsh_pairs,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_groups": q_dup_groups,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
-        "srp_verified_dups": q_srp_verified_dups,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_knn": q_ivf_knn,
-        "knn_join": q_knn_join,
         "doc_knn": q_doc_knn,
         "ann_recall": q_ann_recall,
         "events_hourly": q_events_hourly,
@@ -1318,20 +1326,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "media_features": q_media_features,
         "status_pivot": q_status_pivot,
-        # --- rotated out of the 50-query correctness window (long-green) ---
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "sales_rollup": q_sales_rollup,
-        "price_percentiles": q_price_percentiles,
-        "order_priority_check": q_order_priority_check,
-        "dormant_customers": q_dormant_customers,
-        "large_orders": q_large_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "topk_per_group": q_topk_per_group,
-        "cust_running_total": q_cust_running_total,
-        "sales_cube": q_sales_cube,
-        "priority_distinct": q_priority_distinct,
+        # --- rotated out of the 50-query correctness window this round
+        #     (green in r1, r2 AND r3; due back in r5) ---
+        "knn_topk": q_knn_topk,
+        "knn_detailed": q_knn_detailed,
+        "query_stats": q_query_stats,
+        "ir_metrics_poj": q_ir_metrics_poj,
+        "ir_metrics_bcb": q_ir_metrics_bcb,
+        "clone_map": q_clone_map,
+        "lookup_join": q_lookup_join,
+        "snippet_extract": q_snippet_extract,
+        "uuid5_ids": q_uuid5_ids,
+        "deterministic_sample": q_deterministic_sample,
+        "top_tokens": q_top_tokens,
+        "asof_click": q_asof_click,
+        "exact_dups": q_exact_dups,
+        "minhash_sigs": q_minhash_sigs,
     }
 
 

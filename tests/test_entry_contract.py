@@ -35,3 +35,46 @@ def test_entry_returns_metrics_dataframe(spark):
     assert set(df.columns) == {
         "success_rate", "mean_precision_at_k", "mrr", "map_at_k"
     }
+
+
+def test_rotation_invariant():
+    """COVERAGE.md's rotation rule, enforced: the correctness driver
+    hash-checks only the FIRST 50 queries() entries, and no query may sit
+    outside that window two consecutive rounds. Equivalently: every entry
+    in the current tail must have a fully-green row in the LATEST committed
+    CORRECTNESS_r{N}.json artifact (i.e. it was inside the window, and
+    passed, last round). New queries are automatically constrained into the
+    window because they have no green history."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            artifacts[int(m.group(1))] = p
+    assert artifacts, "no CORRECTNESS artifacts committed"
+    latest = artifacts[max(artifacts)]
+    with open(latest) as f:
+        green = {
+            name
+            for name, row in json.load(f).items()
+            if row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        }
+
+    names = list(entrymod.queries())
+    window, tail = names[:50], names[50:]
+    stale = [q for q in tail if q not in green]
+    assert not stale, (
+        f"rotation violation: {stale} sit outside the 50-query window but "
+        f"have no green row in {os.path.basename(latest)} — they were "
+        "already out (or failing) last round; rotate them back in"
+    )
+    # the window itself must not contain duplicates of tail entries
+    assert len(set(names)) == len(names)
