@@ -1,10 +1,12 @@
 """Relational & vector operators (SURVEY.md SS2)."""
 
 from .knn import (  # noqa: F401
+    build_ivf_index,
     exact_knn,
     exact_knn_fast,
     ivf_knn,
     ivf_knn_join,
+    ivf_knn_persisted,
     self_knn,
 )
 from .evaluate import (  # noqa: F401

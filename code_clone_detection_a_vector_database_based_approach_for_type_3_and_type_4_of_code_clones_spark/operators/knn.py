@@ -321,11 +321,27 @@ def ivf_knn(
     # results, probes stay distributed.
     routed_pdf = routed.select("query_id", "query_vec", "cell").toPandas()
     id_dt = dict(index.dtypes)[id_col]
-    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_dt = dict(probes.dtypes)[query_id]
+    return _score_with_closure(
+        assigned, routed_pdf, k, exclude_self, id_dt, qid_dt, probes.sparkSession
+    )
+
+
+def _score_with_closure(
+    assigned: DataFrame,
+    routed_pdf: pd.DataFrame,
+    k: int,
+    exclude_self: bool,
+    id_dt: str,
+    qid_dt: str,
+    spark,
+) -> DataFrame:
+    """Closure-form IVF scoring: ship the (driver-small) routed probe set in
+    the UDF closure and scan ``assigned`` once with a per-(batch, cell)
+    matmul — the index side never shuffles."""
+    id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     if len(routed_pdf) == 0:
         # result_id takes the index id dtype, mirroring out_schema below
-        spark = probes.sparkSession
         return spark.createDataFrame(
             [], f"query_id {qid_dt}, result_id {id_dt}, score double, rank int"
         )
@@ -408,8 +424,25 @@ def _ivf_assign_route(
     Both are pure projections (NO shuffle, NO window, NO driver round-trip
     for the data); only the ``n_centroids`` centroid vectors are collected.
     """
-    import math
+    cent_vecs, cent_ids = _centroid_bank(
+        index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+    )
+    assigned = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col)
+    routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
+    return assigned, routed
 
+
+def _centroid_bank(
+    index: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
+) -> tuple[list[list[float]], list[int]]:
+    """Deterministic IVF centroid bank: the ``n_centroids`` lowest-id
+    vectors, optionally refined by spherical KMeans on a bounded sample.
+    Returns (cent_vecs, cent_ids) — always driver-small by construction."""
     cent_rows = (
         index.orderBy(F.col(id_col))
         .limit(n_centroids)
@@ -444,9 +477,19 @@ def _ivf_assign_route(
         # unchanged by Lloyd updates), so cell identifiers are stable across
         # refined and unrefined modes: a cell-partitioned index written under
         # one mode selects the same directories under the other
+    return cent_vecs, cent_ids
 
-    # centroid norms accumulated left-to-right, matching the SQL oracle's
-    # list_dot_product accumulation order bit-for-bit
+
+def _bank_exprs(
+    cent_vecs: list[list[float]], cent_ids: list[int]
+) -> tuple[str, str]:
+    """Bake the centroid bank into ONE parsed SQL expression pair
+    (sims_sql, ids_sql). Per-literal Column construction costs a py4j
+    round-trip each — 1000+ lits took ~6 s of driver time to build; one
+    expr parse is ms. Centroid norms accumulate left-to-right, matching the
+    SQL oracle's list_dot_product accumulation order bit-for-bit."""
+    import math
+
     cnorms = []
     for cv in cent_vecs:
         s = 0.0
@@ -454,9 +497,6 @@ def _ivf_assign_route(
             s += v * v
         cnorms.append(math.sqrt(s))
 
-    # The whole centroid bank is baked in as ONE parsed SQL expression
-    # (per-literal Column construction costs a py4j round-trip each — 1000+
-    # lits took ~6 s of driver time to build; one expr parse is ms).
     def cos_sql(i: int) -> str:
         arr = "array(" + ",".join(repr(v) + "D" for v in cent_vecs[i]) + ")"
         dot = f"aggregate(zip_with(__vd, {arr}, (x, y) -> x * y), 0D, (a, v) -> a + v)"
@@ -470,15 +510,27 @@ def _ivf_assign_route(
         + ")"
     )
     ids_sql = "array(" + ",".join(f"{cid}L" for cid in cent_ids) + ")"
+    return sims_sql, ids_sql
 
-    def with_vec_prep(df, vcol: str):
-        return df.withColumn("__vd", F.col(vcol).cast("array<double>")).withColumn(
-            "__vn", F.expr("sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x))")
-        )
 
-    # struct ordering makes array_max/array_sort implement argmax/top-n with
-    # smallest-centroid-id tie-break (neg_idx descends as cent_id ascends)
-    assigned = with_vec_prep(
+def _with_vec_prep(df: DataFrame, vcol: str) -> DataFrame:
+    return df.withColumn("__vd", F.col(vcol).cast("array<double>")).withColumn(
+        "__vn", F.expr("sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x))")
+    )
+
+
+def _assign_cells(
+    index: DataFrame,
+    cent_vecs: list[list[float]],
+    cent_ids: list[int],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-side cell assignment: ``(result_id, vec, cell)`` with cell = the
+    nearest centroid's cent_id (cosine, smallest-cent_id tie-break —
+    struct ordering makes array_max an argmax with that tie-break)."""
+    sims_sql, ids_sql = _bank_exprs(cent_vecs, cent_ids)
+    return _with_vec_prep(
         index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec")),
         "vec",
     ).select(
@@ -487,10 +539,22 @@ def _ivf_assign_route(
         F.expr(f"element_at({ids_sql}, -array_max({sims_sql}).neg_idx + 1)").alias("cell"),
     )
 
+
+def _route_probes(
+    probes: DataFrame,
+    cent_vecs: list[list[float]],
+    cent_ids: list[int],
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """Map-side probe routing: each probe exploded to its ``nprobe`` nearest
+    cells — ``(query_id, query_vec, cell)``."""
+    sims_sql, ids_sql = _bank_exprs(cent_vecs, cent_ids)
     q = probes.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
     )
-    routed = with_vec_prep(q, "query_vec").select(
+    return _with_vec_prep(q, "query_vec").select(
         "query_id",
         "query_vec",
         F.explode(
@@ -500,8 +564,6 @@ def _ivf_assign_route(
             )
         ).alias("cell"),
     )
-
-    return assigned, routed
 
 
 def ivf_knn_join(
@@ -614,3 +676,113 @@ def ivf_knn_join(
     )
     # cells partition the index, so a probe sees each index row at most once
     return _ranked_topk(candidates, k)
+
+
+def build_ivf_index(
+    index: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
+    quantize: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF index: cell assignment computed ONCE at ingest and
+    written as a parquet PARTITION column, the batch analog of the
+    server-side ANN index build the reference delegates to Qdrant
+    (main.py:59-67; upsert bcb_utils.py:117-121). Searches that route to
+    ``nprobe`` cells then read nprobe/n_centroids of the files — partition
+    pruning at planning time, before a single byte is scanned.
+
+    Layout: ``{path}/cell=<cent_id>/...`` with columns ``(id_col, vec_col)``
+    float32, or ``(id_col, scale float, q array<tinyint>)`` when
+    ``quantize`` (int8 codes, ~4x smaller scan; dequantize is a map-side
+    projection at load). The centroid bank lands at ``{path}_centroids`` so
+    a later session can route probes without touching the data files.
+    """
+    cent_vecs, cent_ids = _centroid_bank(
+        index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+    )
+    assigned = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias(id_col), F.col("vec").alias(vec_col), "cell"
+    )
+    if quantize:
+        from ..functions.vector import quantize_int8
+
+        qd = quantize_int8(F.col(vec_col))
+        assigned = assigned.select(
+            id_col,
+            qd["scale"].cast("float").alias("scale"),
+            F.transform(qd["q"], lambda x: x.cast("tinyint")).alias("q"),
+            "cell",
+        )
+    # co-locate each cell before the write: without this every input
+    # partition writes a sliver into every cell directory (P x C small
+    # files), and at read time file-listing overhead swamps the pruning
+    # win. One exchange at build (paid once) -> one compact file per cell.
+    # At larger-than-executor cells, repartition on (cell, bucket) instead.
+    assigned.repartition(F.col("cell")).write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
+    spark = index.sparkSession
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in zip(cent_ids, cent_vecs)],
+        "cent_id long, cent_vec array<double>",
+    ).coalesce(1).write.mode(mode).parquet(path + "_centroids")
+
+
+def ivf_knn_persisted(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    quantized: bool = False,
+) -> DataFrame:
+    """Search a ``build_ivf_index`` table: route probes against the stored
+    centroid bank, then scan ONLY the routed cells' partition directories
+    (`PartitionFilters: cell IN (...)` in the physical plan — pruning
+    happens at planning time). Scoring is the closure form (the index side
+    never shuffles); for table-sized probe sets, load the index yourself
+    and use ``ivf_knn_join`` over the pre-assigned ``cell`` column.
+
+    Semantics match ``ivf_knn`` on the same centroid bank: same routing,
+    rounding, tie-break — pinned by the equivalence pytest.
+    """
+    cent_rows = (
+        spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
+    )
+    # ascending cent_id reproduces the bank's position order (centroids are
+    # the lowest-id vectors collected id-ascending; refinement keeps ids)
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+
+    routed_pdf = _route_probes(
+        probes, cent_vecs, cent_ids, nprobe, query_id, query_vec
+    ).select("query_id", "query_vec", "cell").toPandas()
+    needed = sorted({int(c) for c in routed_pdf["cell"]}) if len(routed_pdf) else []
+
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    if quantized:
+        from ..functions.vector import dequantize_int8
+
+        idx = idx.select(
+            id_col,
+            dequantize_int8(F.col("q"), F.col("scale").cast("double")).alias(vec_col),
+            "cell",
+        )
+    assigned = idx.select(
+        F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    qid_dt = dict(probes.dtypes)[query_id]
+    id_dt = dict(assigned.dtypes)["result_id"]
+    return _score_with_closure(
+        assigned, routed_pdf, k, exclude_self, id_dt, qid_dt, spark
+    )

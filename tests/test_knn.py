@@ -263,3 +263,77 @@ def test_ivf_join_refined_matches_refined_closure(spark, embeddings):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_persisted_ivf_matches_inline(spark, embeddings, tmp_path):
+    """build_ivf_index + ivf_knn_persisted must reproduce ivf_knn exactly
+    (same centroid bank -> same routing/scoring), while reading ONLY the
+    routed cells' partition directories."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 40)
+    a = _collect_sorted(ivf_knn(probes, embeddings, k=6, n_centroids=8, nprobe=3))
+    b = _collect_sorted(ivf_knn_persisted(spark, path, probes, k=6, nprobe=3))
+    pd.testing.assert_frame_equal(a, b)
+    # pruning is visible in the physical plan: partition filter on cell
+    plan = ivf_knn_persisted(spark, path, probes, k=6, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+
+
+def test_persisted_ivf_partition_pruning(spark, embeddings, tmp_path):
+    """The persisted search scans only routed cells: with nprobe == 1 and a
+    single probe, the scan must touch exactly one partition directory's
+    rows (cells partition the index)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index2")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    total = spark.read.parquet(path).count()
+    per_cell = {
+        r.cell: r.n
+        for r in spark.read.parquet(path).groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert total == embeddings.count() and len(per_cell) >= 2
+    # planning-time pruning: a cell filter reads only that directory
+    one = min(per_cell)
+    pruned = spark.read.parquet(path).filter(F.col("cell") == one)
+    assert pruned.count() == per_cell[one]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_persisted_quantized_ivf_recall(spark, embeddings, tmp_path):
+    """int8-quantized per-cell index (IVF-PQ-style composition): searches
+    run on the dequantized projection; top-10 overlap vs the float path
+    stays >= 0.8 (quantization noise only)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+    )
+
+    fpath = str(tmp_path / "ivf_f32")
+    qpath = str(tmp_path / "ivf_q8")
+    build_ivf_index(embeddings, fpath, n_centroids=8)
+    build_ivf_index(embeddings, qpath, n_centroids=8, quantize=True)
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 50)
+    f = {}
+    for r in ivf_knn_persisted(spark, fpath, probes, k=10, nprobe=3).collect():
+        f.setdefault(r.query_id, set()).add(r.result_id)
+    q = {}
+    for r in ivf_knn_persisted(
+        spark, qpath, probes, k=10, nprobe=3, quantized=True
+    ).collect():
+        q.setdefault(r.query_id, set()).add(r.result_id)
+    recall = sum(len(f[i] & q.get(i, set())) / len(f[i]) for i in f) / len(f)
+    assert recall >= 0.8, recall

@@ -1,0 +1,234 @@
+"""ANN-at-scale measurement: the regime where the persisted, partition-pruned
+IVF index WINS over exact search.
+
+The reference's whole performance story is Qdrant's server-side ANN index
+(README.md:42-45; upsert bcb_utils.py:117-121) — a query never scans the full
+collection. The Spark analog is ``build_ivf_index`` (cell = parquet partition
+column, computed once at ingest) + ``ivf_knn_persisted`` (probes route to
+nprobe cells; the scan reads ONLY those cells' directories — planning-time
+partition pruning). BASELINE.md:99-108 showed exact still beating IVF at 50k
+vectors from an UNPARTITIONED scan; this harness measures the persisted path
+at 200k (and any --n), where pruning pays for itself.
+
+Corpus: deterministic clustered vectors (no RNG, batch-invariant):
+    center[c][d] = sin(c*31 + d*17);  noise amplitude 0.15 via sin(i, d)
+    vec[i] = center[i % n_clusters] + noise[i]
+so the first ``n_clusters`` ids hit every cluster exactly once — the
+lowest-id centroid init starts one-per-cluster and spherical-KMeans
+refinement centers it.
+
+Usage: python tools/ann_scale_bench.py [--n 200000] [--probes 500] [--k 10]
+Writes nothing into the repo; index tables land under /tmp/ann_scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (  # noqa: E402
+    build_ivf_index,
+    exact_knn_fast,
+    ivf_knn,
+    ivf_knn_persisted,
+)
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+DIM = 64
+N_CLUSTERS = 64
+NOISE = 0.15
+
+
+def synthesize(spark, n: int, path: str) -> None:
+    d = np.arange(DIM, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            centers = np.sin(((ids % N_CLUSTERS) * 31.0)[:, None] + d[None, :] * 17.0)
+            noise = NOISE * np.sin(ids[:, None] * 131.7 + d[None, :] * 79.19)
+            vecs = (centers + noise).astype(np.float32)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [v for v in vecs]}
+            )
+
+    (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def timed(fn, reps: int = 2) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        rows = fn().count()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3), rows
+
+
+def topk_sets(df) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.result_id)
+    return out
+
+
+def recall(exact: dict, approx: dict) -> float:
+    return round(
+        sum(len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact)
+        / len(exact),
+        3,
+    )
+
+
+def dir_mb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return round(total / 1e6, 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--probes", type=int, default=500)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument("--workdir", default="/tmp/ann_scale")
+    ap.add_argument(
+        "--skip-inline",
+        action="store_true",
+        help="skip the (already-measured-losing) unpartitioned inline IVF",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("ann-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    raw_path = f"{args.workdir}/raw"
+    f32_path = f"{args.workdir}/ivf_f32"
+    q8_path = f"{args.workdir}/ivf_q8"
+
+    synthesize(spark, args.n, raw_path)
+    raw = spark.read.parquet(raw_path)
+    stride = max(args.n // args.probes, 1)
+    probes = raw.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes.cache().count()
+
+    t0 = time.monotonic()
+    build_ivf_index(raw, f32_path, n_centroids=N_CLUSTERS, refine_iters=5,
+                    refine_sample=8192)
+    build_f32 = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    build_ivf_index(raw, q8_path, n_centroids=N_CLUSTERS, refine_iters=5,
+                    refine_sample=8192, quantize=True)
+    build_q8 = round(time.monotonic() - t0, 1)
+
+    results: dict[str, dict] = {}
+    t, _ = timed(lambda: exact_knn_fast(probes, raw, k=args.k))
+    exact_sets = topk_sets(exact_knn_fast(probes, raw, k=args.k))
+    results["exact_full_scan"] = {"sec": t, "recall": 1.0}
+
+    if not args.skip_inline:
+        t, _ = timed(
+            lambda: ivf_knn(probes, raw, k=args.k, n_centroids=N_CLUSTERS,
+                            nprobe=args.nprobe, refine_iters=5,
+                            refine_sample=8192)
+        )
+        results["ivf_inline_unpartitioned"] = {
+            "sec": t,
+            "recall": recall(
+                exact_sets,
+                topk_sets(
+                    ivf_knn(probes, raw, k=args.k, n_centroids=N_CLUSTERS,
+                            nprobe=args.nprobe, refine_iters=5,
+                            refine_sample=8192)
+                ),
+            ),
+        }
+
+    t, _ = timed(
+        lambda: ivf_knn_persisted(spark, f32_path, probes, k=args.k,
+                                  nprobe=args.nprobe)
+    )
+    results["ivf_persisted_pruned"] = {
+        "sec": t,
+        "recall": recall(
+            exact_sets,
+            topk_sets(
+                ivf_knn_persisted(spark, f32_path, probes, k=args.k,
+                                  nprobe=args.nprobe)
+            ),
+        ),
+    }
+
+    t, _ = timed(
+        lambda: ivf_knn_persisted(spark, q8_path, probes, k=args.k,
+                                  nprobe=args.nprobe, quantized=True)
+    )
+    results["ivf_pq_persisted_pruned"] = {
+        "sec": t,
+        "recall": recall(
+            exact_sets,
+            topk_sets(
+                ivf_knn_persisted(spark, q8_path, probes, k=args.k,
+                                  nprobe=args.nprobe, quantized=True)
+            ),
+        ),
+    }
+
+    # capture the pruned physical plan (PartitionFilters on cell)
+    plan = (
+        ivf_knn_persisted(spark, f32_path, probes, k=args.k, nprobe=args.nprobe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    prune_lines = [
+        ln.strip()[:200] for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+
+    print(
+        json.dumps(
+            {
+                "n": args.n,
+                "probes": args.probes,
+                "k": args.k,
+                "n_centroids": N_CLUSTERS,
+                "nprobe": args.nprobe,
+                "build_sec": {"f32": build_f32, "int8": build_q8},
+                "index_mb": {
+                    "raw": dir_mb(raw_path),
+                    "f32": dir_mb(f32_path),
+                    "int8": dir_mb(q8_path),
+                },
+                "queries": results,
+                "partition_filters": prune_lines[:2],
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
