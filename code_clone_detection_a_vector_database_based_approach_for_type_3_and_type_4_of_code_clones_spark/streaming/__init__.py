@@ -5,6 +5,7 @@ from .events import (  # noqa: F401
     click_purchase_join_stream,
     dedup_stream,
     sessionize_batch,
+    sessionize_batch_salted,
     sessionize_stream,
     streaming_hourly_counts,
 )

@@ -198,6 +198,107 @@ def sessionize_batch(events: DataFrame, gap_ticks: int = SESSION_GAP_US) -> Data
     )
 
 
+def sessionize_batch_salted(
+    events: DataFrame,
+    gap_ticks: int = SESSION_GAP_US,
+    bucket_ticks: int | None = None,
+) -> DataFrame:
+    """Skew-proof gap sessionization: identical output to
+    ``sessionize_batch`` (per-user 1-based session ids ordered by start),
+    with the per-user window cut down to per-(user, time-bucket).
+
+    ``sessionize_batch``'s single window partition per user is the one
+    shape AQE cannot split: a hot key (one user with 10^7 events) lands
+    one task that sorts and scans alone while 31 cores idle. Salting by a
+    coarse TIME BUCKET (``bucket_ticks`` >= ``gap_ticks``, default
+    96 x gap = 2 days for a 30-min gap) restores parallelism:
+
+    1. sessionize within (user, bucket) — the hot user's events spread
+       over #buckets tasks;
+    2. only sessions touching a bucket EDGE (start within ``gap_ticks``
+       of the bucket floor, or end within ``gap_ticks`` of the ceiling)
+       can merge across buckets — with ``bucket_ticks >= gap_ticks`` an
+       empty intervening bucket breaks any chain, so merge candidates are
+       <= 2 per (user, bucket). Re-run the same lag -> flag -> cumsum
+       sessionization over just those BOUNDARY SESSIONS (a per-user window
+       again, but over session summaries bounded by 2 x #buckets, never by
+       events) and re-aggregate merged chains;
+    3. union untouched interior sessions back in and re-number by start.
+
+    Interval/as-of joins and top-k windows have the same hazard; this is
+    the documented salting playbook (PLANS.md "Window-heavy operators")
+    landed as a drop-in operator.
+    """
+    if bucket_ticks is None:
+        bucket_ticks = 96 * gap_ticks
+    if bucket_ticks < gap_ticks:
+        raise ValueError("bucket_ticks must be >= gap_ticks")
+
+    ev = events.withColumn("bucket", F.expr(f"ts div {int(bucket_ticks)}"))
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when((F.col("ts") - F.lag("ts").over(w)) > gap_ticks, 1).otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "sub_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = flagged.groupBy("user_id", "bucket", "sub_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("sum_value6"),
+    )
+    at_edge = (
+        (F.col("session_start") - F.col("bucket") * bucket_ticks) <= gap_ticks
+    ) | (
+        ((F.col("bucket") + 1) * bucket_ticks - F.col("session_end")) <= gap_ticks
+    )
+    sess = sess.withColumn("boundary", at_edge)
+    interior = sess.filter(~F.col("boundary"))
+    boundary = sess.filter(F.col("boundary"))
+
+    wb = Window.partitionBy("user_id").orderBy("session_start")
+    chains = boundary.withColumn(
+        "new_chain",
+        F.when(
+            (F.col("session_start") - F.lag("session_end").over(wb)) > gap_ticks, 1
+        ).otherwise(F.when(F.lag("session_end").over(wb).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "chain_id",
+        F.sum("new_chain").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = chains.groupBy("user_id", "chain_id").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value6").alias("sum_value6"),
+    )
+    all_sessions = interior.select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value6"
+    ).unionByName(
+        merged.select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value6"
+        )
+    )
+    # re-number to the sessionize_batch contract: 1-based per user by start.
+    # This window runs over SESSION summaries (bounded per task by sessions,
+    # not events) — acceptable residual; emit stable ids.
+    wn = Window.partitionBy("user_id").orderBy("session_start")
+    return all_sessions.withColumn(
+        "session_id", F.row_number().over(wn).cast("long")
+    ).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value6",
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     docs_dir: str,

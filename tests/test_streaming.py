@@ -325,3 +325,70 @@ def test_as_of_join_tolerance(spark):
     }
     assert out[1] == (40, 90)        # 50-40=10 <= 20: fresh
     assert out[2] == (None, None)    # 200-40=160 > 20: stale -> nulls
+
+
+def test_sessionize_salted_equals_plain_on_fixture(spark, sf_dir):
+    """The skew-proof salted form must reproduce sessionize_batch exactly
+    on the fixture events (all users, all sessions, ids included)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        sessionize_batch_salted,
+    )
+
+    ev = load_events_micros(spark, sf_dir).select("user_id", "ts", "value")
+    a = sorted(
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events,
+         r.sum_value6)
+        for r in sessionize_batch(ev).collect()
+    )
+    b = sorted(
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events,
+         r.sum_value6)
+        for r in sessionize_batch_salted(ev).collect()
+    )
+    assert a == b
+
+
+def test_sessionize_salted_merges_cross_bucket_chains(spark):
+    """A single dense session spanning MANY buckets (every inter-event gap
+    under the session gap, but crossing bucket edges repeatedly) must come
+    back as ONE session — the boundary-session chain merge at work. A
+    second user with per-bucket interior sessions keeps the non-merging
+    path honest, and a third session sits exactly at a bucket edge."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        sessionize_batch_salted,
+    )
+
+    gap = 100
+    bucket = 1000  # 10 events per bucket at step 90
+    rows = []
+    # user 1: one 50-event chain, step 90 < gap, crossing 5 bucket edges
+    rows += [(1, 90 * i, 0.001) for i in range(50)]
+    # user 2: an interior session per bucket (far from both edges)
+    for b in range(3):
+        rows += [(2, b * bucket + 450, 0.001), (2, b * bucket + 500, 0.001)]
+    # user 3: two events straddling a bucket edge exactly within gap
+    rows += [(3, 999, 0.001), (3, 1001, 0.001)]
+    # user 3: and a separate later session
+    rows += [(3, 5000, 0.001)]
+    ev = spark.createDataFrame(
+        [(u, t, v) for (u, t, v) in rows], "user_id long, ts long, value double"
+    )
+    out = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch_salted(ev, gap_ticks=gap, bucket_ticks=bucket).collect()
+    }
+    assert out[(1, 1)] == (0, 90 * 49, 50)
+    assert sum(1 for (u, _s) in out if u == 1) == 1
+    assert sum(1 for (u, _s) in out if u == 2) == 3
+    assert out[(3, 1)] == (999, 1001, 2)
+    assert out[(3, 2)] == (5000, 5000, 1)
+
+    # and the plain form agrees on the same input
+    plain = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(ev, gap_ticks=gap).collect()
+    }
+    assert plain == out
