@@ -1,6 +1,7 @@
 """Embedder tests (SURVEY M1): deterministic hash embedder; gated real model."""
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -130,3 +131,53 @@ def test_sentence_transformer_fake_module(spark, tmp_path, monkeypatch):
         assert got2 == {k: v for k, (_, v) in got.items()}
     finally:
         sys.modules.pop("sentence_transformers", None)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_REAL_MODEL") != "1",
+    reason="opt-in real-model smoke (SPARK_GRAFT_REAL_MODEL=1): needs "
+    "sentence-transformers + a local MiniLM checkpoint; skipped in CI "
+    "where neither ships",
+)
+def test_sentence_transformer_real_model_smoke(spark):
+    """First-real-deployment smoke (VERDICT r3 item 7): when a real
+    SentenceTransformer is available (env-gated), the iterator-UDF path
+    must produce the model's advertised dimension, deterministic output
+    across two runs, and unit norms under normalize=True — the properties
+    every downstream kNN operator assumes. Reference anchor: main.py:36,
+    bcb_utils.py:101 (the reference's default embedding path)."""
+    import numpy as np
+
+    model_name = os.environ.get("SPARK_GRAFT_REAL_MODEL_NAME", "all-MiniLM-L6-v2")
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError:
+        pytest.skip("sentence-transformers not installed")
+    try:
+        expected_dim = SentenceTransformer(
+            model_name
+        ).get_sentence_embedding_dimension()
+    except Exception as e:  # no checkpoint on disk / no network
+        pytest.skip(f"model {model_name} not loadable: {e}")
+
+    df = spark.createDataFrame(
+        [(i, f"sample text number {i} about spark engines") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out1 = {
+        r.doc_id: r.embedding
+        for r in embed_sentence_transformer(
+            df, model_name=model_name, normalize=True
+        ).collect()
+    }
+    out2 = {
+        r.doc_id: r.embedding
+        for r in embed_sentence_transformer(
+            df, model_name=model_name, normalize=True
+        ).collect()
+    }
+    assert set(out1) == set(range(8))
+    for i, v in out1.items():
+        assert len(v) == expected_dim
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+        assert np.allclose(v, out2[i], atol=1e-6)
