@@ -173,6 +173,35 @@ def bench_queries(spark, sf_dir):
             cust, F.col("o_custkey") == F.col("c_custkey")
         )
 
+    def q_knn_join_100k():
+        # >= 10^5 probes through the probe-DISTRIBUTED IVF join (the
+        # self-dedup shape): 2000 base vectors x 50 deterministic
+        # perturbed copies probe the same index — a probe set that would
+        # be a driver-closure ceiling for ivf_knn, streamed as a cogroup.
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        salts = spark.range(50).select(F.col("id").alias("salt"))
+        probes = (
+            emb.select("vec_id", vd.alias("embedding"))
+            .crossJoin(F.broadcast(salts))
+            .select(
+                (F.col("vec_id") * 100 + F.col("salt")).alias("query_id"),
+                F.concat(
+                    F.array(
+                        F.element_at("embedding", 1)
+                        * (1.0 + F.col("salt") / 1000.0)
+                    ),
+                    F.slice("embedding", 2, 63),
+                ).alias("query_vec"),
+            )
+        )
+        return ops.ivf_knn_join(
+            probes, emb, k=10, n_centroids=16, nprobe=4, exclude_self=False
+        )
+
+    extras = {
+        "knn_join_100k_probes": q_knn_join_100k,
+    }
+
     return {
         "knn_full": q_knn_full,
         "pipeline_metrics": q_pipeline_metrics,
@@ -188,7 +217,7 @@ def bench_queries(spark, sf_dir):
         "interval_join": q_interval_join,
         "large_orders": q_large_orders,
         "srp_neardup": q_srp_neardup,
-    }
+    }, extras
 
 
 def main() -> None:
@@ -209,14 +238,23 @@ def main() -> None:
     # best-of-2 per query: the first pass pays whole-stage-codegen compile
     # and any transient host interference; the min is the steady-state
     # throughput number a warmed cluster would deliver
-    timings: dict[str, float] = {}
-    for name, build in bench_queries(spark, sf_dir).items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            _consume(build())
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+    headline, extras = bench_queries(spark, sf_dir)
+
+    def run(queries: dict) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, build in queries.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                _consume(build())
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = run(headline)
+    # extras are measured and reported but NOT in the headline total: the
+    # 14-query suite stays directly comparable to the r1 baseline artifact
+    extra_timings = run(extras)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -226,6 +264,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_timings,
                 "sf": sf,
             }
         )
