@@ -6,6 +6,7 @@ from .knn import (  # noqa: F401
     exact_knn_fast,
     ivf_knn,
     ivf_knn_join,
+    ivf_knn_join_persisted,
     ivf_knn_persisted,
     self_knn,
 )

@@ -614,6 +614,23 @@ def ivf_knn_join(
     )
     id_dt = dict(index.dtypes)[id_col]
     qid_dt = dict(probes.dtypes)[query_id]
+    return _score_with_cogroup(
+        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block
+    )
+
+
+def _score_with_cogroup(
+    routed: DataFrame,
+    assigned: DataFrame,
+    k: int,
+    exclude_self: bool,
+    id_dt: str,
+    qid_dt: str,
+    index_block: int,
+) -> DataFrame:
+    """Cogroup-form IVF scoring: ``routed cogroup assigned ON cell``, one
+    blocked matmul per cell — both sides shuffle once, nothing touches the
+    driver."""
     id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_np = (
         np.int64 if qid_dt in ("bigint", "int", "smallint", "tinyint") else object
@@ -745,6 +762,8 @@ def ivf_knn_persisted(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     quantized: bool = False,
+    rerank_path: str | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Search a ``build_ivf_index`` table: route probes against the stored
     centroid bank, then scan ONLY the routed cells' partition directories
@@ -755,6 +774,17 @@ def ivf_knn_persisted(
 
     Semantics match ``ivf_knn`` on the same centroid bank: same routing,
     rounding, tie-break — pinned by the equivalence pytest.
+
+    ``rerank_path`` (with ``quantized=True``) is the recall repair for
+    int8 at scale: the quantized index serves a cheap over-fetched
+    candidate pass (``k * overfetch`` per probe), then candidates are
+    re-scored at full precision against the float32 IVF index at
+    ``rerank_path`` — the candidate-id set broadcasts (Q x k x overfetch
+    rows) and the f32 scan is pruned to the SAME routed cells, so the
+    rerank reads nprobe/n_centroids of the f32 files and never shuffles
+    them. Final top-k uses the exact scores. This is the standard
+    IVF-PQ + refine composition (quantized codes in memory, full vectors
+    on disk).
     """
     cent_rows = (
         spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
@@ -783,6 +813,86 @@ def ivf_knn_persisted(
     )
     qid_dt = dict(probes.dtypes)[query_id]
     id_dt = dict(assigned.dtypes)["result_id"]
-    return _score_with_closure(
-        assigned, routed_pdf, k, exclude_self, id_dt, qid_dt, spark
+    if rerank_path is None:
+        return _score_with_closure(
+            assigned, routed_pdf, k, exclude_self, id_dt, qid_dt, spark
+        )
+
+    # over-fetch from the (cheap, usually quantized) candidate index, then
+    # exact-rescore only the candidates against the full-precision table,
+    # pruned to the same routed cells
+    cand = _score_with_closure(
+        assigned, routed_pdf, k * overfetch, exclude_self, id_dt, qid_dt, spark
+    ).select("query_id", "result_id")
+    f32 = (
+        spark.read.parquet(rerank_path)
+        .filter(F.col("cell").isin(needed))
+        .select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"))
+    )
+    q = probes.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    rescored = (
+        f32.join(F.broadcast(cand), "result_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col("vec")),
+                SCORE_DECIMALS,
+            ),
+        )
+    )
+    return _ranked_topk(rescored, k)
+
+
+def ivf_knn_join_persisted(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    quantized: bool = False,
+    index_block: int = 8192,
+) -> DataFrame:
+    """Table-sized probes x persisted IVF index: the full-scale composition.
+
+    ``ivf_knn_persisted`` collects probe routing to the driver;
+    ``ivf_knn_join`` recomputes cell assignment from a raw index at query
+    time. This form does neither: the centroid bank loads from
+    ``{path}_centroids``, probes route map-side (distributed), the index
+    scan reads the PRE-ASSIGNED ``cell`` partition column (assignment paid
+    once at `build_ivf_index`), and scoring is the cogrouped per-cell
+    matmul. With every cell probed (the self-dedup shape) pruning doesn't
+    apply — the wins are the skipped assignment pass, cell-locality, and
+    no driver round-trip for any side.
+    """
+    cent_rows = (
+        spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
+    )
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+    routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
+
+    idx = spark.read.parquet(path)
+    if quantized:
+        from ..functions.vector import dequantize_int8
+
+        idx = idx.select(
+            id_col,
+            dequantize_int8(F.col("q"), F.col("scale").cast("double")).alias(vec_col),
+            "cell",
+        )
+    assigned = idx.select(
+        F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    qid_dt = dict(probes.dtypes)[query_id]
+    id_dt = dict(assigned.dtypes)["result_id"]
+    return _score_with_cogroup(
+        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block
     )

@@ -337,3 +337,66 @@ def test_persisted_quantized_ivf_recall(spark, embeddings, tmp_path):
         q.setdefault(r.query_id, set()).add(r.result_id)
     recall = sum(len(f[i] & q.get(i, set())) / len(f[i]) for i in f) / len(f)
     assert recall >= 0.8, recall
+
+
+def test_persisted_join_matches_closure_persisted(spark, embeddings, tmp_path):
+    """ivf_knn_join_persisted (distributed probes x pre-assigned cells) must
+    reproduce ivf_knn_persisted (driver-routed probes) on the same stored
+    index, float and quantized."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_join_persisted,
+        ivf_knn_persisted,
+    )
+
+    path = str(tmp_path / "ivf_jp")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 40)
+    a = _collect_sorted(ivf_knn_persisted(spark, path, probes, k=6, nprobe=3))
+    b = _collect_sorted(
+        ivf_knn_join_persisted(spark, path, probes, k=6, nprobe=3)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_rerank_restores_recall(spark, embeddings, tmp_path):
+    """int8 over-fetch + f32 rerank: reranked top-k must be at least as
+    close to the float32 result as the raw int8 top-k, and on this fixture
+    restores recall to >= 0.95 (raw int8 sits lower)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+    )
+
+    fpath = str(tmp_path / "rr_f32")
+    qpath = str(tmp_path / "rr_q8")
+    build_ivf_index(embeddings, fpath, n_centroids=8)
+    build_ivf_index(embeddings, qpath, n_centroids=8, quantize=True)
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 50)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.result_id)
+        return out
+
+    f = sets(ivf_knn_persisted(spark, fpath, probes, k=10, nprobe=3))
+    raw = sets(
+        ivf_knn_persisted(spark, qpath, probes, k=10, nprobe=3, quantized=True)
+    )
+    rer = sets(
+        ivf_knn_persisted(
+            spark, qpath, probes, k=10, nprobe=3, quantized=True,
+            rerank_path=fpath,
+        )
+    )
+
+    def rec(approx):
+        return sum(len(f[q] & approx.get(q, set())) / len(f[q]) for q in f) / len(f)
+
+    assert rec(rer) >= rec(raw) - 1e-9
+    assert rec(rer) >= 0.95, (rec(raw), rec(rer))

@@ -112,6 +112,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--workdir", default="/tmp/ann_scale")
+    ap.add_argument("--overfetch", type=int, default=4)
     ap.add_argument(
         "--skip-inline",
         action="store_true",
@@ -193,6 +194,26 @@ def main() -> None:
             topk_sets(
                 ivf_knn_persisted(spark, q8_path, probes, k=args.k,
                                   nprobe=args.nprobe, quantized=True)
+            ),
+        ),
+    }
+
+    # int8 candidates + f32 rerank (cell-pruned on both passes)
+    t, _ = timed(
+        lambda: ivf_knn_persisted(spark, q8_path, probes, k=args.k,
+                                  nprobe=args.nprobe, quantized=True,
+                                  rerank_path=f32_path,
+                                  overfetch=args.overfetch)
+    )
+    results["ivf_pq_rerank_f32"] = {
+        "sec": t,
+        "recall": recall(
+            exact_sets,
+            topk_sets(
+                ivf_knn_persisted(spark, q8_path, probes, k=args.k,
+                                  nprobe=args.nprobe, quantized=True,
+                                  rerank_path=f32_path,
+                                  overfetch=args.overfetch)
             ),
         ),
     }
