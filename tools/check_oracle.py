@@ -124,10 +124,27 @@ def main() -> int:
                 continue
             if name in oracles:
                 try:
-                    # EXPLAIN parses + binds the SQL without running it
-                    con.sql(f"EXPLAIN {oracles[name]}")
+                    # DESCRIBE parses + binds the SQL without running it AND
+                    # yields the oracle's output column names — the driver's
+                    # value-hash sorts columns by name, so an alias mismatch
+                    # (sum(l_quantity) vs sum_qty) fails the gate here,
+                    # statically, instead of at artifact time
+                    ocols = [
+                        r[0].lower()
+                        for r in con.sql(
+                            f"DESCRIBE {oracles[name]}"
+                        ).fetchall()
+                    ]
                 except Exception as e:
                     print(f"FAIL  {name}: duckdb parse: {str(e).splitlines()[0]}")
+                    failed.append(name)
+                    continue
+                if sorted(c.lower() for c in cols) != sorted(ocols):
+                    print(
+                        f"FAIL  {name}: column names differ: spark "
+                        f"{sorted(c.lower() for c in cols)} vs oracle "
+                        f"{sorted(ocols)}"
+                    )
                     failed.append(name)
                     continue
             print(f"ok    {name} (analyzed)")
