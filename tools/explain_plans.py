@@ -70,6 +70,20 @@ def main() -> None:
     plans["quantized_embeddings"] = entrymod.q_quantized_embeddings(spark, sf)
     plans["repetition_stats"] = entrymod.q_repetition_stats(spark, sf)
     plans["contamination"] = entrymod.q_contamination(spark, sf)
+
+    # round-4 additions: probe-distributed IVF join, SRP production
+    # near-dup, persisted partition-pruned index (built into /tmp so the
+    # PartitionFilters line is reproducible on demand)
+    plans["knn_join_cogroup"] = entrymod.q_knn_join(spark, sf)
+    plans["srp_verified_dups"] = entrymod.q_srp_verified_dups(spark, sf)
+    ivf_path = "/tmp/explain_ivf_index"
+    ops.build_ivf_index(emb, ivf_path, n_centroids=8, mode="overwrite")
+    probe1 = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") == 3)
+    plans["ivf_knn_persisted_pruned"] = ops.ivf_knn_persisted(
+        spark, ivf_path, probe1, k=5, nprobe=2
+    )
     for name, df in plans.items():
         print(f"\n===== {name} =====")
         df.explain("formatted")
