@@ -1260,6 +1260,112 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+# --- round-4 session additions: lexical/hybrid retrieval, corpus cleanse,
+#     KMV sketch, SemDeDup-style cluster-bounded semantic dedup ---
+
+BM25_QUERIES = 10   # probes = docs with doc_id < BM25_QUERIES
+BM25_QTERMS = 8     # query = the doc's first 8 tokens (more-like-this shape)
+BM25_K = 10
+HYBRID_POOL_K = 20  # per-list depth fed into the RRF fuse
+KMV_QUERY_K = 16    # < vocab size, so the ESTIMATION path is exercised
+BOILERPLATE_DF = 3
+SEMANTIC_THRESHOLD = EMB_NEARDUP_THRESHOLD  # continuity with emb_near_dups
+
+
+def _bm25_probes(docs: DataFrame) -> DataFrame:
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    return docs.filter(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(tokens(F.col("text")), 1, BM25_QTERMS)).alias("terms"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-k retrieval (operators.retrieval) — the lexical
+    half the reference's dense-only pipeline lacks. More-like-this probes:
+    each of the first BM25_QUERIES docs queries with its own first
+    BM25_QTERMS distinct tokens. Log-free Robertson idf + micro-unit
+    fixed-point sums keep it bit-deterministic vs the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.bm25_topk(docs, _bm25_probes(docs), k=BM25_K)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 (lexical) + exact cosine kNN (dense) fused by
+    reciprocal-rank fusion (operators.retrieval.rrf_fuse). The standard
+    production shape for retrieval over a training corpus — each list is
+    top-HYBRID_POOL_K bounded before the fuse, so the fuse cost is O(Q*k)
+    regardless of corpus size. doc_id and vec_id share the id space, so
+    the dense list for probe i is the embedding row i's neighborhood."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = ops.bm25_topk(docs, _bm25_probes(docs), k=HYBRID_POOL_K)
+    dense_probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < BM25_QUERIES)
+    dense = ops.exact_knn(dense_probes, emb, k=HYBRID_POOL_K)
+    return ops.rrf_fuse(bm, dense, k=BM25_K)
+
+
+def _planted_boilerplate(docs: DataFrame) -> DataFrame:
+    """documents with deterministic planted boilerplate: a newsletter header
+    on every 3rd doc, a rights footer on every 5th (the sf tables are
+    single-line, so the cross-document repeated lines are planted in-query —
+    same convention as srp_near_dups' perturbations)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_clean(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document boilerplate-line removal
+    (operators.cleanse): per-line document frequency -> broadcast
+    boilerplate set -> map-side array filter, with per-doc accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.remove_boilerplate_lines(
+        _planted_boilerplate(docs), min_df=BOILERPLATE_DF
+    )
+
+
+def q_kmv_tokens(spark, sf_dir):
+    """KMV distinct-token estimate per source (operators.sketch.kmv_*) —
+    the relational, mergeable, oracle-replayable alternative to Spark's
+    opaque approx_count_distinct. k = KMV_QUERY_K sits below the corpus
+    vocabulary size so the order-statistic ESTIMATOR (not the exact
+    small-set path) is what the oracle verifies."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    sk = ops.kmv_build(toks, "tok", ("source",), k=KMV_QUERY_K)
+    return ops.kmv_estimate(sk, ("source",), k=KMV_QUERY_K)
+
+
+def q_semantic_dups(spark, sf_dir):
+    """SemDeDup-style cluster-bounded semantic near-dup pairs
+    (operators.dedup.semantic_duplicates): IVF-cell assignment bounds the
+    pair space to sum(|cell|^2) — the lower-threshold complement to the
+    SRP-LSH path, sharing the persisted IVF index's partition layout."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.semantic_duplicates(
+        emb, threshold=SEMANTIC_THRESHOLD, n_centroids=IVF_CENTROIDS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1290,6 +1396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never checked) ---
         "knn_join": q_knn_join,
         "srp_verified_dups": q_srp_verified_dups,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "boilerplate_clean": q_boilerplate_clean,
+        "kmv_tokens": q_kmv_tokens,
+        "semantic_dups": q_semantic_dups,
         # --- r3-green, staying in the window ---
         "lsh_pairs": q_lsh_pairs,
         "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -1321,13 +1432,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "latest_events": q_latest_events,
         "stratified_docs": q_stratified_docs,
+        # --- rotated out of the 50-query correctness window this round
+        #     (green in r3 — sliding_events/srp_near_dups/frame_samples/
+        #     media_features/status_pivot; green r1+r2+r3 — the rest;
+        #     due back in r5) ---
         "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
         "media_features": q_media_features,
         "status_pivot": q_status_pivot,
-        # --- rotated out of the 50-query correctness window this round
-        #     (green in r1, r2 AND r3; due back in r5) ---
         "knn_topk": q_knn_topk,
         "knn_detailed": q_knn_detailed,
         "query_stats": q_query_stats,
@@ -1569,6 +1682,90 @@ def _media_features_fixture_sql() -> str:
         f"FROM documents d JOIN (VALUES {values}) "
         "AS m(media_id, kind, format, feature_milli) ON d.doc_id = m.media_id"
     )
+
+
+def _bm25_ctes() -> str:
+    """Shared BM25 CTE chain ending at ``bmranked`` (query_id, result_id,
+    score, rank). Expression parenthesization mirrors
+    ``operators.retrieval.bm25_topk`` exactly (same double-op order), and
+    the per-term contributions go through the same micro-unit BIGINT sum,
+    so the scores are bit-identical cross-engine."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+    )
+
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    return f"""tk AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+bmbase AS (SELECT doc_id AS result_id, toks, len(toks)::BIGINT AS dl FROM tk),
+bmstats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM bmbase),
+postings AS (
+  SELECT result_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+  FROM (SELECT result_id, dl, unnest(toks) AS term FROM bmbase)
+  GROUP BY result_id, term
+),
+df_tbl AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:{BM25_QTERMS}])) AS term
+  FROM tk WHERE doc_id < {BM25_QUERIES}
+),
+bmmatched AS (
+  SELECT q.query_id, p.result_id,
+         round((((((s.n_docs - d.df) + 0.5) / (d.df + 0.5)) * (p.tf * {k1p1})) /
+               (p.tf + {k1} * ((1.0 - {b}) + (({b} * p.dl) / (s.sum_dl / s.n_docs))))) * 1000000.0)::BIGINT AS c6
+  FROM postings p
+  JOIN df_tbl d ON d.term = p.term
+  JOIN qterms q ON q.term = p.term
+  CROSS JOIN bmstats s
+),
+bmscored AS (
+  SELECT query_id, result_id, round(sum(c6) / 1000000.0, 6) AS score
+  FROM bmmatched GROUP BY query_id, result_id
+),
+bmranked AS (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+  FROM bmscored
+)"""
+
+
+def _boilerplate_planted_sql() -> str:
+    """The planted-boilerplate documents CTE body (mirrors
+    ``_planted_boilerplate``)."""
+    return """SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END)
+       || text ||
+       (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+FROM documents"""
+
+
+def _semantic_dups_sql() -> str:
+    """SemDeDup oracle: the IVF cell-assignment CTEs (same semantics as
+    ``_ivf_sql``'s front half) + within-cell pair generation."""
+    cos_ab = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+x AS (SELECT vec_id AS result_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT result_id, v, cell FROM (
+    SELECT x.result_id, x.v, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY x.result_id
+             ORDER BY round(list_dot_product(x.v, c.cent_vec) /
+                      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6) DESC,
+                      c.cent_id ASC) AS rnk
+    FROM x CROSS JOIN cents c
+  ) WHERE rnk = 1
+)
+SELECT a.result_id AS doc_a, b.result_id AS doc_b, a.cell AS cell, {cos_ab} AS cosine
+FROM assigned a JOIN assigned b ON b.cell = a.cell AND a.result_id < b.result_id
+WHERE {cos_ab} >= {SEMANTIC_THRESHOLD}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2240,6 +2437,97 @@ SELECT source, 'en_only' AS op FROM (
   EXCEPT
   SELECT source FROM documents WHERE lang = 'de'
 )"""
+
+    sql["bm25_topk"] = f"""WITH {_bm25_ctes()}
+SELECT query_id, result_id, score, rank FROM bmranked WHERE rank <= {BM25_K}"""
+
+    sql["hybrid_rrf"] = f"""WITH {_bm25_ctes()},
+bm AS (SELECT query_id, result_id, rank FROM bmranked WHERE rank <= {HYBRID_POOL_K}),
+dq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BM25_QUERIES}
+),
+dx AS (SELECT vec_id AS result_id, embedding::DOUBLE[] AS v FROM embeddings),
+dscored AS (
+  SELECT query_id, result_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS score
+  FROM dq CROSS JOIN dx
+  WHERE result_id <> query_id
+),
+dense AS (
+  SELECT query_id, result_id, rank FROM (
+    SELECT query_id, result_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+    FROM dscored
+  ) WHERE rank <= {HYBRID_POOL_K}
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.result_id, b.result_id) AS result_id,
+         round(coalesce(1.0 / (60.0 + a.rank), 0.0)
+               + coalesce(1.0 / (60.0 + b.rank), 0.0), 6) AS score
+  FROM bm a FULL OUTER JOIN dense b
+    ON b.query_id = a.query_id AND b.result_id = a.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {BM25_K}"""
+
+    sql["boilerplate_clean"] = f"""
+WITH planted AS ({_boilerplate_planted_sql()}),
+lns AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM planted
+),
+dfreq AS (
+  SELECT line, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM lns)
+  GROUP BY line
+),
+bp AS (
+  SELECT coalesce(list(line), []::VARCHAR[]) AS bp_lines
+  FROM dfreq WHERE df >= {BOILERPLATE_DF}
+),
+kept AS (
+  SELECT l.doc_id, l.lines,
+         list_filter(l.lines, x -> NOT list_contains(b.bp_lines, x)) AS keep
+  FROM lns l CROSS JOIN bp b
+)
+SELECT doc_id,
+       array_to_string(keep, chr(10)) AS clean_text,
+       len(lines)::BIGINT AS n_lines,
+       (len(lines) - len(keep))::BIGINT AS n_removed
+FROM kept"""
+
+    # KMV: (k-1) * (HMAX / h_k) with the division FIRST — mirrors
+    # operators.sketch.kmv_estimate; both constants render via repr so the
+    # parsed doubles are bit-identical
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        KMV_HMAX,
+    )
+
+    _kmv_est = (
+        f"round({float(KMV_QUERY_K - 1)!r} * ({float(KMV_HMAX)!r} / max(h)::DOUBLE))::BIGINT"
+    )
+    sql["kmv_tokens"] = f"""
+WITH tkn AS (SELECT source, unnest({toks}) AS t FROM documents),
+hashed AS (SELECT DISTINCT source, {h_tok} AS h FROM tkn),
+sk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS pos
+  FROM hashed
+),
+kept AS (SELECT * FROM sk WHERE pos <= {KMV_QUERY_K})
+SELECT source, count(*)::BIGINT AS n_obs,
+       (CASE WHEN count(*) < {KMV_QUERY_K} THEN count(*) ELSE {_kmv_est} END)::BIGINT AS est_distinct
+FROM kept GROUP BY source"""
+
+    sql["semantic_dups"] = _semantic_dups_sql()
 
     return sql
 

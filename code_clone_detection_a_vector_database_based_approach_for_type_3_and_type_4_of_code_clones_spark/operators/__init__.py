@@ -32,6 +32,18 @@ from .relational import (  # noqa: F401
 from .sketch import (  # noqa: F401
     count_min_build,
     count_min_estimate,
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+)
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    rrf_fuse,
+)
+from .cleanse import (  # noqa: F401
+    boilerplate_lines,
+    line_document_frequency,
+    remove_boilerplate_lines,
 )
 from .dedup import (  # noqa: F401
     bucket_stats,
@@ -43,6 +55,7 @@ from .dedup import (  # noqa: F401
     minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
+    semantic_duplicates,
     simhash,
     simhash_chunks,
     simhash_near_pairs,

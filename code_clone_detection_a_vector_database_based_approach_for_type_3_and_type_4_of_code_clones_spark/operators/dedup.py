@@ -715,3 +715,55 @@ def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def semantic_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                        n_centroids: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        refine_iters: int = 0) -> DataFrame:
+    """SemDeDup-style cluster-bounded embedding near-dup pairs.
+
+    Abbas et al.'s SemDeDup recipe (the production semantic-dedup shape for
+    web-scale corpora): cluster the embedding space, then compare pairs ONLY
+    within a cluster — semantically-duplicated documents land in the same
+    cluster, so the quadratic pair space shrinks to sum(|cell|^2) without an
+    LSH signature stage. Complements ``srp_near_duplicates``: SRP bounds
+    pairs by hash-bucket collisions (high thresholds, exact-ish dups),
+    SemDeDup by cluster membership (lower thresholds, "same content,
+    different words" dups that SRP's sign bits splinter across buckets).
+
+    Reuses the IVF centroid machinery (``operators.knn``): the deterministic
+    centroid bank (lowest-id vectors, optional spherical-KMeans refinement)
+    and the map-side nearest-centroid cell assignment — so a persisted
+    cell-partitioned index (``build_ivf_index``) serves retrieval and
+    semantic dedup from the SAME partition layout.
+
+    Scale shape: assignment is a pure projection (no shuffle); the pair
+    stage shuffles once on ``cell`` and generates pairs only within cells.
+    Cross-cell near-dups are missed BY DESIGN (boundary pairs); recall vs
+    the exact quadratic twin is pinned in tests, and more centroids trade
+    recall for a smaller pair space.
+
+    Output: ``doc_a, doc_b, cell, cosine`` (id_a < id_b,
+    cosine >= threshold; ``cell`` names the shared cluster).
+    """
+    from ..functions.vector import cosine_similarity
+    from .knn import _assign_cells, _centroid_bank
+
+    cent_vecs, cent_ids = _centroid_bank(
+        embeddings, n_centroids, id_col, vec_col, refine_iters, 2048
+    )
+    assigned = _assign_cells(embeddings, cent_vecs, cent_ids, id_col, vec_col)
+    a = assigned.select(
+        F.col("result_id").alias("doc_a"), F.col("vec").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("result_id").alias("doc_b"), F.col("vec").alias("vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cell", "cosine")
+    )

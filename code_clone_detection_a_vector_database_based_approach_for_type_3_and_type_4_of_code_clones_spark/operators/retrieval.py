@@ -1,0 +1,151 @@
+"""Lexical retrieval + hybrid rank fusion (beyond-reference extension).
+
+The reference retrieves exclusively by dense-vector similarity (Qdrant
+``search`` per probe, bcb_utils.py:161-174). Production retrieval over a
+training corpus is almost always HYBRID: a lexical BM25 pass catches exact
+term matches that embeddings blur, and the two rank lists are fused
+(reciprocal-rank fusion being the standard parameter-free combiner). This
+module supplies both halves as set-based DataFrame plans sharing the kNN
+operators' output contract ``(query_id, result_id, score, rank)``.
+
+Scale shape (BM25): the corpus side is two shuffles regardless of query
+count — postings ``groupBy(doc, term)`` and document frequency
+``groupBy(term)`` — then the (small) query-term table broadcasts against
+the postings scan, partial-aggregates per (query, doc) map-side, and a
+WindowGroupLimit top-k bounds the reduce. The corpus is never joined to
+itself and never crosses the driver.
+
+Determinism (the repo-wide oracle discipline): no transcendental functions.
+Classic BM25 idf is ``ln((N - df + 0.5)/(df + 0.5) + 1)``; ``ln`` is not
+IEEE-correctly-rounded on every engine, so this engine defines its idf as
+the LOG-FREE Robertson ratio ``(N - df + 0.5)/(df + 0.5)`` — the same
+monotone-in-df ordering (per-term ranking identical; multi-term blends
+weight rare terms more aggressively than the log form). Per-term
+contributions are rounded to micro-units and summed as BIGINT so the
+per-(query, doc) sum is order-insensitive and bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_C = 60  # the canonical reciprocal-rank-fusion constant
+
+
+def bm25_topk(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_terms: str = "terms",
+) -> DataFrame:
+    """BM25 top-k lexical retrieval: for each probe row (``query_id``,
+    ``terms`` array<string>) score every document containing at least one
+    query term and keep the top ``k``.
+
+    score(q, d) = sum over matched terms of
+        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = (N - df + 0.5) / (df + 0.5)   [log-free; see module docstring]
+
+    Output: ``query_id, result_id, score, rank`` (rank 1-based by score
+    descending, ties by result_id ascending — the kNN operators' contract).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(doc_id).alias("result_id"), toks.alias("toks")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+
+    # corpus statistics as a 1-row broadcast plan (no driver collect)
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+
+    postings = (
+        base.select("result_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("result_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+    )
+    # postings are unique per (doc, term), so df is a plain count per term
+    df_tbl = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+
+    qterms = probes.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(F.col(query_terms))).alias("term"),
+    )
+
+    matched = (
+        postings.join(df_tbl, "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # micro-unit fixed point: identical parenthesization in the SQL oracle
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl)
+    contrib6 = F.round(((idf * (tfd * F.lit(k1 + 1.0))) / denom) * 1_000_000.0).cast(
+        "bigint"
+    )
+
+    scored = (
+        matched.select("query_id", "result_id", contrib6.alias("c6"))
+        .groupBy("query_id", "result_id")
+        .agg(F.round(F.sum("c6") / 1_000_000.0, 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("result_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "result_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists sharing the
+    ``(query_id, result_id, rank)`` contract:
+
+        fused(q, d) = 1/(c + rank_a) + 1/(c + rank_b)
+
+    (a missing entry contributes 0). Parameter-free hybrid combiner —
+    Cormack et al.'s RRF with the standard c = 60. Output follows the same
+    contract, re-ranked by fused score (ties by result_id ascending).
+
+    Scale shape: a single full-outer equi-join on (query_id, result_id) —
+    both inputs are already top-k bounded (O(Q*k) rows each), so the fuse
+    costs one small shuffle no matter how large the corpus that produced
+    them was.
+    """
+    a = ranked_a.select("query_id", "result_id", F.col("rank").alias("rank_a"))
+    bb = ranked_b.select("query_id", "result_id", F.col("rank").alias("rank_b"))
+    fused = a.join(bb, ["query_id", "result_id"], "full_outer").select(
+        "query_id",
+        "result_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(c).cast("double") + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(c).cast("double") + F.col("rank_b")), F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("result_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "result_id", "score", "rank")
+    )

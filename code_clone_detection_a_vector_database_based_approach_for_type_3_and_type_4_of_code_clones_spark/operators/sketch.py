@@ -19,7 +19,7 @@ over-counts by collision mass ~ N/w per row).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.ids import stable_hash64
@@ -75,4 +75,87 @@ def count_min_estimate(
     joined = pb.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
     return joined.groupBy(key).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Spark ships HyperLogLog as ``approx_count_distinct``, but (like
+# ``count_min_sketch``) its state is an opaque binary — unverifiable across
+# engines and unmergeable outside Spark. KMV is the relational alternative:
+# keep the k SMALLEST ``stable_hash64`` values per group. The kth-smallest
+# order statistic of n uniform draws on [0, H) sits near k*H/n, so
+# ``(k-1) * H / h_k`` estimates n (Bar-Yossef et al.'s classic estimator,
+# relative error ~ 1/sqrt(k-2)). Groups with fewer than k distinct hashes
+# are EXACT (the sketch saw every value).
+#
+# Scale shape: build is groupBy(group, hash)-distinct then a per-group
+# WindowGroupLimit (partial top-k before the shuffle) — the sketch is k rows
+# per group regardless of corpus size, and two corpora merge by unioning
+# sketches and re-taking the k minima (min-union is associative and
+# idempotent, so merge order never matters).
+
+KMV_K = 64
+KMV_HMAX = 1 << 60  # stable_hash64 is uniform on [0, 2^60)
+
+
+def kmv_build(
+    df: DataFrame, key: Column | str, group_cols: tuple[str, ...] = (), k: int = KMV_K
+) -> DataFrame:
+    """Build the per-group KMV sketch: the ``k`` smallest distinct hash
+    values of ``key``. Output: ``group_cols..., pos INT, h BIGINT`` with
+    ``pos`` = 1-based rank of ``h`` among the group's retained minima."""
+    kc = F.col(key) if isinstance(key, str) else key
+    hashed = df.select(
+        *[F.col(g) for g in group_cols], stable_hash64(kc).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.asc("h"))
+    return (
+        hashed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = (), k: int = KMV_K
+) -> DataFrame:
+    """Merge two KMV sketches over the same key domain: union the retained
+    hashes, dedup, re-take the k minima. Exactly ``kmv_build`` of the
+    concatenated inputs (proven in tests), so sketches of shards compose."""
+    u = a.select(*group_cols, "h").unionByName(b.select(*group_cols, "h")).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.asc("h"))
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: tuple[str, ...] = (), k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch.
+
+    ``n_obs < k`` -> exact ``n_obs``; otherwise
+    ``round((k-1) * (HMAX / h_k))`` with ``h_k`` = the kth-smallest hash
+    (the sketch's max). The division happens FIRST (HMAX and h_k are both
+    exactly representable order-of-magnitude doubles) and identically in
+    the SQL oracle, so the estimate is bit-deterministic cross-engine.
+
+    Output: ``group_cols..., n_obs BIGINT, est_distinct BIGINT``.
+    """
+    grouped = sketch.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.max("h").alias("h_k"),
+    )
+    est = F.when(F.col("n_obs") < k, F.col("n_obs")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * (F.lit(float(KMV_HMAX)) / F.col("h_k").cast("double"))
+        ).cast("bigint")
+    )
+    return grouped.select(
+        *group_cols, "n_obs", est.cast("bigint").alias("est_distinct")
     )

@@ -276,3 +276,42 @@ def test_duplicate_groups_converges_on_long_chain(spark):
         for r in duplicate_groups(chain, until_converged=True).collect()
     }
     assert conv == {i: (0, i == 0) for i in range(8)}
+
+
+def test_semantic_duplicates_subset_and_planted_recall(spark, embeddings):
+    """SemDeDup contract: (1) every returned pair is a true >= threshold
+    pair with the exact twin's cosine (precision 1.0); (2) planted TRUE
+    duplicates (identical vectors -> identical cell assignment) are ALL
+    found — the guarantee the operator exists for; (3) broad low-threshold
+    recall is cluster-bounded (cross-cell pairs are missed by design), so
+    only a floor is pinned."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        embedding_near_duplicates,
+        semantic_duplicates,
+    )
+
+    # planted: re-insert 20 vectors verbatim under new ids
+    dup = embeddings.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    aug = embeddings.unionByName(dup)
+
+    sem = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in semantic_duplicates(aug, threshold=0.30, n_centroids=16).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_duplicates(aug, threshold=0.30).collect()
+    }
+    assert set(sem) <= set(exact)
+    assert all(abs(exact[p] - sem[p]) < 1e-9 for p in sem)
+    # identical vectors share a cell, so every planted dup pair is found
+    planted = {(i, i + 1_000_000) for i in range(0, 500, 25)}
+    assert planted <= set(sem)
+    # cluster-bounded broad recall at a low threshold: floor only
+    assert len(set(sem) & set(exact)) / len(exact) >= 0.15

@@ -1,0 +1,127 @@
+"""BM25 + RRF fusion tests: brute-force parity on a hand-built corpus,
+ranking monotonicity, fusion arithmetic, and contract invariants."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+    rrf_fuse,
+)
+
+CORPUS = [
+    (0, "spark shuffle join join join"),
+    (1, "spark shuffle"),
+    (2, "broadcast join strategy"),
+    (3, "window rank partition order"),
+    (4, "spark spark spark window"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _probes(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, terms array<string>")
+
+
+def _brute_bm25(query_terms, k1=BM25_K1, b=BM25_B):
+    """Reference implementation: same formula, same micro-unit fixed point."""
+    toks = {d: t.split() for d, t in CORPUS}
+    n = float(len(CORPUS))
+    sum_dl = float(sum(len(t) for t in toks.values()))
+    avgdl = sum_dl / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    scores = {}
+    for d, t in toks.items():
+        c6_sum = 0
+        for term in set(query_terms):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = ((n - df[term]) + 0.5) / (df[term] + 0.5)
+            contrib = (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + ((b * len(t)) / avgdl))
+            )
+            c6_sum += round(contrib * 1_000_000.0)
+        if c6_sum:
+            scores[d] = round(c6_sum / 1_000_000.0, 6)
+    return scores
+
+
+def test_bm25_matches_brute_force(spark):
+    docs = _docs(spark)
+    probes = _probes(spark, [(100, ["spark", "join"])])
+    got = {
+        r.result_id: (r.score, r.rank)
+        for r in bm25_topk(docs, probes, k=10).collect()
+    }
+    want = _brute_bm25(["spark", "join"])
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d][0], s, abs_tol=1e-9), d
+    # ranks follow (score desc, id asc)
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in ordered] == [
+        d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])
+    ]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """'broadcast' appears in 1 doc, 'spark' in 3 — a one-term query for the
+    rare term must score its doc above any doc scored by the common term."""
+    docs = _docs(spark)
+    probes = _probes(spark, [(0, ["broadcast"]), (1, ["spark"])])
+    rows = bm25_topk(docs, probes, k=10).collect()
+    rare = max(r.score for r in rows if r.query_id == 0)
+    common = max(r.score for r in rows if r.query_id == 1)
+    assert rare > common
+
+
+def test_bm25_tf_saturation_and_topk(spark):
+    """More occurrences of the query term rank higher (doc 0: 3x 'join'
+    beats doc 2: 1x 'join'), and k truncates."""
+    docs = _docs(spark)
+    probes = _probes(spark, [(7, ["join"])])
+    rows = sorted(
+        bm25_topk(docs, probes, k=1).collect(), key=lambda r: r.rank
+    )
+    assert len(rows) == 1 and rows[0].result_id == 0
+
+
+def test_bm25_only_matching_docs_returned(spark):
+    docs = _docs(spark)
+    probes = _probes(spark, [(9, ["nonexistent-term"])])
+    assert bm25_topk(docs, probes, k=10).count() == 0
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, result_id long, score double, rank int")
+
+
+def test_rrf_fuse_arithmetic(spark):
+    """Hand-checkable fusion: overlap sums both reciprocals, single-list
+    entries contribute one, re-rank follows fused score then id."""
+    a = _ranked(spark, [(1, 10, 0.9, 1), (1, 11, 0.8, 2)])
+    b = _ranked(spark, [(1, 11, 0.7, 1), (1, 12, 0.6, 2)])
+    got = {r.result_id: (r.score, r.rank) for r in rrf_fuse(a, b, k=10).collect()}
+    assert math.isclose(got[11][0], round(1 / 62 + 1 / 61, 6), abs_tol=1e-9)
+    assert math.isclose(got[10][0], round(1 / 61, 6), abs_tol=1e-9)
+    assert math.isclose(got[12][0], round(1 / 62, 6), abs_tol=1e-9)
+    # 11 (both lists) outranks 10 and 12; 10 (rank 1) outranks 12 (rank 2)
+    assert got[11][1] == 1 and got[10][1] == 2 and got[12][1] == 3
+
+
+def test_rrf_fuse_truncates_and_partitions_by_query(spark):
+    a = _ranked(spark, [(q, i, 1.0 - i / 10, i) for q in (1, 2) for i in range(1, 6)])
+    b = _ranked(spark, [])
+    out = rrf_fuse(a, b, k=3)
+    per_q = out.groupBy("query_id").count().collect()
+    assert {r.query_id: r["count"] for r in per_q} == {1: 3, 2: 3}

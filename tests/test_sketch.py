@@ -44,3 +44,60 @@ def test_cms_merge_by_counter_sum(spark):
     probes = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
     got = {r.k: r.est for r in count_min_estimate(merged, probes, "k").collect()}
     assert got == {"x": 7, "y": 1, "z": 4}
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (  # noqa: E402
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+)
+
+
+def _keyed(spark, rows):
+    return spark.createDataFrame([(g, k) for g, k in rows], "g string, k string")
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct values are EXACT (n_obs path)."""
+    df = _keyed(spark, [("a", f"v{i}") for i in range(5)] * 3)  # 5 distinct, repeated
+    est = kmv_estimate(kmv_build(df, "k", ("g",), k=16), ("g",), k=16).collect()
+    assert est[0].n_obs == 5 and est[0].est_distinct == 5
+
+
+def test_kmv_estimator_accuracy(spark):
+    """2000 distinct keys, k=64: Bar-Yossef relative error ~1/sqrt(k-2)
+    ~ 13%; assert a generous 3-sigma-ish 40% band."""
+    n = 2000
+    df = _keyed(spark, [("a", f"key-{i}") for i in range(n)])
+    est = kmv_estimate(kmv_build(df, "k", ("g",), k=64), ("g",), k=64).collect()[0]
+    assert est.n_obs == 64
+    assert 0.6 * n <= est.est_distinct <= 1.4 * n
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    """merge(sketch(A), sketch(B)) is row-identical to sketch(A union B) —
+    the property that makes per-shard sketches compose at 100 TB."""
+    a = _keyed(spark, [("g1", f"a{i}") for i in range(300)])
+    b = _keyed(spark, [("g1", f"b{i}") for i in range(300)] + [("g1", f"a{i}") for i in range(100)])
+    merged = kmv_merge(
+        kmv_build(a, "k", ("g",), k=32), kmv_build(b, "k", ("g",), k=32), ("g",), k=32
+    )
+    rebuilt = kmv_build(a.unionByName(b), "k", ("g",), k=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_kmv_groups_are_independent(spark):
+    df = _keyed(
+        spark,
+        [("big", f"x{i}") for i in range(500)] + [("small", f"y{i}") for i in range(3)],
+    )
+    est = {
+        r.g: r.est_distinct
+        for r in kmv_estimate(kmv_build(df, "k", ("g",), k=32), ("g",), k=32).collect()
+    }
+    assert est["small"] == 3
+    assert 250 <= est["big"] <= 750
