@@ -9,6 +9,7 @@ from .knn import (  # noqa: F401
     ivf_knn_join_persisted,
     ivf_knn_persisted,
     self_knn,
+    upsert_ivf_index,
 )
 from .evaluate import (  # noqa: F401
     detailed_results,

@@ -750,6 +750,82 @@ def build_ivf_index(
     ).coalesce(1).write.mode(mode).parquet(path + "_centroids")
 
 
+def upsert_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Incremental maintenance of a ``build_ivf_index`` table — the batch
+    analog of the reference's point upsert (Qdrant ``upsert_points``,
+    bcb_utils.py:117-121), with REPLACE semantics on ``id_col``.
+
+    New vectors are assigned to cells against the STORED centroid bank
+    (``{path}_centroids`` — never recomputed, so cell ids stay stable and
+    existing partitions remain valid), and only the AFFECTED cell
+    directories are rewritten: existing rows of those cells are read back
+    (a partition-pruned scan), rows whose id is being replaced are
+    anti-joined out, the union lands via dynamic partition overwrite.
+    Untouched cells' files are not read, not written, not listed —
+    at 100 TB an upsert batch costs O(|batch| + |affected cells|), not
+    O(|index|). Quantized indexes (int8 ``build_ivf_index(quantize=True)``)
+    are detected from the stored schema and the new batch is quantized with
+    the same map-side projection.
+
+    Returns the list of affected cell ids (driver-small: bounded by
+    n_centroids), mostly for tests/observability.
+    """
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+
+    assigned = _assign_cells(new_vectors, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias(id_col), F.col("vec").alias(vec_col), "cell"
+    )
+    quantized = "q" in dict(spark.read.parquet(path).dtypes)
+    if quantized:
+        from ..functions.vector import quantize_int8
+
+        qd = quantize_int8(F.col(vec_col))
+        assigned = assigned.select(
+            id_col,
+            qd["scale"].cast("float").alias("scale"),
+            F.transform(qd["q"], lambda x: x.cast("tinyint")).alias("q"),
+            "cell",
+        )
+    # bounded by n_centroids, so the collect is driver-small by construction
+    affected = sorted(
+        r.cell for r in assigned.select("cell").distinct().collect()
+    )
+    if not affected:
+        return []
+
+    existing = spark.read.parquet(path).filter(F.col("cell").isin(affected))
+    survivors = existing.join(
+        F.broadcast(assigned.select(F.col(id_col).alias("__rid"))),
+        F.col(id_col) == F.col("__rid"),
+        "left_anti",
+    )
+    merged = survivors.select(*assigned.columns).unionByName(assigned)
+    # the write target is also a read source of this plan; localCheckpoint
+    # materializes the (affected-cells-only, bounded) merge result and cuts
+    # the file-source lineage, so the overwrite never reads mid-rewrite
+    merged = merged.localCheckpoint(eager=True)
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one compact file per rewritten cell, same as the initial build
+        merged.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
+
+
 def ivf_knn_persisted(
     spark,
     path: str,

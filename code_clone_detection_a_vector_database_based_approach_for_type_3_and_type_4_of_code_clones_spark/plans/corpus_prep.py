@@ -1,0 +1,157 @@
+"""End-to-end training-corpus preparation pipeline (beyond-reference
+north star: the full data-prep flow an LLM training run needs, as ONE lazy
+DataFrame graph).
+
+Stage order follows the standard production recipe (C4 / RefinedWeb /
+Dolma-style):
+
+1. boilerplate-line removal        (operators.cleanse)
+2. exact dedup, keeper election    (operators.dedup.exact_duplicates)
+3. MinHash-LSH near-dedup          (lsh_candidate_pairs -> ngram_jaccard
+                                    -> duplicate_groups keeper election)
+4. quality + repetition filters    (functions.text)
+5. benchmark decontamination       (operators.relational.ngram_contamination)
+6. domain-mixture sampling         (operators.relational.mixture_sample)
+7. training-chunk windowing        (functions.text.token_chunks)
+
+Everything is ANNOTATE-then-FILTER: each stage contributes a boolean
+column, the funnel counts come from ONE aggregation over the running
+conjunctions (no per-stage count() actions re-running the prefix), and the
+final filter is the conjunction — so the corpus is scanned once per
+stage-group, not once per accounting row. Near-dup detection runs on exact
+survivors only (the standard staging: exact losers would flood the LSH
+buckets with identical signatures).
+
+Scale shape: stages 1/4/6/7 are map-side; 2 shuffles on the content hash;
+3 is the LSH-bounded pipeline (never all-pairs); 5 broadcasts the eval
+n-gram set. The per-doc flag joins are doc_id equi-joins AQE co-plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, repetition_stats, token_chunks, tokens
+from ..operators.cleanse import remove_boilerplate_lines
+from ..operators.dedup import (
+    duplicate_groups,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from ..operators.relational import mixture_sample, ngram_contamination
+
+
+def corpus_prep(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    boilerplate_min_df: int = 3,
+    quality_min: float = 0.25,
+    max_dup_shingle_ratio: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    contamination_n: int = 8,
+    chunk_size: int = 50,
+    chunk_stride: int = 40,
+) -> dict[str, DataFrame]:
+    """Run the 7-stage prep over ``docs (doc_id, text, lang, source)``.
+
+    Returns ``{"docs", "chunks", "accounting"}``:
+
+    - ``docs``: surviving documents with ``text`` = cleaned text plus the
+      per-stage flag columns (auditable — a dropped doc's reason is the
+      first false flag).
+    - ``chunks``: ``doc_id, chunk_idx, chunk_text`` training windows from
+      the survivors.
+    - ``accounting``: ONE row with the funnel —
+      ``n_input, n_lines_removed, n_exact_kept, n_near_kept,
+      n_quality_kept, n_decontaminated, n_sampled``.
+    """
+    cleaned = remove_boilerplate_lines(docs, min_df=boilerplate_min_df)
+    base = docs.select("doc_id", "lang", "source").join(cleaned, "doc_id")
+    base = base.withColumnRenamed("clean_text", "text")
+
+    # stage 2: exact keeper flags (docs in no dup group are keepers)
+    exact_losers = (
+        exact_duplicates(base)
+        .select(F.explode("doc_ids").alias("doc_id"), "keeper_id")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", F.lit(False).alias("is_exact_keeper"))
+    )
+    base = base.join(exact_losers, "doc_id", "left").withColumn(
+        "is_exact_keeper", F.coalesce(F.col("is_exact_keeper"), F.lit(True))
+    )
+
+    # stage 3: near-dup keeper flags over exact survivors only
+    exact_kept = base.filter(F.col("is_exact_keeper")).select("doc_id", "text")
+    near_pairs = ngram_jaccard_pairs(
+        exact_kept, lsh_candidate_pairs(exact_kept)
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    near_flags = duplicate_groups(near_pairs).select(
+        "doc_id", F.col("is_keeper").alias("is_near_keeper")
+    )
+    base = base.join(near_flags, "doc_id", "left").withColumn(
+        "is_near_keeper", F.coalesce(F.col("is_near_keeper"), F.lit(True))
+    )
+
+    # stage 4: quality + repetition (map-side expressions)
+    rep = repetition_stats(F.col("text"))
+    base = (
+        base.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("dup_shingle_ratio", rep["dup_shingle_ratio"])
+        .withColumn(
+            "quality_ok",
+            (F.col("quality") >= quality_min)
+            & (F.col("dup_shingle_ratio") <= max_dup_shingle_ratio),
+        )
+    )
+
+    # stage 5: decontamination (broadcast eval n-gram set)
+    if eval_docs is not None:
+        contam = ngram_contamination(base, eval_docs, n=contamination_n).select(
+            "doc_id", (~F.col("is_contaminated")).alias("not_contaminated")
+        )
+        base = base.join(contam, "doc_id", "left").withColumn(
+            "not_contaminated", F.coalesce(F.col("not_contaminated"), F.lit(True))
+        )
+    else:
+        base = base.withColumn("not_contaminated", F.lit(True))
+
+    survivors = base.filter(
+        F.col("is_exact_keeper")
+        & F.col("is_near_keeper")
+        & F.col("quality_ok")
+        & F.col("not_contaminated")
+    )
+
+    # stage 6: deterministic mixture sampling (map-side filter)
+    sampled = (
+        mixture_sample(survivors, weights, default_weight=1.0)
+        if weights
+        else survivors
+    )
+
+    # stage 7: training chunks
+    chunks = sampled.select(
+        "doc_id",
+        F.explode(token_chunks(tokens(F.col("text")), chunk_size, chunk_stride)).alias(
+            "c"
+        ),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_text").alias("chunk_text"))
+
+    # funnel accounting: running conjunctions, ONE aggregation
+    k1 = F.col("is_exact_keeper")
+    k2 = k1 & F.col("is_near_keeper")
+    k3 = k2 & F.col("quality_ok")
+    k4 = k3 & F.col("not_contaminated")
+    acc = base.agg(
+        F.count("*").cast("bigint").alias("n_input"),
+        F.sum("n_removed").cast("bigint").alias("n_lines_removed"),
+        F.sum(k1.cast("long")).cast("bigint").alias("n_exact_kept"),
+        F.sum(k2.cast("long")).cast("bigint").alias("n_near_kept"),
+        F.sum(k3.cast("long")).cast("bigint").alias("n_quality_kept"),
+        F.sum(k4.cast("long")).cast("bigint").alias("n_decontaminated"),
+    ).crossJoin(sampled.agg(F.count("*").cast("bigint").alias("n_sampled")))
+
+    return {"docs": sampled, "chunks": chunks, "accounting": acc}

@@ -8,6 +8,12 @@ from .events import (  # noqa: F401
     ts_micros_expr,
 )
 from .files import poj_directory_source, source_lines_from_files  # noqa: F401
+from .jsonl import (  # noqa: F401
+    DOCUMENT_SCHEMA,
+    corrupt_line_count,
+    read_jsonl,
+    write_jsonl,
+)
 from .index import (  # noqa: F401
     index_exists,
     load_index,

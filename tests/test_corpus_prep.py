@@ -1,0 +1,92 @@
+"""End-to-end corpus-prep pipeline test: every stage exercised by a
+hand-built corpus with a known funnel."""
+
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.corpus_prep import (
+    corpus_prep,
+)
+
+HDR = "subscribe to our newsletter"
+
+# a well-formed English body (~60 tokens, stopword-rich, passes quality)
+BODY = (
+    "the quick brown fox jumps over the lazy dog and then it runs back to "
+    "the barn for a rest while the farmer watches from the porch and the "
+    "sun sets slowly over the quiet fields of the old family farm in the "
+    "valley near the river"
+)
+BODY_NEAR = BODY.replace("barn", "shed")  # one-token change -> jaccard ~0.9
+EVAL_SNIPPET = "alpha beta gamma delta epsilon zeta eta theta"  # 8-gram
+
+
+def _corpus(spark):
+    rows = [
+        # 0/1: exact dups AFTER boilerplate cleaning (0 carries the header)
+        (0, f"{HDR}\n{BODY}", "en", "web"),
+        (1, BODY, "en", "web"),
+        # 2: near-dup of the keeper 1 (one token changed)
+        (2, BODY_NEAR, "en", "web"),
+        # 3: clean unique doc (header only here + on 0 and 4 -> df 3)
+        (3, f"{HDR}\nthe cat sat on the mat and the dog slept by the fire "
+            "while rain fell softly on the roof of the little house", "en", "books"),
+        # 4: low-quality (digits/symbols, no stopwords)
+        (4, f"{HDR}\n12345 67890 @@@@ #### $$$$ %%%%", "en", "web"),
+        # 5: contaminated with the eval 8-gram
+        (5, f"this document quotes {EVAL_SNIPPET} in the middle of an "
+            "otherwise ordinary text about the weather and the seasons of "
+            "the year in the northern hemisphere", "en", "web"),
+        # 6: dropped by mixture weight 0.0
+        (6, "the market opened higher today as the traders watched the "
+            "numbers climb across the boards of the exchange while the "
+            "analysts spoke about the outlook for the coming year", "en", "ads"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_corpus_prep_funnel(spark):
+    docs = _corpus(spark)
+    evald = spark.createDataFrame([(0, EVAL_SNIPPET)], "doc_id long, text string")
+    out = corpus_prep(
+        docs,
+        eval_docs=evald,
+        weights={"web": 1.0, "books": 1.0, "ads": 0.0},
+        boilerplate_min_df=3,
+        quality_min=0.25,
+        jaccard_threshold=0.8,
+    )
+
+    acc = out["accounting"].collect()[0]
+    assert acc.n_input == 7
+    assert acc.n_lines_removed == 3  # headers on 0, 3, 4
+    assert acc.n_exact_kept == 6     # 1 loses to 0 (same cleaned text)
+    assert acc.n_near_kept == 5      # 2 loses to 0's group
+    assert acc.n_quality_kept == 4   # 4 fails quality
+    assert acc.n_decontaminated == 3  # 5 carries the eval 8-gram
+    assert acc.n_sampled == 2        # 6 sampled out by weight 0.0
+
+    kept = {r.doc_id for r in out["docs"].select("doc_id").collect()}
+    assert kept == {0, 3}
+
+    # audit trail: the survivor table carries every stage flag
+    annotated = out["docs"]
+    assert set(annotated.columns) >= {
+        "doc_id", "text", "lang", "source", "is_exact_keeper",
+        "is_near_keeper", "quality_ok", "not_contaminated",
+    }
+
+    # chunks come only from survivors and reassemble their text
+    chunks = out["chunks"].collect()
+    assert {r.doc_id for r in chunks} == {0, 3}
+    c0 = sorted((r for r in chunks if r.doc_id == 0), key=lambda r: r.chunk_idx)
+    assert c0[0].chunk_text.startswith("the quick brown fox")
+
+
+def test_corpus_prep_no_eval_no_weights(spark):
+    docs = _corpus(spark)
+    out = corpus_prep(docs, boilerplate_min_df=3, jaccard_threshold=0.8)
+    acc = out["accounting"].collect()[0]
+    assert acc.n_decontaminated == acc.n_quality_kept  # stage disabled
+    assert acc.n_sampled == acc.n_decontaminated       # no sampling
+    kept = {r.doc_id for r in out["docs"].select("doc_id").collect()}
+    assert kept == {0, 3, 5, 6}

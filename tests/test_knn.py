@@ -400,3 +400,106 @@ def test_pq_rerank_restores_recall(spark, embeddings, tmp_path):
 
     assert rec(rer) >= rec(raw) - 1e-9
     assert rec(rer) >= 0.95, (rec(raw), rec(rer))
+
+
+def test_upsert_ivf_index_replace_and_append(spark, embeddings, tmp_path):
+    """Upsert semantics: (1) the merged table equals a from-scratch build
+    over the merged corpus UNDER THE SAME CENTROID BANK (ids 0..15 are
+    untouched, so both banks agree); (2) replaced ids carry the new
+    vectors; (3) only affected cell directories are rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+        upsert_ivf_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    path = str(tmp_path / "ivf_up")
+    build_ivf_index(base, path, n_centroids=8)
+
+    def file_set():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_set()
+
+    # batch: 50 appends (ids 400-449) + 50 replaces (ids 200-249, vectors
+    # swapped for the embedding of id+250 -> genuinely different)
+    appends = embeddings.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    ).select("vec_id", "embedding")
+    swap = embeddings.filter(
+        (F.col("vec_id") >= 450) & (F.col("vec_id") < 500)
+    ).select((F.col("vec_id") - 250).alias("vec_id"), "embedding")
+    batch = appends.unionByName(swap)
+    affected = upsert_ivf_index(batch, path)
+    assert affected and len(affected) <= 8
+
+    # ground truth: rebuild from scratch over the post-upsert corpus
+    untouched = base.filter((F.col("vec_id") < 200) | (F.col("vec_id") >= 250)).select(
+        "vec_id", "embedding"
+    )
+    merged_corpus = untouched.unionByName(batch)
+    path2 = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(merged_corpus, path2, n_centroids=8)
+
+    got = {
+        (r.vec_id, r.cell): tuple(r.embedding)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.vec_id, r.cell): tuple(r.embedding)
+        for r in spark.read.parquet(path2).collect()
+    }
+    assert got == want
+
+    # unaffected cell files were not rewritten
+    after = file_set()
+    untouched_cells = [c for c in range(1000) if c not in affected]
+    for p, mt in before.items():
+        cell = int(p.split("cell=")[1].split("/")[0])
+        if cell in untouched_cells:
+            assert p in after and after[p] == mt, p
+
+    # search over the upserted index == search over the rebuild
+    probes = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = ivf_knn_persisted(spark, path, probes, k=5, nprobe=3).collect()
+    b = ivf_knn_persisted(spark, path2, probes, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_upsert_ivf_index_quantized(spark, embeddings, tmp_path):
+    """Quantized indexes are detected from the stored schema; the new batch
+    lands int8-coded and search still works through the dequantize load."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+        upsert_ivf_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 450)
+    path = str(tmp_path / "ivf_q")
+    build_ivf_index(base, path, n_centroids=8, quantize=True)
+    batch = embeddings.filter(F.col("vec_id") >= 450).select("vec_id", "embedding")
+    upsert_ivf_index(batch, path)
+
+    stored = spark.read.parquet(path)
+    assert "q" in dict(stored.dtypes) and stored.count() == 500
+    probes = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_knn_persisted(spark, path, probes, k=5, nprobe=3, quantized=True)
+    assert out.count() == 25

@@ -220,3 +220,41 @@ def test_events_read_reraises_unrelated_errors(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL source / sink
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip(spark, documents, tmp_path):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(documents, path)
+    back = read_jsonl(spark, path)
+    assert back.count() == documents.count()
+    a = sorted(map(tuple, documents.collect()))
+    b = sorted(map(tuple, back.select(*documents.columns).collect()))
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_counted_not_crashed(spark, tmp_path):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.jsonl import (
+        corrupt_line_count,
+        read_jsonl,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+        '{"broken": \n'
+    )
+    good = read_jsonl(spark, str(p))
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert corrupt_line_count(spark, str(p)) == 2
