@@ -198,8 +198,35 @@ def bench_queries(spark, sf_dir):
             probes, emb, k=10, n_centroids=16, nprobe=4, exclude_self=False
         )
 
+    def q_bm25():
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+            tokens,
+        )
+
+        probes = docs.filter(F.col("doc_id") < 100).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(F.slice(tokens(F.col("text")), 1, 8)).alias("terms"),
+        )
+        return ops.bm25_topk(docs, probes, k=10)
+
+    def q_semantic_dedup():
+        return ops.semantic_duplicates(emb, threshold=0.30, n_centroids=16)
+
+    def q_corpus_prep():
+        # the full 7-stage funnel; consuming the 1-row accounting runs the
+        # whole annotate-then-filter graph including the LSH dedup pass
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.corpus_prep import (
+            corpus_prep,
+        )
+
+        out = corpus_prep(docs, eval_docs=docs.limit(50))
+        return out["accounting"]
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
+        "bm25_topk": q_bm25,
+        "semantic_dedup": q_semantic_dedup,
+        "corpus_prep_funnel": q_corpus_prep,
     }
 
     return {

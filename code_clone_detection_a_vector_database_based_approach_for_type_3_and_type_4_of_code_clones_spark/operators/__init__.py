@@ -38,6 +38,7 @@ from .sketch import (  # noqa: F401
     kmv_merge,
 )
 from .retrieval import (  # noqa: F401
+    bm25_index,
     bm25_topk,
     rrf_fuse,
 )

@@ -37,8 +37,43 @@ BM25_B = 0.75
 RRF_C = 60  # the canonical reciprocal-rank-fusion constant
 
 
-def bm25_topk(
+def bm25_index(
     docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """The BM25 index as three relational tables — build once, query many:
+
+    - ``postings``: ``result_id, term, tf, dl`` (one shuffle)
+    - ``df``:       ``term, df`` (derived from postings; postings are
+      unique per (doc, term) so df is a plain count)
+    - ``stats``:    1-row ``n_docs, sum_dl``
+
+    All three are plain DataFrames: persist them, or ``write.parquet`` and
+    reload — the 100 TB shape is postings-on-disk bucketed by term, built
+    once per corpus snapshot while ``bm25_topk`` replans only the (small)
+    query side. Passing the dict to ``bm25_topk(index=...)`` also dedups
+    the postings subtree within one plan (Spark has no cross-branch
+    common-subplan reuse without an explicit persist)."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(doc_id).alias("result_id"), toks.alias("toks")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    postings = (
+        base.select("result_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("result_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_tbl = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    return {"postings": postings, "df": df_tbl, "stats": stats}
+
+
+def bm25_topk(
+    docs: DataFrame | None,
     probes: DataFrame,
     k: int = 10,
     k1: float = BM25_K1,
@@ -47,6 +82,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id: str = "query_id",
     query_terms: str = "terms",
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """BM25 top-k lexical retrieval: for each probe row (``query_id``,
     ``terms`` array<string>) score every document containing at least one
@@ -56,27 +92,16 @@ def bm25_topk(
         idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
     idf(t) = (N - df + 0.5) / (df + 0.5)   [log-free; see module docstring]
 
+    ``index`` (from ``bm25_index``, possibly persisted/reloaded) skips the
+    corpus passes entirely; otherwise the index plan is derived from
+    ``docs`` inline.
+
     Output: ``query_id, result_id, score, rank`` (rank 1-based by score
     descending, ties by result_id ascending — the kNN operators' contract).
     """
-    toks = tokens(F.col(text_col))
-    base = docs.select(
-        F.col(doc_id).alias("result_id"), toks.alias("toks")
-    ).withColumn("dl", F.size("toks").cast("bigint"))
-
-    # corpus statistics as a 1-row broadcast plan (no driver collect)
-    stats = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.sum("dl").cast("double").alias("sum_dl"),
-    )
-
-    postings = (
-        base.select("result_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("result_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"), F.first("dl").alias("dl"))
-    )
-    # postings are unique per (doc, term), so df is a plain count per term
-    df_tbl = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    if index is None:
+        index = bm25_index(docs, doc_id, text_col)
+    postings, df_tbl, stats = index["postings"], index["df"], index["stats"]
 
     qterms = probes.select(
         F.col(query_id).alias("query_id"),

@@ -118,6 +118,17 @@ def corpus_prep(
     else:
         base = base.withColumn("not_contaminated", F.lit(True))
 
+    # the annotated table fans out to BOTH the funnel aggregation and the
+    # survivor/chunk branch (cross-joined into one plan): persist so the
+    # 5-stage prefix — including the LSH pipeline — materializes once per
+    # action instead of once per reference (measured 22 s -> 7.5 s at 5k
+    # docs). persist_bounded's FIFO registry unpersists on eviction, so
+    # repeated pipeline runs in one session can't pin blocks without
+    # limit; storage spills to disk for corpora beyond memory.
+    from ..operators.dedup import persist_bounded
+
+    base = persist_bounded(base)
+
     survivors = base.filter(
         F.col("is_exact_keeper")
         & F.col("is_near_keeper")

@@ -315,3 +315,27 @@ def test_semantic_duplicates_subset_and_planted_recall(spark, embeddings):
     assert planted <= set(sem)
     # cluster-bounded broad recall at a low threshold: floor only
     assert len(set(sem) & set(exact)) / len(exact) >= 0.15
+
+
+def test_semantic_duplicates_vectorized_matches_expression(spark, embeddings):
+    """The grouped-matmul path is row-identical to the expression twin
+    (same rounding, same threshold filter, same cell assignment)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    vec = sorted(
+        map(tuple, semantic_duplicates(embeddings, threshold=0.30, n_centroids=16,
+                                       vectorized=True).collect())
+    )
+    expr = sorted(
+        map(tuple, semantic_duplicates(embeddings, threshold=0.30, n_centroids=16,
+                                       vectorized=False).collect())
+    )
+    assert vec == expr
+    # block smaller than any cell: the blocked matmul tiles correctly
+    blocked = sorted(
+        map(tuple, semantic_duplicates(embeddings, threshold=0.30, n_centroids=16,
+                                       vectorized=True, block=7).collect())
+    )
+    assert blocked == expr

@@ -125,3 +125,27 @@ def test_rrf_fuse_truncates_and_partitions_by_query(spark):
     out = rrf_fuse(a, b, k=3)
     per_q = out.groupBy("query_id").count().collect()
     assert {r.query_id: r["count"] for r in per_q} == {1: 3, 2: 3}
+
+
+def test_bm25_prebuilt_index_matches_inline(spark, tmp_path):
+    """bm25_index persisted to parquet and reloaded produces the same
+    top-k as the inline derivation — the build-once/query-many shape."""
+    docs = _docs(spark)
+    probes = _probes(spark, [(3, ["spark", "join", "window"])])
+    inline = sorted(map(tuple, bm25_topk(docs, probes, k=10).collect()))
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.retrieval import (
+        bm25_index,
+    )
+
+    idx = bm25_index(docs)
+    paths = {}
+    for name, df in idx.items():
+        p = str(tmp_path / f"bm25_{name}")
+        df.write.parquet(p)
+        paths[name] = p
+    reloaded = {name: spark.read.parquet(p) for name, p in paths.items()}
+    from_disk = sorted(
+        map(tuple, bm25_topk(None, probes, k=10, index=reloaded).collect())
+    )
+    assert inline == from_disk

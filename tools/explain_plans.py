@@ -84,6 +84,15 @@ def main() -> None:
     plans["ivf_knn_persisted_pruned"] = ops.ivf_knn_persisted(
         spark, ivf_path, probe1, k=5, nprobe=2
     )
+
+    # round-4 session additions: lexical/hybrid retrieval, cleanse, KMV,
+    # semantic dedup, corpus-prep funnel
+    plans["bm25_topk"] = entrymod.q_bm25_topk(spark, sf)
+    plans["hybrid_rrf"] = entrymod.q_hybrid_rrf(spark, sf)
+    plans["boilerplate_clean"] = entrymod.q_boilerplate_clean(spark, sf)
+    plans["kmv_tokens"] = entrymod.q_kmv_tokens(spark, sf)
+    plans["semantic_dups"] = entrymod.q_semantic_dups(spark, sf)
+
     for name, df in plans.items():
         print(f"\n===== {name} =====")
         df.explain("formatted")
