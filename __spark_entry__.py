@@ -1314,7 +1314,9 @@ def _planted_boilerplate(docs: DataFrame) -> DataFrame:
     """documents with deterministic planted boilerplate: a newsletter header
     on every 3rd doc, a rights footer on every 5th (the sf tables are
     single-line, so the cross-document repeated lines are planted in-query —
-    same convention as srp_near_dups' perturbations)."""
+    same convention as srp_near_dups' perturbations). Non-text columns pass
+    through."""
+    passthrough = [c for c in docs.columns if c not in ("doc_id", "text")]
     return docs.select(
         "doc_id",
         F.concat(
@@ -1326,6 +1328,7 @@ def _planted_boilerplate(docs: DataFrame) -> DataFrame:
                 F.col("doc_id") % 5 == 0, F.lit("\nall rights reserved")
             ).otherwise(F.lit("")),
         ).alias("text"),
+        *passthrough,
     )
 
 
@@ -1353,6 +1356,43 @@ def q_kmv_tokens(spark, sf_dir):
     toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
     sk = ops.kmv_build(toks, "tok", ("source",), k=KMV_QUERY_K)
     return ops.kmv_estimate(sk, ("source",), k=KMV_QUERY_K)
+
+
+PREP_WEIGHTS = {"src0": 0.0, "src1": 0.25}  # mixture: drop src0, quarter src1
+PREP_JACCARD = 0.8
+PREP_QUALITY_MIN = 0.25
+
+
+def q_corpus_prep_funnel(spark, sf_dir):
+    """The FULL 7-stage corpus-prep pipeline (plans.corpus_prep) as one
+    graded query: its 1-row funnel accounting, value-hash-checked against
+    a DuckDB oracle that REPLAYS every stage — boilerplate line-df removal
+    over planted headers/footers, sha256 exact dedup over planted copies
+    (doc_id % 7, same convention as exact_dups), MinHash-LSH + jaccard +
+    3-round label propagation for near-dedup, quality/repetition filters,
+    eval-8-gram decontamination (eval = doc_id < CONTAM_EVAL_DOCS), and
+    hash-deterministic mixture sampling (PREP_WEIGHTS). All-integer
+    output, so the hash has no float surface at all."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.corpus_prep import (
+        corpus_prep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    u = docs.unionByName(copies).select("doc_id", "text", "lang", "source")
+    ev = docs.filter(F.col("doc_id") < CONTAM_EVAL_DOCS).select("doc_id", "text")
+    out = corpus_prep(
+        _planted_boilerplate(u),
+        eval_docs=ev,
+        weights=PREP_WEIGHTS,
+        boilerplate_min_df=BOILERPLATE_DF,
+        quality_min=PREP_QUALITY_MIN,
+        jaccard_threshold=PREP_JACCARD,
+        contamination_n=CONTAM_N,
+    )
+    return out["accounting"]
 
 
 def q_semantic_dups(spark, sf_dir):
@@ -1401,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_clean": q_boilerplate_clean,
         "kmv_tokens": q_kmv_tokens,
         "semantic_dups": q_semantic_dups,
+        "corpus_prep_funnel": q_corpus_prep_funnel,
         # --- r3-green, staying in the window ---
         "lsh_pairs": q_lsh_pairs,
         "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -1419,7 +1460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
         "normalized_embeddings": q_normalized_embeddings,
-        "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1434,8 +1474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_docs": q_stratified_docs,
         # --- rotated out of the 50-query correctness window this round
         #     (green in r3 — sliding_events/srp_near_dups/frame_samples/
-        #     media_features/status_pivot; green r1+r2+r3 — the rest;
-        #     due back in r5) ---
+        #     media_features/status_pivot/source_overlap; green r1+r2+r3 —
+        #     the rest; due back in r5) ---
+        "source_overlap": q_source_overlap,
         "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
@@ -1530,7 +1571,7 @@ perq AS (
 """
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents") -> str:
     toks = _TOKENS
     sh = _shingles_sql(toks, MINHASH_SHINGLE)
     h = _HASH60("s")
@@ -1542,7 +1583,7 @@ def _minhash_sig_sql() -> str:
 sigs AS (
   SELECT doc_id,
          CASE WHEN len(sh) > 0 THEN [{terms}] END AS sig
-  FROM (SELECT doc_id, {sh} AS sh FROM documents)
+  FROM (SELECT doc_id, {sh} AS sh FROM {src})
 )"""
 
 
@@ -2528,8 +2569,150 @@ SELECT source, count(*)::BIGINT AS n_obs,
 FROM kept GROUP BY source"""
 
     sql["semantic_dups"] = _semantic_dups_sql()
+    sql["corpus_prep_funnel"] = _corpus_prep_funnel_sql()
 
     return sql
+
+
+def _corpus_prep_funnel_sql() -> str:
+    """Full replay of the 7-stage corpus_prep over the funnel query's
+    planted input (boilerplate headers/footers + doc_id%7 exact copies):
+    every stage recomputed from first principles — the line-df removal,
+    sha256 keeper election, the MinHash-LSH -> jaccard -> 3-round label
+    propagation (same CTEs as dup_groups, sourced from the exact-keeper
+    set), quality/repetition, eval-8-gram contamination, and the
+    stable_hash64 mixture predicate. All counts are integers."""
+    toks = _TOKENS
+    sh3 = _shingles_sql(toks, MINHASH_SHINGLE)
+    sh8 = _shingles_sql("toks", CONTAM_N)
+    h_sh = _HASH60("s")
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    mix_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in PREP_WEIGHTS.items())
+        + " ELSE 1.0 END"
+    )
+    mix_src = "source || ':' || doc_id::VARCHAR"
+    mix_keep = (
+        f"{_HASH60(mix_src)} % 1000000 < round(({mix_case}) * 1000000)::BIGINT"
+    )
+    prop_steps = []
+    for i in range(DUP_GROUP_ITERS):
+        prop_steps.append(
+            f"""pl{i + 1} AS (
+  SELECT l.doc_id, least(l.label, min(n.label)) AS label
+  FROM pl{i} l JOIN pedges e ON e.a = l.doc_id JOIN pl{i} n ON n.doc_id = e.b
+  GROUP BY l.doc_id, l.label
+)"""
+        )
+    return f"""
+WITH uprep AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM documents WHERE doc_id % 7 = 0
+),
+planted AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END)
+         || text ||
+         (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+  FROM uprep
+),
+lns AS (
+  SELECT doc_id, lang, source,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM planted
+),
+dfreq AS (
+  SELECT line, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM lns)
+  GROUP BY line
+),
+bp AS (
+  SELECT coalesce(list(line), []::VARCHAR[]) AS bp_lines
+  FROM dfreq WHERE df >= {BOILERPLATE_DF}
+),
+cleaned AS (
+  SELECT l.doc_id, l.lang, l.source,
+         array_to_string(list_filter(l.lines, x -> NOT list_contains(b.bp_lines, x)), chr(10)) AS text,
+         (len(l.lines) - len(list_filter(l.lines, x -> NOT list_contains(b.bp_lines, x))))::BIGINT AS n_removed
+  FROM lns l CROSS JOIN bp b
+),
+ek AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS k1
+  FROM cleaned
+),
+ekd AS (SELECT doc_id, text FROM ek WHERE k1),
+{_minhash_sig_sql(src="ekd")},
+{_lsh_pairs_sql()},
+pshingled AS (
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {h_sh})) AS sh
+  FROM ekd
+),
+pjac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN pshingled a ON a.doc_id = c.doc_a
+  JOIN pshingled b ON b.doc_id = c.doc_b
+),
+pedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pjac WHERE jaccard >= {PREP_JACCARD}
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pjac WHERE jaccard >= {PREP_JACCARD}
+),
+pl0 AS (SELECT DISTINCT a AS doc_id, a AS label FROM pedges),
+{", ".join(prop_steps)},
+nearloser AS (SELECT doc_id FROM pl{DUP_GROUP_ITERS} WHERE doc_id <> label),
+qual AS (
+  SELECT doc_id,
+         round(
+           0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+           + 0.4 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0.0 END)
+           + 0.2 * least((CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)
+                          ELSE 0.0 END) / 0.2, 1.0), 6) AS quality,
+         CASE WHEN len(sh3g) > 0
+              THEN round(1.0 - len(list_distinct(sh3g))::DOUBLE / len(sh3g), 6)
+              ELSE 0.0 END AS dsr
+  FROM (SELECT doc_id, text, {toks} AS toks, {sh3} AS sh3g FROM ekd)
+),
+evn AS (
+  SELECT DISTINCT ngram FROM (
+    SELECT unnest({sh8}) AS ngram
+    FROM (SELECT {toks} AS toks FROM documents WHERE doc_id < {CONTAM_EVAL_DOCS})
+  )
+),
+phits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({sh8}) AS ngram
+    FROM (SELECT doc_id, {toks} AS toks FROM ekd)
+  ) JOIN evn USING (ngram)
+),
+ann AS (
+  SELECT ek.doc_id, ek.source, ek.n_removed, ek.k1,
+         nl.doc_id IS NULL AS nk,
+         (q.quality >= {PREP_QUALITY_MIN!r} AND q.dsr <= 0.5) AS qok,
+         h.doc_id IS NULL AS notc
+  FROM ek
+  LEFT JOIN nearloser nl ON nl.doc_id = ek.doc_id
+  LEFT JOIN qual q ON q.doc_id = ek.doc_id
+  LEFT JOIN phits h ON h.doc_id = ek.doc_id
+)
+SELECT count(*)::BIGINT AS n_input,
+       sum(n_removed)::BIGINT AS n_lines_removed,
+       sum(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS n_exact_kept,
+       sum(CASE WHEN k1 AND nk THEN 1 ELSE 0 END)::BIGINT AS n_near_kept,
+       sum(CASE WHEN k1 AND nk AND qok THEN 1 ELSE 0 END)::BIGINT AS n_quality_kept,
+       sum(CASE WHEN k1 AND nk AND qok AND notc THEN 1 ELSE 0 END)::BIGINT AS n_decontaminated,
+       sum(CASE WHEN k1 AND nk AND qok AND notc AND ({mix_keep}) THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+FROM ann"""
 
 
 
