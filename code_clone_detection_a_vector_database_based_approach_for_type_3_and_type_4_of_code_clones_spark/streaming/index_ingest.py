@@ -1,0 +1,61 @@
+"""Continuous vector-index ingest: Structured Streaming -> persisted IVF
+index (beyond-reference extension).
+
+The reference ingests once, synchronously, into Qdrant (bcb_utils.py:
+76-121) — a live system re-embeds and re-indexes continuously. This module
+closes the loop with the engine's own pieces: a file-stream of embedding
+parquet shards drives ``foreachBatch``; the FIRST batch bootstraps the
+index + centroid bank (create-if-absent, the reference's
+``collection_exists`` semantics, SURVEY S7); every later batch goes
+through ``upsert_ivf_index`` against the STORED bank, so cell identifiers
+never move under live readers and only affected cell partitions rewrite.
+
+Delivery semantics: ``foreachBatch`` replays a batch after a crash, and
+the upsert has REPLACE-per-``vec_id`` semantics — a replay rewrites the
+same rows, so the sink is idempotent (effectively exactly-once) without a
+transaction log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.knn import build_ivf_index, upsert_ivf_index
+from ..sources.index import index_exists
+
+EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def index_ingest_stream(
+    spark: SparkSession,
+    vectors_dir: str,
+    index_path: str,
+    n_centroids: int = 16,
+    schema: str = EMBEDDING_SCHEMA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+):
+    """Build the (unstarted) streaming writer: call ``.trigger(...)``,
+    ``.option("checkpointLocation", ...)`` and ``.start()`` on the result.
+
+    Each micro-batch lands via ``foreachBatch``: bootstrap
+    ``build_ivf_index`` on the first non-empty batch, ``upsert_ivf_index``
+    afterwards."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(vectors_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        if index_exists(batch.sparkSession, index_path):
+            upsert_ivf_index(batch, index_path, id_col=id_col, vec_col=vec_col)
+        else:
+            build_ivf_index(
+                batch, index_path, n_centroids=n_centroids,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    return stream.writeStream.foreachBatch(sink)

@@ -118,3 +118,124 @@ def test_duplicate_groups_converged_matches_connected_components(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=8),
+    query=st.lists(_word, min_size=1, max_size=3),
+)
+def test_bm25_matches_bruteforce_random(spark, docs, query):
+    """BM25 vs the pure-Python oracle on random tiny corpora: same doc
+    set, same micro-unit scores, same (score desc, id asc) ranks —
+    including empty docs, all-identical docs, repeated query terms."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(0, query)], "query_id long, terms array<string>"
+    )
+    got = {
+        r.result_id: (r.score, r.rank)
+        for r in bm25_topk(df, probes, k=100).collect()
+    }
+
+    toks = {d: t.split() for d, t in rows}
+    n = float(len(rows))
+    sum_dl = float(sum(len(t) for t in toks.values()))
+    avgdl = sum_dl / n
+    dfreq: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    want = {}
+    for d, t in toks.items():
+        c6 = 0
+        for term in set(query):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = ((n - dfreq[term]) + 0.5) / (dfreq[term] + 0.5)
+            contrib = (idf * (tf * (BM25_K1 + 1.0))) / (
+                tf + BM25_K1 * ((1.0 - BM25_B) + ((BM25_B * len(t)) / avgdl))
+            )
+            c6 += round(contrib * 1_000_000.0)
+        if c6:
+            want[d] = round(c6 / 1_000_000.0, 6)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert abs(got[d][0] - s) < 1e-9
+    order = [d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert order == [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+    k=st.integers(min_value=4, max_value=16),
+)
+def test_kmv_merge_equals_rebuild_random(spark, keys, k):
+    """Sketch composability on random shards: merge(sketch(A), sketch(B))
+    is row-identical to sketch(A union B) for ANY split, and the estimate
+    is exact whenever distinct count fits inside k."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    mid = len(keys) // 2
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [("g", f"k{v}") for v in rows], "g string, k string"
+    )
+    a, b, full = mk(keys[:mid]), mk(keys[mid:]), mk(keys)
+    if not keys[:mid]:
+        a = mk([])  # empty side still merges
+    merged = kmv_merge(
+        kmv_build(a, "k", ("g",), k=k), kmv_build(b, "k", ("g",), k=k), ("g",), k=k
+    )
+    rebuilt = kmv_build(full, "k", ("g",), k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+    n_true = len(set(keys))
+    est = kmv_estimate(rebuilt, ("g",), k=k).collect()[0]
+    if n_true < k:
+        assert est.est_distinct == n_true
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    bodies=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=10),
+    min_df=st.integers(min_value=2, max_value=4),
+)
+def test_boilerplate_removal_threshold_property(spark, bodies, min_df):
+    """For every line: removed from ALL docs iff its doc frequency reaches
+    min_df — on random corpora where line sharing is induced by body-id
+    collisions."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.cleanse import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (i, f"line-{b}\nuniq-{i}") for i, b in enumerate(bodies)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_df=min_df).collect()}
+    from collections import Counter
+
+    # df counts DISTINCT docs; each doc contributes its line-{b} exactly once
+    dfreq = Counter(f"line-{b}" for b in bodies)
+    for i, b in enumerate(bodies):
+        removed = dfreq[f"line-{b}"] >= min_df
+        lines = out[i].clean_text.split("\n") if out[i].clean_text else []
+        assert (f"line-{b}" not in lines) == removed
+        assert (f"uniq-{i}" in lines)  # unique lines always survive
+        assert out[i].n_removed == (1 if removed else 0)

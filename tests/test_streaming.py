@@ -392,3 +392,64 @@ def test_sessionize_salted_merges_cross_bucket_chains(spark):
         for r in sessionize_batch(ev, gap_ticks=gap).collect()
     }
     assert plain == out
+
+
+def test_index_ingest_stream_builds_then_upserts(spark, tmp_path, embeddings):
+    """Streamed shards land in the SAME persisted IVF index a batch build
+    would produce: the first micro-batch bootstraps the centroid bank,
+    later batches upsert against it, and the final table equals the cell
+    assignment of the full corpus under the stored bank."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _assign_cells,
+        ivf_knn_persisted,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.index_ingest import (
+        index_ingest_stream,
+    )
+
+    shards = str(tmp_path / "shards")
+    # 5 ordered shards of 100 vectors (shard i = vec_id in [i*100, i*100+100))
+    for i in range(5):
+        embeddings.filter(
+            (F.col("vec_id") >= i * 100) & (F.col("vec_id") < (i + 1) * 100)
+        ).select("vec_id", "embedding").coalesce(1).write.parquet(
+            f"{shards}/part{i}"
+        )
+
+    index_path = str(tmp_path / "stream_ivf")
+    q = (
+        index_ingest_stream(
+            spark, shards + "/*", index_path, n_centroids=8,
+            max_files_per_trigger=1,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(index_path)
+    assert stored.count() == 500
+
+    # ground truth: assign ALL vectors against the STORED centroid bank
+    cents = spark.read.parquet(index_path + "_centroids").orderBy("cent_id").collect()
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cents]
+    cent_ids = [int(r.cent_id) for r in cents]
+    want = {
+        (r.result_id, r.cell): tuple(r.vec)
+        for r in _assign_cells(
+            embeddings, cent_vecs, cent_ids, "vec_id", "embedding"
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell): tuple(r.embedding) for r in stored.collect()
+    }
+    assert got == want
+
+    # and the index is searchable through the normal persisted path
+    probes = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert ivf_knn_persisted(spark, index_path, probes, k=5, nprobe=3).count() == 25
