@@ -1395,6 +1395,21 @@ def q_corpus_prep_funnel(spark, sf_dir):
     return out["accounting"]
 
 
+CLUSTER_TOP_N = 3
+
+
+def q_cluster_top_terms(spark, sf_dir):
+    """Cluster profiling (operators.dedup.cluster_top_terms): per IVF cell,
+    the top-3 tokens of the documents assigned to it — how a curation run
+    labels embedding-space clusters before setting per-cluster sampling
+    rates. doc_id and vec_id share the id space."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    return ops.cluster_top_terms(
+        emb, docs, n_centroids=IVF_CENTROIDS, top_n=CLUSTER_TOP_N
+    )
+
+
 def q_semantic_dups(spark, sf_dir):
     """SemDeDup-style cluster-bounded semantic near-dup pairs
     (operators.dedup.semantic_duplicates): IVF-cell assignment bounds the
@@ -1416,8 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-4 rotation: the 13 TPC-H-shaped r3-tail queries are back in the
-    # window (front), new r4 queries follow, and 14 r1+r2+r3-green
-    # stalwarts take their turn in the tail.
+    # window (front), the 8 new r4 queries follow (never checked — must be
+    # in-window), and 20 r3-green queries take their turn in the tail
+    # (due back in r5).
     return {
         # --- due back in the window (r3 tail) ---
         "pricing_summary": q_pricing_summary,
@@ -1442,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_tokens": q_kmv_tokens,
         "semantic_dups": q_semantic_dups,
         "corpus_prep_funnel": q_corpus_prep_funnel,
+        "cluster_top_terms": q_cluster_top_terms,
         # --- r3-green, staying in the window ---
         "lsh_pairs": q_lsh_pairs,
         "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -1459,7 +1476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
-        "normalized_embeddings": q_normalized_embeddings,
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1474,8 +1490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_docs": q_stratified_docs,
         # --- rotated out of the 50-query correctness window this round
         #     (green in r3 — sliding_events/srp_near_dups/frame_samples/
-        #     media_features/status_pivot/source_overlap; green r1+r2+r3 —
-        #     the rest; due back in r5) ---
+        #     media_features/status_pivot/source_overlap/
+        #     normalized_embeddings; green r1+r2+r3 — the rest; due back
+        #     in r5) ---
+        "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
         "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
@@ -1780,15 +1798,11 @@ def _boilerplate_planted_sql() -> str:
 FROM documents"""
 
 
-def _semantic_dups_sql() -> str:
-    """SemDeDup oracle: the IVF cell-assignment CTEs (same semantics as
-    ``_ivf_sql``'s front half) + within-cell pair generation."""
-    cos_ab = (
-        "round(list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-    )
-    return f"""
-WITH cents AS (
+def _ivf_assign_ctes() -> str:
+    """The shared IVF cell-assignment CTE chain (cents/x/assigned — same
+    semantics as ``_ivf_sql``'s front half), used by the SemDeDup and
+    cluster-profiling oracles."""
+    return f"""cents AS (
   SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
   FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
 ),
@@ -1803,10 +1817,37 @@ assigned AS (
                       c.cent_id ASC) AS rnk
     FROM x CROSS JOIN cents c
   ) WHERE rnk = 1
-)
+)"""
+
+
+def _semantic_dups_sql() -> str:
+    """SemDeDup oracle: the IVF cell-assignment CTEs + within-cell pair
+    generation."""
+    cos_ab = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH {_ivf_assign_ctes()}
 SELECT a.result_id AS doc_a, b.result_id AS doc_b, a.cell AS cell, {cos_ab} AS cosine
 FROM assigned a JOIN assigned b ON b.cell = a.cell AND a.result_id < b.result_id
 WHERE {cos_ab} >= {SEMANTIC_THRESHOLD}"""
+
+
+def _cluster_top_terms_sql() -> str:
+    return f"""
+WITH {_ivf_assign_ctes()},
+tok AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+counted AS (
+  SELECT a.cell, t.token, count(*)::BIGINT AS n
+  FROM tok t JOIN assigned a ON a.result_id = t.doc_id
+  GROUP BY a.cell, t.token
+)
+SELECT cell, token, n, rank FROM (
+  SELECT cell, token, n,
+         row_number() OVER (PARTITION BY cell ORDER BY n DESC, token ASC)::BIGINT AS rank
+  FROM counted
+) WHERE rank <= {CLUSTER_TOP_N}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2570,6 +2611,7 @@ FROM kept GROUP BY source"""
 
     sql["semantic_dups"] = _semantic_dups_sql()
     sql["corpus_prep_funnel"] = _corpus_prep_funnel_sql()
+    sql["cluster_top_terms"] = _cluster_top_terms_sql()
 
     return sql
 

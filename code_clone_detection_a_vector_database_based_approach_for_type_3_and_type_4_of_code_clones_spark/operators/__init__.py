@@ -49,6 +49,7 @@ from .cleanse import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     bucket_stats,
+    cluster_top_terms,
     persist_bounded,
     duplicate_groups,
     embedding_near_duplicates,

@@ -824,3 +824,43 @@ def _semantic_pairs_grouped(
     return assigned.groupBy("cell").applyInPandas(
         cell_pairs, "doc_a long, doc_b long, cell long, cosine double"
     )
+
+
+def cluster_top_terms(embeddings: DataFrame, docs: DataFrame,
+                      n_centroids: int = 16, top_n: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cluster profiling — the inspection companion to
+    ``semantic_duplicates``: per IVF cell, the ``top_n`` most frequent
+    tokens of the documents assigned to it. Corpus curation runs this to
+    LABEL embedding-space clusters (which cell is boilerplate? which is
+    code? which language?) before deciding per-cluster sampling rates.
+
+    Scale shape: cell assignment is the map-side centroid projection
+    (no shuffle), the token count partial-aggregates before the
+    (cell, token) exchange, and a WindowGroupLimit bounds the final
+    per-cell rank.
+
+    Output: ``cell, token, n, rank`` (rank by count desc, token asc).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+    from .knn import _assign_cells, _centroid_bank
+
+    cent_vecs, cent_ids = _centroid_bank(embeddings, n_centroids, id_col, vec_col, 0, 2048)
+    assigned = _assign_cells(embeddings, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias(doc_id), "cell"
+    )
+    toks = docs.select(F.col(doc_id), F.explode(tokens(F.col(text_col))).alias("token"))
+    counted = (
+        toks.join(assigned, doc_id)
+        .groupBy("cell", "token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("cell", "token", "n", "rank")
+    )

@@ -83,6 +83,7 @@ def bm25_topk(
     query_id: str = "query_id",
     query_terms: str = "terms",
     index: dict[str, DataFrame] | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """BM25 top-k lexical retrieval: for each probe row (``query_id``,
     ``terms`` array<string>) score every document containing at least one
@@ -96,6 +97,15 @@ def bm25_topk(
     corpus passes entirely; otherwise the index plan is derived from
     ``docs`` inline.
 
+    ``max_df_ratio`` is the hot-term guard for corpus scale: a query term
+    matching more than that fraction of documents (stopwords, markup
+    tokens) would pull O(N) posting rows through the join while
+    contributing ~nothing to the score (idf -> 0 as df -> N). Setting e.g.
+    ``0.5`` drops such terms BEFORE the postings join — standard IR-engine
+    behavior — bounding per-term fan-out at the cost of exact scores for
+    stopword-only queries. ``None`` (default) keeps exact semantics (the
+    oracle-checked form).
+
     Output: ``query_id, result_id, score, rank`` (rank 1-based by score
     descending, ties by result_id ascending — the kNN operators' contract).
     """
@@ -108,8 +118,16 @@ def bm25_topk(
         F.explode(F.array_distinct(F.col(query_terms))).alias("term"),
     )
 
+    with_df = postings.join(df_tbl, "term")
+    if max_df_ratio is not None:
+        # the df/n_docs predicate is computable on the (small) df table
+        # side alone, so the cut happens before any posting row moves
+        cut = df_tbl.crossJoin(F.broadcast(stats)).filter(
+            F.col("df") <= F.lit(float(max_df_ratio)) * F.col("n_docs")
+        ).select("term")
+        with_df = with_df.join(F.broadcast(cut), "term", "left_semi")
     matched = (
-        postings.join(df_tbl, "term")
+        with_df
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
     )

@@ -69,7 +69,8 @@ def corpus_prep(
       n_quality_kept, n_decontaminated, n_sampled``.
     """
     cleaned = remove_boilerplate_lines(docs, min_df=boilerplate_min_df)
-    base = docs.select("doc_id", "lang", "source").join(cleaned, "doc_id")
+    meta_cols = [c for c in docs.columns if c != "text"]  # doc_id + metadata
+    base = docs.select(*meta_cols).join(cleaned, "doc_id")
     base = base.withColumnRenamed("clean_text", "text")
 
     # stage 2: exact keeper flags (docs in no dup group are keepers)

@@ -339,3 +339,43 @@ def test_semantic_duplicates_vectorized_matches_expression(spark, embeddings):
                                        vectorized=True, block=7).collect())
     )
     assert blocked == expr
+
+
+def test_cluster_top_terms_contract(spark, embeddings, documents):
+    """Per-cell top-term profiling: ranks follow (count desc, token asc),
+    at most top_n rows per cell, counts equal a brute-force recount for
+    one spot-checked cell."""
+    from collections import Counter
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        cluster_top_terms,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _assign_cells,
+        _centroid_bank,
+    )
+
+    out = cluster_top_terms(embeddings, documents, n_centroids=8, top_n=3).collect()
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        keys = [(-r.n, r.token) for r in rows]
+        assert keys == sorted(keys)
+
+    # brute-force recount for the first cell
+    cv, ci = _centroid_bank(embeddings, 8, "vec_id", "embedding")
+    assign = {
+        r.result_id: r.cell
+        for r in _assign_cells(embeddings, cv, ci, "vec_id", "embedding").collect()
+    }
+    cell0 = out[0].cell
+    counts = Counter()
+    for d in documents.collect():
+        if assign.get(d.doc_id) == cell0:
+            counts.update(d.text.lower().split())
+    for r in by_cell[cell0]:
+        assert counts[r.token] == r.n

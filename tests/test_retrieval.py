@@ -149,3 +149,25 @@ def test_bm25_prebuilt_index_matches_inline(spark, tmp_path):
         map(tuple, bm25_topk(None, probes, k=10, index=reloaded).collect())
     )
     assert inline == from_disk
+
+
+def test_bm25_max_df_ratio_drops_stopword_terms(spark):
+    """The hot-term guard: 'spark' (df 3/5 = 0.6) is dropped at ratio 0.5,
+    'broadcast' (df 0.2) is kept, and kept-term scores are unchanged."""
+    docs = _docs(spark)
+    probes = _probes(spark, [(1, ["spark", "broadcast"])])
+    exact = {
+        r.result_id: r.score for r in bm25_topk(docs, probes, k=10).collect()
+    }
+    guarded = {
+        r.result_id: r.score
+        for r in bm25_topk(docs, probes, k=10, max_df_ratio=0.5).collect()
+    }
+    # only doc 2 contains 'broadcast'; docs matched solely via 'spark' vanish
+    assert set(guarded) == {2}
+    # and doc 2's score now excludes the 'spark'-less contribution it never
+    # had — i.e. equals the single-term brute-force value
+    want = _brute_bm25(["broadcast"])
+    assert abs(guarded[2] - want[2]) < 1e-9
+    # exact (unguarded) form still returned the spark-matched docs
+    assert set(exact) > {2}

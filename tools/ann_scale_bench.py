@@ -218,6 +218,32 @@ def main() -> None:
         ),
     }
 
+    # incremental maintenance: upsert a 1%-of-corpus batch (half new ids,
+    # half replacements) into the persisted f32 index and compare against
+    # the full-rebuild cost — the O(|batch| + |affected cells|) claim
+    batch_n = max(args.n // 100, 100)
+    half = batch_n // 2
+    new_rows = raw.filter(F.col("vec_id") < half).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    repl_rows = raw.filter(
+        (F.col("vec_id") >= half) & (F.col("vec_id") < batch_n)
+    ).select("vec_id", "embedding")
+    batch = new_rows.unionByName(repl_rows)
+    batch.cache().count()
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        upsert_ivf_index,
+    )
+
+    t0 = time.monotonic()
+    affected = upsert_ivf_index(batch, f32_path)
+    upsert_sec = round(time.monotonic() - t0, 1)
+    results["upsert_1pct_batch"] = {
+        "sec": upsert_sec,
+        "affected_cells": len(affected),
+        "vs_full_rebuild_sec": build_f32,
+    }
+
     # capture the pruned physical plan (PartitionFilters on cell)
     plan = (
         ivf_knn_persisted(spark, f32_path, probes, k=args.k, nprobe=args.nprobe)
