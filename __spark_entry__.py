@@ -1431,8 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-4 rotation: the 13 TPC-H-shaped r3-tail queries are back in the
-    # window (front), the 8 new r4 queries follow (never checked — must be
-    # in-window), and 20 r3-green queries take their turn in the tail
+    # window (front), the 9 new r4 queries follow (never checked — must be
+    # in-window), and the 21 r3-green tail entries take their turn out
     # (due back in r5).
     return {
         # --- due back in the window (r3 tail) ---

@@ -40,13 +40,22 @@ _PAIR_CACHE: list = []
 _PAIR_CACHE_CAP = 8
 
 
-def persist_bounded(df: DataFrame) -> DataFrame:
-    """Eagerly persist a small intermediate (candidate/verified pair sets)
-    with a bounded lifecycle: FIFO-evicted entries are unpersisted, so a
+def persist_bounded(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Persist a small intermediate (candidate/verified pair sets) with a
+    bounded lifecycle: FIFO-evicted entries are unpersisted, so a
     long-lived session's repeated calls can't pin blocks without limit,
-    while plan-identical consumers inside the window get cache hits."""
+    while plan-identical consumers inside the window get cache hits.
+
+    ``eager`` materializes now — required where AQE broadcast jobs race a
+    lazy persist (see ngram_jaccard_pairs below). Pass ``eager=False``
+    from PLAN BUILDERS (corpus_prep's fan-out point): building a plan must
+    not execute it — the analyze-only gate depends on that — and the
+    CacheManager still substitutes the InMemoryRelation at planning time,
+    so every reference inside the eventual action shares one
+    materialization."""
     df = df.persist()
-    df.count()  # eager: AQE broadcast jobs race a lazy persist (see below)
+    if eager:
+        df.count()
     _PAIR_CACHE.append(df)
     while len(_PAIR_CACHE) > _PAIR_CACHE_CAP:
         _PAIR_CACHE.pop(0).unpersist()
@@ -224,7 +233,8 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eager_persist: bool = True) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Only candidates are verified (the LSH output, a tiny fraction of N^2).
@@ -247,7 +257,7 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     # after lsh_neardup) hits this cache — measured ~2x on the bench pair.
     # The bounded registry evicts+unpersists so a long-lived session cannot
     # accumulate cached blocks without limit.
-    pairs = persist_bounded(pairs)
+    pairs = persist_bounded(pairs, eager=eager_persist)
     e = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select(
@@ -424,6 +434,7 @@ def duplicate_groups(
     iterations: int = 3,
     until_converged: bool = False,
     max_iterations: int = 50,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS with an elected keeper:
     min-label propagation over the undirected pair graph, the final step of
@@ -460,7 +471,13 @@ def duplicate_groups(
     # twice, and Spark does not dedupe common subplans across union
     # branches — an un-checkpointed edge set would run the whole upstream
     # pair pipeline (LSH + verification joins) twice in one job.
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # ``eager_checkpoint=False`` defers MATERIALIZATION to the first action
+    # while still truncating lineage at construction (the checkpoint swaps
+    # in a LogicalRDD leaf either way) — pass False from plan builders
+    # (corpus_prep), where building the graph must not execute it.
+    # ``until_converged`` forces eager: the loop counts changes per round.
+    eager = bool(eager_checkpoint or until_converged)
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=eager)
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -483,7 +500,7 @@ def duplicate_groups(
             "doc_id",
             F.least(F.col("label"), F.col("min_nl")).alias("label"),
             (F.col("min_nl") < F.col("label")).alias("changed"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager)
         labels = staged.select("doc_id", "label")
         if until_converged and staged.filter("changed").limit(1).count() == 0:
             break

@@ -750,11 +750,22 @@ def build_ivf_index(
     ).coalesce(1).write.mode(mode).parquet(path + "_centroids")
 
 
+def _load_centroid_bank(spark, path: str) -> tuple[list[list[float]], list[int]]:
+    """Load a ``build_ivf_index`` centroid bank in POSITION order (ascending
+    cent_id reproduces the bank order: centroids are the lowest-id vectors
+    collected id-ascending, and refinement keeps ids — see _centroid_bank)."""
+    cent_rows = spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
+    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+    return cent_vecs, cent_ids
+
+
 def upsert_ivf_index(
     new_vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assume_new_ids: bool = False,
 ) -> list:
     """Incremental maintenance of a ``build_ivf_index`` table — the batch
     analog of the reference's point upsert (Qdrant ``upsert_points``,
@@ -766,9 +777,20 @@ def upsert_ivf_index(
     directories are rewritten: existing rows of those cells are read back
     (a partition-pruned scan), rows whose id is being replaced are
     anti-joined out, the union lands via dynamic partition overwrite.
-    Untouched cells' files are not read, not written, not listed —
-    at 100 TB an upsert batch costs O(|batch| + |affected cells|), not
-    O(|index|). Quantized indexes (int8 ``build_ivf_index(quantize=True)``)
+    Untouched cells' files are not read, not written, not listed.
+
+    Replace semantics require knowing which cell a replaced id's OLD row
+    lives in (a re-embedded vector can migrate cells — leaving the old row
+    behind would duplicate the id): a column-pruned (id, cell) scan of the
+    index locates old rows of batch ids and adds their cells to the
+    affected set. ``assume_new_ids=True`` skips that scan for append-only
+    batches (the caller's guarantee), making the cost strictly
+    O(|batch| + |affected cells|); with the scan it is
+    O(|batch| + |affected cells| + index-id-column scan) — still never a
+    vector-column read of untouched cells. Duplicate ids WITHIN one batch
+    collapse deterministically to a single row before the write (greatest
+    content hash wins), so replayed or multi-shard batches cannot
+    double-insert. Quantized indexes (int8 ``build_ivf_index(quantize=True)``)
     are detected from the stored schema and the new batch is quantized with
     the same map-side projection.
 
@@ -776,9 +798,18 @@ def upsert_ivf_index(
     n_centroids), mostly for tests/observability.
     """
     spark = new_vectors.sparkSession
-    cent_rows = spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
-    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
-    cent_ids = [int(r.cent_id) for r in cent_rows]
+    cent_vecs, cent_ids = _load_centroid_bank(spark, path)
+
+    # deterministic within-batch dedup: one row per id (arbitrary but
+    # reproducible winner — greatest content hash, ties by rendered vector)
+    w_dedup = Window.partitionBy(F.col(id_col)).orderBy(
+        F.desc(F.hash(F.col(vec_col))), F.desc(F.col(vec_col).cast("string"))
+    )
+    new_vectors = (
+        new_vectors.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     assigned = _assign_cells(new_vectors, cent_vecs, cent_ids, id_col, vec_col).select(
         F.col("result_id").alias(id_col), F.col("vec").alias(vec_col), "cell"
@@ -795,11 +826,26 @@ def upsert_ivf_index(
             "cell",
         )
     # bounded by n_centroids, so the collect is driver-small by construction
-    affected = sorted(
+    affected = {
         r.cell for r in assigned.select("cell").distinct().collect()
-    )
+    }
     if not affected:
         return []
+    if not assume_new_ids:
+        # old rows of replaced ids may live in OTHER cells (cell migration):
+        # locate them with a column-pruned (id, cell) scan so their cells
+        # rewrite too — otherwise the stale row survives as a duplicate id
+        batch_ids = assigned.select(F.col(id_col).alias("__bid")).distinct()
+        old_cells = (
+            spark.read.parquet(path)
+            .select(id_col, "cell")
+            .join(F.broadcast(batch_ids), F.col(id_col) == F.col("__bid"))
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        affected |= {r.cell for r in old_cells}
+    affected = sorted(affected)
 
     existing = spark.read.parquet(path).filter(F.col("cell").isin(affected))
     survivors = existing.join(
@@ -862,13 +908,7 @@ def ivf_knn_persisted(
     IVF-PQ + refine composition (quantized codes in memory, full vectors
     on disk).
     """
-    cent_rows = (
-        spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
-    )
-    # ascending cent_id reproduces the bank's position order (centroids are
-    # the lowest-id vectors collected id-ascending; refinement keeps ids)
-    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
-    cent_ids = [int(r.cent_id) for r in cent_rows]
+    cent_vecs, cent_ids = _load_centroid_bank(spark, path)
 
     routed_pdf = _route_probes(
         probes, cent_vecs, cent_ids, nprobe, query_id, query_vec
@@ -948,11 +988,7 @@ def ivf_knn_join_persisted(
     apply — the wins are the skipped assignment pass, cell-locality, and
     no driver round-trip for any side.
     """
-    cent_rows = (
-        spark.read.parquet(path + "_centroids").orderBy("cent_id").collect()
-    )
-    cent_vecs = [[float(v) for v in r.cent_vec] for r in cent_rows]
-    cent_ids = [int(r.cent_id) for r in cent_rows]
+    cent_vecs, cent_ids = _load_centroid_bank(spark, path)
     routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
 
     idx = spark.read.parquet(path)

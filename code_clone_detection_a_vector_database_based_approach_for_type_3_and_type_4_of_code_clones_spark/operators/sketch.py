@@ -101,6 +101,21 @@ KMV_K = 64
 KMV_HMAX = 1 << 60  # stable_hash64 is uniform on [0, 2^60)
 
 
+def _k_minima(
+    hashed: DataFrame, group_cols: tuple[str, ...], k: int
+) -> DataFrame:
+    """Shared KMV retention rule: distinct hashes per group, keep the k
+    smallest with 1-based ``pos`` — build and merge MUST share this body
+    (the merge==rebuild property is exactly "same retention rule")."""
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.asc("h"))
+    return (
+        hashed.distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
+    )
+
+
 def kmv_build(
     df: DataFrame, key: Column | str, group_cols: tuple[str, ...] = (), k: int = KMV_K
 ) -> DataFrame:
@@ -110,13 +125,8 @@ def kmv_build(
     kc = F.col(key) if isinstance(key, str) else key
     hashed = df.select(
         *[F.col(g) for g in group_cols], stable_hash64(kc).alias("h")
-    ).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.asc("h"))
-    return (
-        hashed.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
     )
+    return _k_minima(hashed, group_cols, k)
 
 
 def kmv_merge(
@@ -125,13 +135,8 @@ def kmv_merge(
     """Merge two KMV sketches over the same key domain: union the retained
     hashes, dedup, re-take the k minima. Exactly ``kmv_build`` of the
     concatenated inputs (proven in tests), so sketches of shards compose."""
-    u = a.select(*group_cols, "h").unionByName(b.select(*group_cols, "h")).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.asc("h"))
-    return (
-        u.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
-    )
+    u = a.select(*group_cols, "h").unionByName(b.select(*group_cols, "h"))
+    return _k_minima(u, group_cols, k)
 
 
 def kmv_estimate(

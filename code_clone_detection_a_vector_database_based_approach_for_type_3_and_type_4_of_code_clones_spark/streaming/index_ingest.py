@@ -50,7 +50,14 @@ def index_ingest_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        if index_exists(batch.sparkSession, index_path):
+        # bootstrap-vs-upsert keys on the LAST artifact build_ivf_index
+        # writes (the centroid bank), not the data directory: a crash
+        # between the data write and the bank write would otherwise leave
+        # every replay dispatching to upsert, which needs the missing bank
+        # — a permanently bricked stream. A half-built data dir is simply
+        # overwritten by the replayed bootstrap (build uses mode
+        # "overwrite"), so the decision stays crash-safe.
+        if index_exists(batch.sparkSession, index_path + "_centroids"):
             upsert_ivf_index(batch, index_path, id_col=id_col, vec_col=vec_col)
         else:
             build_ivf_index(

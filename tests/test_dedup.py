@@ -379,3 +379,18 @@ def test_cluster_top_terms_contract(spark, embeddings, documents):
             counts.update(d.text.lower().split())
     for r in by_cell[cell0]:
         assert counts[r.token] == r.n
+
+
+def test_semantic_duplicates_plan_shape(spark, embeddings):
+    """The vectorized form's physical contract: cell assignment is a pure
+    projection (no exchange before the single groupBy-on-cell), scoring is
+    one FlatMapGroupsInPandas, and no cartesian product appears."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    df = semantic_duplicates(embeddings, threshold=0.5, n_centroids=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1  # the one shuffle on cell

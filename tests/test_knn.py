@@ -503,3 +503,75 @@ def test_upsert_ivf_index_quantized(spark, embeddings, tmp_path):
     )
     out = ivf_knn_persisted(spark, path, probes, k=5, nprobe=3, quantized=True)
     assert out.count() == 25
+
+
+def test_upsert_ivf_index_cross_cell_replacement(spark, embeddings, tmp_path):
+    """REPLACE semantics across cell migration: a replaced id whose new
+    vector lands in a DIFFERENT cell must not leave its old row behind —
+    the id appears exactly once afterwards, in the new cell."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _assign_cells,
+        _load_centroid_bank,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_mig")
+    build_ivf_index(base, path, n_centroids=8)
+    cv, ci = _load_centroid_bank(spark, path)
+    cells = {
+        r.result_id: r.cell
+        for r in _assign_cells(base, cv, ci, "vec_id", "embedding").collect()
+    }
+    # find a donor whose cell differs from id 300's
+    donor = next(
+        i for i in range(301, 400) if cells[i] != cells[300]
+    )
+    donor_vec = embeddings.filter(F.col("vec_id") == donor).collect()[0].embedding
+    batch = spark.createDataFrame(
+        [(300, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    affected = upsert_ivf_index(batch, path)
+    assert cells[300] in affected and cells[donor] in affected  # old + new cells
+
+    rows = spark.read.parquet(path).filter(F.col("vec_id") == 300).collect()
+    assert len(rows) == 1, "stale duplicate row survived the cell migration"
+    assert rows[0].cell == cells[donor]
+
+    # append-only batches may skip the old-row scan and stay correct
+    batch2 = spark.createDataFrame(
+        [(9000, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    upsert_ivf_index(batch2, path, assume_new_ids=True)
+    assert spark.read.parquet(path).filter(F.col("vec_id") == 9000).count() == 1
+
+
+def test_upsert_ivf_index_dedups_batch_ids(spark, embeddings, tmp_path):
+    """Duplicate ids WITHIN one batch collapse to a single deterministic
+    row (replayed/multi-shard batches cannot double-insert)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    va = embeddings.filter(F.col("vec_id") == 200).collect()[0].embedding
+    vb = embeddings.filter(F.col("vec_id") == 201).collect()[0].embedding
+    batch = spark.createDataFrame(
+        [(500, va), (500, vb)], "vec_id long, embedding array<float>"
+    )
+
+    winners = []
+    for d in ("a", "b"):
+        path = str(tmp_path / f"ivf_dup_{d}")
+        build_ivf_index(base, path, n_centroids=4)
+        upsert_ivf_index(batch, path)
+        rows = spark.read.parquet(path).filter(F.col("vec_id") == 500).collect()
+        assert len(rows) == 1
+        winners.append(tuple(rows[0].embedding))
+    assert winners[0] == winners[1]  # deterministic winner across runs

@@ -171,3 +171,29 @@ def test_bm25_max_df_ratio_drops_stopword_terms(spark):
     assert abs(guarded[2] - want[2]) < 1e-9
     # exact (unguarded) form still returned the spark-matched docs
     assert set(exact) > {2}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_shape(spark):
+    """Plan regressions the 100 TB story depends on: query terms and
+    corpus stats arrive by broadcast (no shuffle of postings against
+    them), the top-k has a partial WindowGroupLimit, and nothing
+    corpus-sized goes through a cartesian product (the only BNLJ is the
+    1-row stats attach)."""
+    docs = _docs(spark)
+    probes = _probes(spark, [(1, ["spark", "join"])])
+    plan = _plan(bm25_topk(docs, probes, k=10))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_plan_is_join_not_cartesian(spark):
+    a = _ranked(spark, [(1, 10, 0.9, 1)])
+    b = _ranked(spark, [(1, 11, 0.7, 1)])
+    plan = _plan(rrf_fuse(a, b, k=5))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()

@@ -453,3 +453,40 @@ def test_index_ingest_stream_builds_then_upserts(spark, tmp_path, embeddings):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assert ivf_knn_persisted(spark, index_path, probes, k=5, nprobe=3).count() == 25
+
+
+def test_index_ingest_bootstrap_is_crash_safe(spark, tmp_path, embeddings):
+    """A crash between the data write and the centroid-bank write must not
+    brick the stream: the dispatch keys on the bank (the LAST artifact),
+    so a replayed first batch re-bootstraps over the half-built data dir."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.index_ingest import (
+        index_ingest_stream,
+    )
+
+    shards = str(tmp_path / "shards2")
+    embeddings.limit(200).select("vec_id", "embedding").coalesce(1).write.parquet(
+        f"{shards}/part0"
+    )
+    index_path = str(tmp_path / "crash_ivf")
+    # simulate the crash: data directory exists, centroid bank does not
+    build_ivf_index(
+        spark.read.parquet(f"{shards}/part0"), index_path, n_centroids=4
+    )
+    shutil.rmtree(index_path + "_centroids")
+
+    q = (
+        index_ingest_stream(spark, shards + "/*", index_path, n_centroids=4)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(index_path + "_centroids").count() == 4
+    assert spark.read.parquet(index_path).count() == 200

@@ -10,6 +10,10 @@ parses every oracle SQL against the DuckDB catalog WITHOUT executing either —
 it catches schema drift in the fixtures (e.g. the events.ts physical-type
 change that silently broke a whole round's artifacts), renamed columns, and
 bad expressions in seconds. Run it before committing round artifacts.
+One documented exception: plans containing a per-round checkpoint
+(dup_groups, corpus_prep_funnel) execute the checkpoint's upstream stages
+at construction — AQE materializes them inside ``localCheckpoint`` even
+with eager=False — adding a few seconds at sf0.01.
 """
 
 from __future__ import annotations

@@ -86,7 +86,8 @@ def main() -> None:
     )
 
     # round-4 session additions: lexical/hybrid retrieval, cleanse, KMV,
-    # semantic dedup, corpus-prep funnel
+    # semantic dedup (the corpus-prep funnel's plan is NOT dumped here:
+    # its checkpointed label-propagation stage executes at construction)
     plans["bm25_topk"] = entrymod.q_bm25_topk(spark, sf)
     plans["hybrid_rrf"] = entrymod.q_hybrid_rrf(spark, sf)
     plans["boilerplate_clean"] = entrymod.q_boilerplate_clean(spark, sf)

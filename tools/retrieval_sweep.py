@@ -2,9 +2,9 @@
 prebuilt-postings), SemDeDup semantic dedup, and the corpus-prep funnel on
 synthesized corpora of 1k-50k documents.
 
-Documents are seeded token-soup in the sf-fixture style (40-word
-vocabulary, 30-80 tokens) with 2% planted near-duplicate copies so the
-dedup stages have real work. Prints a markdown table for BASELINE.md.
+Documents are seeded token-soup (1000-word vocab + 10 stopwords, 30-80
+tokens) with 2% planted near-duplicate copies so the dedup stages have
+real work. Prints a markdown table for BASELINE.md.
 
 Usage: python tools/retrieval_sweep.py [max_size]
 """
@@ -19,12 +19,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VOCAB = [
-    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
-    "hash", "merge", "batch", "spark", "line", "sort", "window", "join",
-    "small", "big", "filter", "data", "column", "query", "stream", "group",
-    "order", "customer", "vector", "dup", "the", "a", "of", "and", "to",
-    "in", "is", "it", "that", "for", "on",
+# realistic lexical diversity: 1000-word vocab (the sf fixtures' 40-word
+# soup makes MinHash bands collide near-all-pairs at 20k+ docs — a
+# degenerate corpus, not a representative one; the funnel's max_bucket cap
+# is the guard for THAT case and is exercised separately below)
+VOCAB = [f"w{i:04d}" for i in range(1000)] + [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
 ]
 SEED = 20260814
 SIZES = [1_000, 5_000, 20_000, 50_000]
@@ -112,7 +112,9 @@ def main() -> int:
         )
 
         t_prep = timed(
-            lambda: corpus_prep(docs, eval_docs=docs.limit(50))["accounting"].count()
+            lambda: corpus_prep(
+                docs, eval_docs=docs.limit(50), max_bucket=64
+            )["accounting"].count()
         )
         print(f"| {docs.count()} | {t_inline} | {t_prebuilt} | {t_sem} "
               f"| {pairs[-1]} | {t_prep} |")
