@@ -239,3 +239,62 @@ def test_boilerplate_removal_threshold_property(spark, bodies, min_df):
         assert (f"line-{b}" not in lines) == removed
         assert (f"uniq-{i}" in lines)  # unique lines always survive
         assert out[i].n_removed == (1 if removed else 0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    repl=st.sets(st.integers(min_value=20, max_value=299), max_size=12),
+    new=st.sets(st.integers(min_value=1000, max_value=1020), max_size=8),
+    shift=st.integers(min_value=1, max_value=150),
+)
+def test_upsert_equals_rebuild_random_batches(spark, repl, new, shift):
+    """upsert(base, batch) == build(base - replaced + batch) for ANY batch
+    of replacements (ids 20-299, vectors swapped with the id+shift row —
+    arbitrary cell migrations) and appends, under the same centroid bank
+    (ids 0-15 never touched, so both banks agree)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    vec_of = {
+        r.vec_id: r.embedding
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    rows = [(i, vec_of[(i + shift) % 500]) for i in sorted(repl)] + [
+        (i, vec_of[i % 500]) for i in sorted(new)
+    ]
+    tmp = tempfile.mkdtemp(prefix="upsert_prop_")
+    try:
+        path = f"{tmp}/up"
+        build_ivf_index(base, path, n_centroids=8)
+        if rows:
+            batch = spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            )
+            upsert_ivf_index(batch, path)
+        merged = base.filter(~F.col("vec_id").isin([i for i, _ in rows]))
+        if rows:
+            merged = merged.unionByName(
+                spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            )
+        path2 = f"{tmp}/rebuild"
+        build_ivf_index(merged, path2, n_centroids=8)
+        got = {
+            (r.vec_id, r.cell): tuple(r.embedding)
+            for r in spark.read.parquet(path).collect()
+        }
+        want = {
+            (r.vec_id, r.cell): tuple(r.embedding)
+            for r in spark.read.parquet(path2).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
