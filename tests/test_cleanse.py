@@ -79,3 +79,15 @@ def test_trimming_and_blank_lines(spark):
     out = {r.doc_id: r for r in remove_boilerplate_lines(docs, min_df=3).collect()}
     assert out[0].clean_text == "keep me"
     assert out[0].n_lines == 2  # blank line never counted
+
+
+def test_boilerplate_plan_shape(spark):
+    """The corpus never shuffles for the removal itself: one Exchange for
+    the line-df aggregation, the boilerplate set comes back via a
+    broadcast (1-row) join, and no CartesianProduct appears."""
+    docs = _docs(spark, [(0, f"{HDR}\nbody"), (1, HDR), (2, HDR)])
+    df = remove_boilerplate_lines(docs, min_df=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row set attach
+    assert plan.count("Exchange") <= 3  # df agg (partial+final) + broadcast

@@ -90,3 +90,29 @@ def test_corpus_prep_no_eval_no_weights(spark):
     assert acc.n_sampled == acc.n_decontaminated       # no sampling
     kept = {r.doc_id for r in out["docs"].select("doc_id").collect()}
     assert kept == {0, 3, 5, 6}
+
+
+def test_corpus_prep_max_bucket_caps_degenerate_corpus(spark):
+    """A low-diversity corpus (tiny vocabulary) collapses many docs into
+    shared LSH band buckets — the |B|^2 hazard. With max_bucket the funnel
+    completes with bounded candidates; keeper semantics for docs in capped
+    buckets degrade to 'kept' (pairs lost), never to a crash or blowup."""
+    import itertools
+
+    words = ["aa", "bb", "cc"]
+    rows = [
+        (i, " ".join(p))
+        for i, p in enumerate(itertools.islice(
+            itertools.cycle(itertools.permutations(words)), 60
+        ))
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, (j, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_prep(docs, boilerplate_min_df=10**6, max_bucket=4)
+    acc = out["accounting"].collect()[0]
+    assert acc.n_input == 60
+    # identical permutation-texts recur every 6 docs -> exact dedup catches
+    # them regardless of the LSH cap
+    assert acc.n_exact_kept == 6
