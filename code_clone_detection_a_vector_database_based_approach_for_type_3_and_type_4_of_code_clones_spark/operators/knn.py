@@ -777,6 +777,10 @@ def upsert_ivf_index(
     directories are rewritten: existing rows of those cells are read back
     (a partition-pruned scan), rows whose id is being replaced are
     anti-joined out, the union lands via dynamic partition overwrite.
+    Affected cells left with ZERO surviving rows (fully drained by a
+    cross-cell replacement) are deleted outright — dynamic overwrite only
+    rewrites partitions present in the output, so without the explicit
+    delete the stale old row would survive as a duplicate id.
     Untouched cells' files are not read, not written, not listed.
 
     Replace semantics require knowing which cell a replaced id's OLD row
@@ -858,6 +862,12 @@ def upsert_ivf_index(
     # materializes the (affected-cells-only, bounded) merge result and cuts
     # the file-source lineage, so the overwrite never reads mid-rewrite
     merged = merged.localCheckpoint(eager=True)
+    # dynamic partition overwrite only rewrites cells PRESENT in merged; a
+    # cell fully drained by cross-cell replacement (its only rows migrated
+    # elsewhere, nothing new landed) would keep its stale files and the
+    # replaced id would survive as a duplicate. Record which affected cells
+    # merged actually covers so the drained remainder can be deleted below.
+    merged_cells = {r.cell for r in merged.select("cell").distinct().collect()}
 
     conf = spark.conf
     prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -869,6 +879,17 @@ def upsert_ivf_index(
         ).parquet(path)
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    drained = [c for c in affected if c not in merged_cells]
+    if drained:
+        # drop the drained partitions via the Hadoop FileSystem API (same
+        # mechanism dynamic overwrite itself uses to replace directories);
+        # bounded by n_centroids, so the driver loop is small by construction
+        hconf = spark._jsc.hadoopConfiguration()
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        for c in drained:
+            part = Path(f"{path}/cell={int(c)}")
+            part.getFileSystem(hconf).delete(part, True)
     return affected
 
 

@@ -549,6 +549,57 @@ def test_upsert_ivf_index_cross_cell_replacement(spark, embeddings, tmp_path):
     assert spark.read.parquet(path).filter(F.col("vec_id") == 9000).count() == 1
 
 
+def test_upsert_ivf_index_drained_cell_deleted(spark, tmp_path):
+    """A cell fully drained by a cross-cell replacement (its only row
+    migrates out, nothing new lands) must not keep stale files: dynamic
+    partition overwrite only rewrites partitions PRESENT in the output, so
+    upsert deletes the drained directory explicitly. Regression for the
+    round-4 advisor finding (stale duplicate vec_id in the old cell)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_persisted,
+        upsert_ivf_index,
+    )
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    # ids 0/1 become the two centroids (lowest-id init, no refinement);
+    # every other vector hugs centroid 0 -> cell of id 1 is single-member
+    rows = [(0, a), (1, b)] + [
+        (i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(2, 20)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_drain")
+    build_ivf_index(base, path, n_centroids=2)
+
+    stored = spark.read.parquet(path)
+    cell_of_1 = stored.filter(F.col("vec_id") == 1).collect()[0].cell
+    assert stored.filter(F.col("cell") == cell_of_1).count() == 1
+
+    # replace id 1 with a vector that migrates to the other cell
+    batch = spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>")
+    affected = upsert_ivf_index(batch, path)
+    assert cell_of_1 in affected
+
+    after = spark.read.parquet(path)
+    rows1 = after.filter(F.col("vec_id") == 1).collect()
+    assert len(rows1) == 1, "stale duplicate survived in the drained cell"
+    assert rows1[0].cell != cell_of_1
+    assert after.filter(F.col("cell") == cell_of_1).count() == 0
+    assert not os.path.exists(os.path.join(path, f"cell={cell_of_1}"))
+
+    # a search probing ALL cells sees the id exactly once
+    probes = spark.createDataFrame(
+        [(100, b)], "query_id long, query_vec array<float>"
+    )
+    hits = ivf_knn_persisted(spark, path, probes, k=20, nprobe=2).collect()
+    assert [h.result_id for h in hits].count(1) == 1
+
+
 def test_upsert_ivf_index_dedups_batch_ids(spark, embeddings, tmp_path):
     """Duplicate ids WITHIN one batch collapse to a single deterministic
     row (replayed/multi-shard batches cannot double-insert)."""
