@@ -20,6 +20,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_half_up_np(a, decimals: int = 6):
+    """Half-AWAY-FROM-ZERO rounding for numpy arrays — the convention
+    Spark's ``F.round`` (BigDecimal HALF_UP) and DuckDB's ``round`` apply
+    to doubles. ``np.round`` is banker's half-to-even, so a cosine landing
+    exactly on a .5e-6 boundary could flip a pair across a >= threshold
+    between the vectorized matmul paths and their expression/oracle twins
+    (round-4 advisor finding). All vectorized score paths route through
+    this helper so both sides round the same direction at the boundary.
+    (Last-ulp differences BEFORE rounding — numpy pairwise-accumulated
+    matmul vs left-to-right expression sums — remain possible and are
+    documented at the call sites; this removes the rounding-rule half of
+    the divergence.)"""
+    q = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * q + 0.5) / q
+
+
 def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 

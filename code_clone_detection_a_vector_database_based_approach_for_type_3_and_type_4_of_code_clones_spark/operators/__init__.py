@@ -4,6 +4,7 @@ from .knn import (  # noqa: F401
     build_ivf_index,
     exact_knn,
     exact_knn_fast,
+    ivf_cell_stats,
     ivf_knn,
     ivf_knn_join,
     ivf_knn_join_persisted,

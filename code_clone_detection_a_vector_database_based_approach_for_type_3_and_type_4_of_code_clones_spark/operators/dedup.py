@@ -809,6 +809,8 @@ def _semantic_pairs_grouped(
     import numpy as np
     import pandas as pd
 
+    from ..functions.vector import round_half_up_np
+
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["result_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
@@ -823,7 +825,7 @@ def _semantic_pairs_grouped(
         out_a, out_b, out_c = [], [], []
         for s in range(0, len(ids), block):
             e = min(s + block, len(ids))
-            sims = np.round(Xn[s:e] @ Xn.T, 6)
+            sims = round_half_up_np(Xn[s:e] @ Xn.T, 6)
             ai, bj = np.nonzero(sims >= threshold)
             keep = (ai + s) < bj  # id-sorted rows: doc_a < doc_b
             out_a.append(ids[ai[keep] + s])

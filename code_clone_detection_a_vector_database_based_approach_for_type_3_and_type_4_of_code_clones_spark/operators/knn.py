@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, round_half_up_np
 
 SCORE_DECIMALS = 6
 
@@ -222,7 +222,7 @@ def exact_knn_fast(
             xn = xmat / xnorm  # normalized ONCE per batch, reused per block
             for bi, (bqids, bqn) in enumerate(blocks):
                 best_scores, best_ids = state[bi]
-                sims = np.round(xn @ bqn.T, SCORE_DECIMALS)  # (B, Qblock)
+                sims = round_half_up_np(xn @ bqn.T, SCORE_DECIMALS)  # (B, Qblock)
                 if exclude_self:
                     sims = np.where(ids[:, None] == bqids[None, :], -np.inf, sims)
                 kk = min(k, sims.shape[0])
@@ -369,7 +369,7 @@ def _score_with_closure(
                 )
                 xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
                 xnorm[xnorm == 0.0] = 1.0
-                sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
+                sims = round_half_up_np((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
                 if exclude_self:
                     sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
                 # local top-k per query within this (batch, cell) group
@@ -580,6 +580,7 @@ def ivf_knn_join(
     refine_iters: int = 0,
     refine_sample: int = 2048,
     index_block: int = 8192,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Probe-DISTRIBUTED IVF kNN: row-identical to ``ivf_knn`` at the same
     parameters, with NO driver round-trip for the probes.
@@ -601,12 +602,19 @@ def ivf_knn_join(
       per probe.
 
     Scale shape: both sides shuffle ONCE, keyed by cell — sized by the
-    probe table + the touched index cells, never |Q|x|N|. With the index
-    PERSISTED cell-partitioned (``sources.index.write_index(partition_by=
-    "cell")``), the index side of the cogroup reads only matching partition
-    directories. Cell skew is the watch item: a degenerate cell lands one
-    big cogroup group (AQE cannot split it) — the centroid-refinement path
-    (``refine_iters``) is the balancing lever.
+    probe table + the touched index cells, never |Q|x|N|. Cell skew is the
+    watch item: a degenerate cell lands one big cogroup group (AQE cannot
+    split it). Two levers, composable: ``refine_iters`` re-balances the
+    centroid bank (fixes the cause); ``max_cell`` sub-buckets any cell
+    larger than that many index rows on ``pmod(hash(result_id), factor)``
+    and cogroups on (cell, bucket) instead (bounds the symptom — scores
+    are per-pair, each member lands in exactly one sub-bucket, and the
+    final window still picks the global top-k, so results are
+    row-identical; pinned by test). Probes of a split cell replicate
+    ``factor`` ways — factor = ceil(|cell|/max_cell), only for oversized
+    cells. Costs one extra column-pruned pass over the index for the
+    per-cell counts (driver-small: <= n_centroids rows). ``ivf_cell_stats``
+    is the observability side-channel.
     """
     assigned, routed = _ivf_assign_route(
         probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
@@ -615,8 +623,86 @@ def ivf_knn_join(
     id_dt = dict(index.dtypes)[id_col]
     qid_dt = dict(probes.dtypes)[query_id]
     return _score_with_cogroup(
-        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block
+        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
+        max_cell=max_cell,
     )
+
+
+def ivf_cell_stats(
+    index: DataFrame,
+    n_centroids: int = 16,
+    max_cell: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
+) -> DataFrame:
+    """Per-cell occupancy of an IVF layout — the countable side-channel of
+    the ``max_cell`` skew guard (the ``bucket_stats`` analog for ANN): a
+    degenerate cell (near-duplicate flood, zero-vector sink) is a loud
+    data-quality signal here instead of a silent straggler stage.
+
+    ``index`` may be a raw vector table (assignment is computed with the
+    same deterministic bank as ``ivf_knn``/``ivf_knn_join``) or an
+    already-assigned/persisted table carrying a ``cell`` column (e.g.
+    ``spark.read.parquet(build_ivf_index_path)`` — no assignment pass).
+
+    Output: ``cell, n_members`` (+ ``overflow``, ``split_factor`` when
+    ``max_cell`` — the factor ``ivf_knn_join(max_cell=...)`` would use).
+    """
+    if "cell" in index.columns:
+        assigned = index
+    else:
+        cent_vecs, cent_ids = _centroid_bank(
+            index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+        )
+        assigned = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col)
+    out = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    if max_cell is not None:
+        out = out.withColumn("overflow", F.col("n_members") > max_cell)
+        out = out.withColumn(
+            "split_factor",
+            F.greatest(
+                F.ceil(F.col("n_members") / F.lit(max_cell)).cast("int"), F.lit(1)
+            ),
+        )
+    return out
+
+
+def _split_oversized_cells(
+    routed: DataFrame, assigned: DataFrame, max_cell: int
+) -> tuple[DataFrame, DataFrame]:
+    """The ``max_cell`` sub-bucketing step: count cell occupancy (one
+    column-pruned pass; <= n_centroids result rows, driver-small by
+    construction), then give each oversized cell ``factor =
+    ceil(n/max_cell)`` hash sub-buckets. Index rows land in exactly one
+    sub-bucket (pmod of the id hash); probes of that cell replicate to all
+    of them. Cells within bound get the single bucket 0 — their plan is
+    unchanged up to the extra constant grouping key."""
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    factors = {
+        int(r.cell): -(-int(r.n) // max_cell) for r in sizes if r.n > max_cell
+    }
+    if not factors:
+        return (
+            routed.withColumn("__b", F.lit(0)),
+            assigned.withColumn("__b", F.lit(0)),
+        )
+    fmap = F.create_map(
+        *[F.lit(x) for cf in sorted(factors.items()) for x in cf]
+    )
+    factor = F.coalesce(fmap[F.col("cell")], F.lit(1))
+    assigned = assigned.withColumn(
+        "__b", F.pmod(F.hash(F.col("result_id")), factor).cast("int")
+    )
+    # explode must stay top-level (generators can't nest in expressions);
+    # sequence of ints already yields int elements
+    routed = routed.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), factor - F.lit(1)))
+    )
+    return routed, assigned
 
 
 def _score_with_cogroup(
@@ -627,10 +713,12 @@ def _score_with_cogroup(
     id_dt: str,
     qid_dt: str,
     index_block: int,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Cogroup-form IVF scoring: ``routed cogroup assigned ON cell``, one
     blocked matmul per cell — both sides shuffle once, nothing touches the
-    driver."""
+    driver. ``max_cell`` swaps the key to (cell, hash sub-bucket) for
+    oversized cells — see ``ivf_knn_join``."""
     id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_np = (
         np.int64 if qid_dt in ("bigint", "int", "smallint", "tinyint") else object
@@ -663,7 +751,7 @@ def _score_with_cogroup(
             )
             xnorm = np.linalg.norm(xmat, axis=1, keepdims=True)
             xnorm[xnorm == 0.0] = 1.0
-            sims = np.round((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
+            sims = round_half_up_np((xmat / xnorm) @ qn.T, SCORE_DECIMALS)  # (B, Q)
             if exclude_self:
                 sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
             kk = min(k, sims.shape[0])
@@ -685,13 +773,18 @@ def _score_with_cogroup(
             }
         )
 
+    keys = ["cell"]
+    if max_cell is not None:
+        routed, assigned = _split_oversized_cells(routed, assigned, max_cell)
+        keys = ["cell", "__b"]
     candidates = (
-        routed.select("query_id", "query_vec", "cell")
-        .groupby("cell")
-        .cogroup(assigned.select("result_id", "vec", "cell").groupby("cell"))
+        routed.select("query_id", "query_vec", *keys)
+        .groupby(*keys)
+        .cogroup(assigned.select("result_id", "vec", *keys).groupby(*keys))
         .applyInPandas(score_cell, schema=out_schema)
     )
-    # cells partition the index, so a probe sees each index row at most once
+    # (cell, bucket) groups partition the index, so a probe sees each index
+    # row at most once and the global window below is the exact top-k
     return _ranked_topk(candidates, k)
 
 
@@ -996,6 +1089,7 @@ def ivf_knn_join_persisted(
     exclude_self: bool = True,
     quantized: bool = False,
     index_block: int = 8192,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Table-sized probes x persisted IVF index: the full-scale composition.
 
@@ -1027,5 +1121,6 @@ def ivf_knn_join_persisted(
     qid_dt = dict(probes.dtypes)[query_id]
     id_dt = dict(assigned.dtypes)["result_id"]
     return _score_with_cogroup(
-        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block
+        routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
+        max_cell=max_cell,
     )

@@ -15,14 +15,17 @@ the postings scan, partial-aggregates per (query, doc) map-side, and a
 WindowGroupLimit top-k bounds the reduce. The corpus is never joined to
 itself and never crosses the driver.
 
-Determinism (the repo-wide oracle discipline): no transcendental functions.
-Classic BM25 idf is ``ln((N - df + 0.5)/(df + 0.5) + 1)``; ``ln`` is not
-IEEE-correctly-rounded on every engine, so this engine defines its idf as
-the LOG-FREE Robertson ratio ``(N - df + 0.5)/(df + 0.5)`` — the same
-monotone-in-df ordering (per-term ranking identical; multi-term blends
-weight rare terms more aggressively than the log form). Per-term
-contributions are rounded to micro-units and summed as BIGINT so the
-per-(query, doc) sum is order-insensitive and bit-identical in any engine.
+Determinism vs. semantics (the repo-wide oracle discipline): ``bm25_topk``
+offers two idf forms. The DEFAULT is the classic Lucene/Robertson
+``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` — what every IR-literate user
+means by "BM25" — because the log-free ratio, while per-term
+order-identical, weights rare terms linearly instead of logarithmically
+and so blends multi-term scores materially differently. ``idf="ratio"``
+selects the LOG-FREE Robertson ratio ``(N - df + 0.5)/(df + 0.5)`` for
+cross-engine bit-determinism: ``ln`` is not IEEE-correctly-rounded on
+every engine, so the ratio form is what the DuckDB value-hash oracle
+grades. In both forms per-term contributions are rounded to micro-units
+and summed as BIGINT so the per-(query, doc) sum is order-insensitive.
 """
 
 from __future__ import annotations
@@ -84,14 +87,24 @@ def bm25_topk(
     query_terms: str = "terms",
     index: dict[str, DataFrame] | None = None,
     max_df_ratio: float | None = None,
+    idf: str = "log",
 ) -> DataFrame:
     """BM25 top-k lexical retrieval: for each probe row (``query_id``,
     ``terms`` array<string>) score every document containing at least one
     query term and keep the top ``k``.
 
     score(q, d) = sum over matched terms of
-        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
-    idf(t) = (N - df + 0.5) / (df + 0.5)   [log-free; see module docstring]
+        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    ``idf`` selects the idf form (see module docstring):
+
+    - ``"log"`` (default): classic ``ln((N - df + 0.5)/(df + 0.5) + 1)`` —
+      standard BM25 ranking; last-ulp ``ln`` differences across engines
+      make it unsuitable for the bit-exact value-hash oracle.
+    - ``"ratio"``: log-free ``(N - df + 0.5)/(df + 0.5)`` — per-term
+      ordering identical, multi-term blends weight rare terms MORE
+      aggressively than standard BM25 (linear, not logarithmic, in the
+      ratio); bit-deterministic cross-engine, the oracle-graded form.
 
     ``index`` (from ``bm25_index``, possibly persisted/reloaded) skips the
     corpus passes entirely; otherwise the index plan is derived from
@@ -133,10 +146,16 @@ def bm25_topk(
     )
     # micro-unit fixed point: identical parenthesization in the SQL oracle
     avgdl = F.col("sum_dl") / F.col("n_docs")
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    if idf == "log":
+        idf_expr = F.log(ratio + F.lit(1.0))
+    elif idf == "ratio":
+        idf_expr = ratio
+    else:
+        raise ValueError(f"idf must be 'log' or 'ratio', got {idf!r}")
     tfd = F.col("tf").cast("double")
     denom = tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl)
-    contrib6 = F.round(((idf * (tfd * F.lit(k1 + 1.0))) / denom) * 1_000_000.0).cast(
+    contrib6 = F.round(((idf_expr * (tfd * F.lit(k1 + 1.0))) / denom) * 1_000_000.0).cast(
         "bigint"
     )
 

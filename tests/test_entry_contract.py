@@ -37,6 +37,27 @@ def test_entry_returns_metrics_dataframe(spark):
     }
 
 
+def test_doc_counts_match_registry():
+    """Three consecutive rounds of count-drift findings (COVERAGE/README
+    claiming a stale registry size) -> generate the check from
+    len(queries()). Docs must state the LIVE count."""
+    import re
+
+    n = len(entrymod.queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        m = re.search(r"`queries\(\)`'s (\d+) entries", f.read())
+    assert m and int(m.group(1)) == n, (
+        f"COVERAGE.md claims {m and m.group(1)} registry entries; "
+        f"len(queries()) == {n}"
+    )
+    with open(os.path.join(root, "README.md")) as f:
+        m = re.search(r"(\d+) queries, ALL value-hash-checked", f.read())
+    assert m and int(m.group(1)) == n, (
+        f"README.md claims {m and m.group(1)} queries; len(queries()) == {n}"
+    )
+
+
 def test_rotation_invariant():
     """COVERAGE.md's rotation rule, enforced: the correctness driver
     hash-checks only the FIRST 50 queries() entries, and no query may sit

@@ -225,6 +225,80 @@ def test_ivf_join_partitioning_and_blocking_invariant(spark, embeddings):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ivf_join_max_cell_split_identical(spark, embeddings):
+    """The max_cell skew guard: with a ~10x-oversized cell forced (2
+    centroids over a 500-vector fixture -> each cell far exceeds
+    max_cell=25), sub-bucketed scoring must be row-identical to the
+    unsplit form — scores are per-pair, each index row lands in exactly
+    one sub-bucket, the final window still takes the global top-k."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 60)
+    a = _collect_sorted(
+        ivf_knn_join(probes, embeddings, k=8, n_centroids=2, nprobe=2)
+    )
+    b = _collect_sorted(
+        ivf_knn_join(
+            probes, embeddings, k=8, n_centroids=2, nprobe=2, max_cell=25
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # exclude_self survives the split (a probe's own row may land in any
+    # sub-bucket — it must still never match itself)
+    assert not any(r.query_id == r.result_id for _, r in b.iterrows())
+
+
+def test_ivf_join_max_cell_noop_below_bound(spark, embeddings):
+    """max_cell larger than every cell leaves results identical (single
+    bucket 0 everywhere — the guard costs only the counting pass)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 30)
+    a = _collect_sorted(ivf_knn_join(probes, embeddings, k=5, n_centroids=8, nprobe=3))
+    b = _collect_sorted(
+        ivf_knn_join(
+            probes, embeddings, k=5, n_centroids=8, nprobe=3, max_cell=10**6
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_cell_stats_contract(spark, embeddings):
+    """ivf_cell_stats: n_members sums to the corpus, overflow/split_factor
+    mark exactly the cells a max_cell split would sub-bucket, and the
+    persisted-table form (cell column present) skips assignment and
+    agrees with the raw-table form."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _assign_cells,
+        _centroid_bank,
+        ivf_cell_stats,
+    )
+
+    stats = ivf_cell_stats(embeddings, n_centroids=4, max_cell=100).collect()
+    total = embeddings.count()
+    assert sum(r.n_members for r in stats) == total
+    for r in stats:
+        assert r.overflow == (r.n_members > 100)
+        import math
+
+        assert r.split_factor == max(1, math.ceil(r.n_members / 100))
+
+    cv, ci = _centroid_bank(embeddings, 4, "vec_id", "embedding", 0, 2048)
+    pre = _assign_cells(embeddings, cv, ci, "vec_id", "embedding").select(
+        "result_id", "cell"
+    )
+    stats2 = {r.cell: r.n_members for r in ivf_cell_stats(pre).collect()}
+    assert stats2 == {r.cell: r.n_members for r in stats}
+
+
 def test_ivf_join_all_probes_no_driver_ceiling(spark, embeddings):
     """EVERY vector probes (the self-dedup shape that cannot run through the
     driver-closure path at scale); spot-check equality to the closure form

@@ -29,8 +29,9 @@ def _probes(spark, rows):
     return spark.createDataFrame(rows, "query_id long, terms array<string>")
 
 
-def _brute_bm25(query_terms, k1=BM25_K1, b=BM25_B):
-    """Reference implementation: same formula, same micro-unit fixed point."""
+def _brute_bm25(query_terms, k1=BM25_K1, b=BM25_B, idf_form="log"):
+    """Reference implementation: same formula, same micro-unit fixed point.
+    idf_form mirrors bm25_topk's idf flag ("log" default, "ratio")."""
     toks = {d: t.split() for d, t in CORPUS}
     n = float(len(CORPUS))
     sum_dl = float(sum(len(t) for t in toks.values()))
@@ -47,6 +48,8 @@ def _brute_bm25(query_terms, k1=BM25_K1, b=BM25_B):
             if tf == 0:
                 continue
             idf = ((n - df[term]) + 0.5) / (df[term] + 0.5)
+            if idf_form == "log":
+                idf = math.log(idf + 1.0)
             contrib = (idf * (tf * (k1 + 1.0))) / (
                 tf + k1 * ((1.0 - b) + ((b * len(t)) / avgdl))
             )
@@ -57,21 +60,53 @@ def _brute_bm25(query_terms, k1=BM25_K1, b=BM25_B):
 
 
 def test_bm25_matches_brute_force(spark):
+    """Both idf forms match the brute-force reference on values and order."""
     docs = _docs(spark)
     probes = _probes(spark, [(100, ["spark", "join"])])
-    got = {
-        r.result_id: (r.score, r.rank)
-        for r in bm25_topk(docs, probes, k=10).collect()
+    for form in ("log", "ratio"):
+        got = {
+            r.result_id: (r.score, r.rank)
+            for r in bm25_topk(docs, probes, k=10, idf=form).collect()
+        }
+        want = _brute_bm25(["spark", "join"], idf_form=form)
+        assert set(got) == set(want), form
+        for d, s in want.items():
+            assert math.isclose(got[d][0], s, abs_tol=1e-9), (form, d)
+        # ranks follow (score desc, id asc)
+        ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [d for d, _ in ordered] == [
+            d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])
+        ], form
+
+
+def test_bm25_idf_forms_rank_agreement(spark):
+    """The log and ratio idf forms agree on per-query ranking for
+    single-term queries (idf is monotone in df in both forms, so only the
+    multi-term BLEND can differ — the documented deviation), and return
+    the same candidate set for multi-term queries."""
+    docs = _docs(spark)
+    single = _probes(spark, [(0, ["spark"]), (1, ["join"]), (2, ["window"])])
+    by_form = {}
+    for form in ("log", "ratio"):
+        rows = bm25_topk(docs, single, k=10, idf=form).collect()
+        by_form[form] = sorted((r.query_id, r.rank, r.result_id) for r in rows)
+    assert by_form["log"] == by_form["ratio"]
+
+    multi = _probes(spark, [(9, ["spark", "join", "broadcast"])])
+    sets = {
+        form: {r.result_id for r in bm25_topk(docs, multi, k=10, idf=form).collect()}
+        for form in ("log", "ratio")
     }
-    want = _brute_bm25(["spark", "join"])
-    assert set(got) == set(want)
-    for d, s in want.items():
-        assert math.isclose(got[d][0], s, abs_tol=1e-9), d
-    # ranks follow (score desc, id asc)
-    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
-    assert [d for d, _ in ordered] == [
-        d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])
-    ]
+    assert sets["log"] == sets["ratio"]
+
+
+def test_bm25_idf_invalid_raises(spark):
+    import pytest
+
+    docs = _docs(spark)
+    probes = _probes(spark, [(0, ["spark"])])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, probes, k=10, idf="bogus")
 
 
 def test_bm25_rare_term_outweighs_common(spark):

@@ -121,3 +121,32 @@ def test_quantized_cosine_recall(spark, embeddings):
         [len(set(a) & set(b)) / 10.0 for a, b in zip(exact, approx)]
     )
     assert overlap >= 0.8, overlap
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """round_half_up_np (used by every vectorized matmul score path) must
+    agree with Spark's F.round — BigDecimal HALF_UP — on exact .5e-6
+    boundaries in both signs, where np.round's half-to-even would flip
+    (round-4 advisor finding: a boundary cosine could cross a >= threshold
+    in the vectorized path but not the expression twin)."""
+    import numpy as np
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.vector import (
+        round_half_up_np,
+    )
+
+    # values whose double representation sits exactly on the boundary:
+    # k * 2^-21 grid points land exactly on n.5e-6 only when exact in
+    # binary — 0.5e-6 itself isn't, so use exactly-representable halves
+    # scaled into the interesting range plus adversarial near-boundary ulps
+    vals = [
+        0.0000005, -0.0000005, 0.0000015, -0.0000015, 0.1234565,
+        -0.1234565, 0.9999995, -0.9999995, 1.0, -1.0, 0.0,
+        0.12345649999999999, 0.1234565000000001,
+    ]
+    got = round_half_up_np(np.array(vals), 6)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [r.y for r in df.select(F.round("x", 6).alias("y")).collect()]
+    assert list(got) == want, list(zip(vals, got, want))

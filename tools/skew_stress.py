@@ -12,6 +12,12 @@ single-task worst case for the plain window).
 Usage: python tools/skew_stress.py [--hot 1000000] [--users 2000]
 Prints one JSON line with plain/salted timings on the skewed corpus and the
 plain timing on the hot-free corpus (the degradation denominator).
+
+``--mode ivf`` instead stresses the cogrouped IVF kNN join's degenerate
+cell (a near-duplicate flood: ``--hot-frac`` of all vectors land in ONE
+cell — one cogroup group, one task, AQE can't split it) and measures the
+``max_cell`` hash-sub-bucket guard: plain vs guarded wall time plus a
+row-checksum equality witness (the guard must not change a single row).
 """
 
 from __future__ import annotations
@@ -93,16 +99,102 @@ def timed(fn, reps: int = 2) -> float:
     return round(best, 3)
 
 
+def synthesize_vectors(spark, n: int, hot_frac: float, dim: int = 16):
+    """Deterministic embedding table with a planted degenerate IVF cell:
+    ``hot_frac`` of vectors hug one direction (pairwise cosine ~1 — the
+    near-duplicate-flood shape), the rest spread over the unit circle in
+    the first two dims. No RNG — sin/cos of the id, batch-invariant."""
+    hot_n = int(n * hot_frac)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            hot = ids < hot_n
+            theta = np.where(hot, 0.0, (ids % 997) * (2 * np.pi / 997))
+            mat = np.zeros((len(ids), dim))
+            mat[:, 0] = np.cos(theta)
+            mat[:, 1] = np.sin(theta)
+            # tiny deterministic jitter so hot vectors aren't bit-identical
+            mat[:, 2] = 1e-3 * np.sin(ids * 0.7318)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [row.tolist() for row in mat]}
+            )
+
+    return spark.range(n).repartition(32).mapInPandas(
+        gen, "vec_id long, embedding array<double>"
+    )
+
+
+def run_ivf(spark, args) -> None:
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_cell_stats,
+        ivf_knn_join,
+    )
+
+    emb = synthesize_vectors(spark, args.vectors, args.hot_frac)
+    emb.write.mode("overwrite").parquet(f"{args.workdir}/emb")
+    emb = spark.read.parquet(f"{args.workdir}/emb")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kw = dict(k=10, n_centroids=8, nprobe=2)
+    max_cell = args.vectors // 64
+
+    stats = ivf_cell_stats(emb, n_centroids=8, max_cell=max_cell).collect()
+    biggest = max(r.n_members for r in stats)
+
+    plain = timed(lambda: ivf_knn_join(probes, emb, **kw), reps=args.reps)
+    guarded = timed(
+        lambda: ivf_knn_join(probes, emb, max_cell=max_cell, **kw),
+        reps=args.reps,
+    )
+
+    def checksum(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.hash("query_id", "result_id", F.round("score", 6), "rank")
+            ).alias("h"),
+        ).collect()[0]
+
+    ca = checksum(ivf_knn_join(probes, emb, **kw))
+    cb = checksum(ivf_knn_join(probes, emb, max_cell=max_cell, **kw))
+    print(
+        json.dumps(
+            {
+                "mode": "ivf",
+                "vectors": args.vectors,
+                "hot_frac": args.hot_frac,
+                "biggest_cell": biggest,
+                "max_cell": max_cell,
+                "overflow_cells": sum(1 for r in stats if r.overflow),
+                "plain_sec": plain,
+                "guarded_sec": guarded,
+                "guarded_vs_plain": round(guarded / plain, 2),
+                "rows_equal": (ca.n, ca.h) == (cb.n, cb.h),
+                "rows": ca.n,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("session", "ivf"), default="session")
     ap.add_argument("--hot", type=int, default=1_000_000)
     ap.add_argument("--users", type=int, default=2000)
     ap.add_argument("--per-user", type=int, default=500)
+    ap.add_argument("--vectors", type=int, default=200_000)
+    ap.add_argument("--hot-frac", type=float, default=0.9)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/skew_stress")
     args = ap.parse_args()
 
     spark = get_spark("skew-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.mode == "ivf":
+        run_ivf(spark, args)
+        return
     synthesize(spark, args.users, args.per_user, args.hot, args.workdir)
     normal = spark.read.parquet(f"{args.workdir}/normal")
     skewed = spark.read.parquet(f"{args.workdir}/skewed")
