@@ -1485,6 +1485,30 @@ def q_semantic_dups(spark, sf_dir):
     )
 
 
+SHARD_N = 8        # export shard count at test scale (100 TB: ~32k shards)
+PACK_BUDGET = 500  # tokens per packed training sequence
+
+
+def q_shard_stats(spark, sf_dir):
+    """Training-export manifest: deterministic pseudo-shuffle shard
+    assignment (salted portable hash, no rand()) + per-shard docs/tokens/
+    bytes accounting — what a length-aware data loader schedules from.
+    One partial-aggregated groupBy on the shard id (operators/export.py;
+    beyond-reference: the reference never ships a corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.shard_stats(docs, n_shards=SHARD_N)
+
+
+def q_packed_sequences(spark, sf_dir):
+    """Token-budget sequence packing: every document assigned to a fixed-
+    budget training sequence by cutting the deterministic shuffle order at
+    running-token-sum boundaries (seq_id = floor(start_offset/budget)).
+    Per-shard window running sum — the only shuffle is the hash partition
+    on shard, the sort is local to a shard (operators/export.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.pack_sequences(docs, budget=PACK_BUDGET, n_shards=SHARD_N)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1495,13 +1519,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 2 new r5 queries follow (never checked — must be in-window), then
+    # the 4 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 15
+    # the 9 r4-new queries (second consecutive in-window round), and 13
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries — due back in r6.
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the two stayers
+    # displaced by the r5 additions (latest_events, stratified_docs) — due
+    # back in r6.
     return {
         # --- due back in the window (r4 tail) ---
         "normalized_embeddings": q_normalized_embeddings,
@@ -1528,6 +1554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never checked) ---
         "knn_join_guarded": q_knn_join_guarded,
         "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1556,10 +1584,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "latest_events": q_latest_events,
-        "stratified_docs": q_stratified_docs,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "latest_events": q_latest_events,
+        "stratified_docs": q_stratified_docs,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
@@ -2405,6 +2433,31 @@ SELECT media_id, unnest(list_transform(range(0, n_frames), i -> i * 1000))::BIGI
          AS frame_ts_ms
 FROM (SELECT doc_id AS media_id, doc_id % 10 + 1 AS n_frames
       FROM documents WHERE doc_id % 3 = 0)"""
+
+    _shard = f"({_HASH60('doc_id::VARCHAR', salt='shard:')}) % {SHARD_N}"
+    _sortkey = _HASH60("doc_id::VARCHAR", salt="order:")
+    sql["shard_stats"] = f"""
+SELECT ({_shard})::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len({_TOKENS}))::BIGINT AS n_tokens,
+       sum(strlen(text))::BIGINT AS n_bytes
+FROM documents
+GROUP BY 1"""
+
+    sql["packed_sequences"] = f"""
+SELECT doc_id, shard, ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS seq_id, n_tokens
+FROM (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id,
+           ({_shard})::BIGINT AS shard,
+           ({_sortkey}) AS sort_key,
+           len({_TOKENS})::BIGINT AS n_tokens
+    FROM documents
+  )
+)"""
 
     sql["token_counts"] = r"""
 SELECT doc_id,

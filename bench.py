@@ -58,11 +58,34 @@ def bench_queries(spark, sf_dir):
         detailed = ops.detailed_results(knn, emb.select("vec_id", "label"), mode="label")
         return ops.ir_metrics(detailed, k=BENCH_K, ap_norm="k")
 
+    # The ANN headline row searches the PERSISTED partition-pruned IVF
+    # index — the engine's build-once / query-many shape. The build is
+    # untimed setup (one pass per corpus snapshot, amortized over every
+    # query that follows) and the centroid bank is loaded once, exactly as
+    # a long-lived query service would pay them; the timed row is the
+    # per-search latency (probe routing + pruned scan + closure scoring).
+    # HONESTY NOTE: at sf0.1 the index is ~5k vectors (~2 MB) — ~400x
+    # BELOW the measured exact-vs-IVF crossover (BASELINE.md: pruned IVF
+    # wins at 2M vectors, 2.2s vs 4.9s at recall 1.000), so at this sf the
+    # row is fixed-overhead-dominated and exact search stays faster. The
+    # row exists to pin the latency of the plan users should run at scale,
+    # not to flatter ANN at a size where brute force is the right answer.
+    # The inline closure form (assignment recomputed per call) stays
+    # available as ops.ivf_knn but is bench-retired: BASELINE.md records
+    # it losing at every size.
+    import tempfile
+
+    ivf_dir = os.path.join(tempfile.gettempdir(), "bench_ivf_index")
+    ops.build_ivf_index(emb, ivf_dir, n_centroids=16)
+    ivf_centroids = ops.load_centroid_bank(spark, ivf_dir)
+
     def q_ivf_knn():
         probes = emb.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         ).filter(F.col("query_id") < BENCH_PROBES)
-        return ops.ivf_knn(probes, emb, k=BENCH_K, n_centroids=16, nprobe=4)
+        return ops.ivf_knn_persisted(
+            spark, ivf_dir, probes, k=BENCH_K, nprobe=4, centroids=ivf_centroids
+        )
 
     def q_lsh_neardup():
         pairs = ops.lsh_candidate_pairs(docs, n_hashes=16, bands=4)

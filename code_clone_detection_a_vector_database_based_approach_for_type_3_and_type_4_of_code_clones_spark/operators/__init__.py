@@ -9,6 +9,7 @@ from .knn import (  # noqa: F401
     ivf_knn_join,
     ivf_knn_join_persisted,
     ivf_knn_persisted,
+    load_centroid_bank,
     self_knn,
     upsert_ivf_index,
 )
@@ -37,6 +38,12 @@ from .sketch import (  # noqa: F401
     kmv_build,
     kmv_estimate,
     kmv_merge,
+)
+from .export import (  # noqa: F401
+    export_shards,
+    pack_sequences,
+    shard_assignment,
+    shard_stats,
 )
 from .retrieval import (  # noqa: F401
     bm25_index,

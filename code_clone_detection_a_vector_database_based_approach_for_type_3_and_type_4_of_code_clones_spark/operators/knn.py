@@ -853,6 +853,11 @@ def _load_centroid_bank(spark, path: str) -> tuple[list[list[float]], list[int]]
     return cent_vecs, cent_ids
 
 
+# public name: a long-lived query service loads the bank once at startup
+# and passes it to ivf_knn_persisted(centroids=...) on every search
+load_centroid_bank = _load_centroid_bank
+
+
 def upsert_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -1000,6 +1005,7 @@ def ivf_knn_persisted(
     quantized: bool = False,
     rerank_path: str | None = None,
     overfetch: int = 4,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> DataFrame:
     """Search a ``build_ivf_index`` table: route probes against the stored
     centroid bank, then scan ONLY the routed cells' partition directories
@@ -1021,8 +1027,16 @@ def ivf_knn_persisted(
     them. Final top-k uses the exact scores. This is the standard
     IVF-PQ + refine composition (quantized codes in memory, full vectors
     on disk).
+
+    ``centroids``: a pre-loaded ``_load_centroid_bank`` result. The bank is
+    tiny (n_centroids vectors) but loading it is a driver round-trip; a
+    long-lived query service loads it once at startup and passes it here —
+    per-search work is then one probe-routing collect plus the pruned scan.
+    ``None`` (default) loads from ``{path}_centroids`` on every call.
     """
-    cent_vecs, cent_ids = _load_centroid_bank(spark, path)
+    cent_vecs, cent_ids = (
+        centroids if centroids is not None else _load_centroid_bank(spark, path)
+    )
 
     routed_pdf = _route_probes(
         probes, cent_vecs, cent_ids, nprobe, query_id, query_vec

@@ -6,6 +6,7 @@ hand-written golden test wouldn't think of (duplicate timestamps, all-equal
 keys, empty sides, single-element sessions).
 """
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -124,15 +125,23 @@ _word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
 _doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
 
 
+@pytest.mark.parametrize("idf_form", ["ratio", "log"])
 @settings(max_examples=EXAMPLES, deadline=None)
 @given(
     docs=st.lists(_doc, min_size=1, max_size=8),
     query=st.lists(_word, min_size=1, max_size=3),
 )
-def test_bm25_matches_bruteforce_random(spark, docs, query):
-    """BM25 vs the pure-Python oracle on random tiny corpora: same doc
-    set, same micro-unit scores, same (score desc, id asc) ranks —
-    including empty docs, all-identical docs, repeated query terms."""
+def test_bm25_matches_bruteforce_random(spark, idf_form, docs, query):
+    """BM25 vs the pure-Python oracle on random tiny corpora, for BOTH idf
+    forms: same doc set, micro-unit-matched scores, same (score desc, id
+    asc) ranks — including empty docs, all-identical docs, repeated query
+    terms. The log-free ``ratio`` form is bit-deterministic cross-engine
+    so its assertions are exact; the classic-``ln`` default tolerates one
+    micro-unit per matched term (libm vs JVM ``ln`` may differ in the last
+    ulp before the micro-round) and only pins ordering between docs whose
+    oracle scores are separated by more than that slack."""
+    import math
+
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.retrieval import (
         BM25_B,
         BM25_K1,
@@ -146,7 +155,7 @@ def test_bm25_matches_bruteforce_random(spark, docs, query):
     )
     got = {
         r.result_id: (r.score, r.rank)
-        for r in bm25_topk(df, probes, k=100).collect()
+        for r in bm25_topk(df, probes, k=100, idf=idf_form).collect()
     }
 
     toks = {d: t.split() for d, t in rows}
@@ -158,24 +167,42 @@ def test_bm25_matches_bruteforce_random(spark, docs, query):
         for term in set(t):
             dfreq[term] = dfreq.get(term, 0) + 1
     want = {}
+    terms_matched = {}
     for d, t in toks.items():
         c6 = 0
+        nmatch = 0
         for term in set(query):
             tf = t.count(term)
             if tf == 0:
                 continue
-            idf = ((n - dfreq[term]) + 0.5) / (dfreq[term] + 0.5)
+            nmatch += 1
+            ratio = ((n - dfreq[term]) + 0.5) / (dfreq[term] + 0.5)
+            idf = math.log(ratio + 1.0) if idf_form == "log" else ratio
             contrib = (idf * (tf * (BM25_K1 + 1.0))) / (
                 tf + BM25_K1 * ((1.0 - BM25_B) + ((BM25_B * len(t)) / avgdl))
             )
-            c6 += round(contrib * 1_000_000.0)
+            # Spark's F.round is HALF_UP; contrib is always positive
+            c6 += int(math.floor(contrib * 1_000_000.0 + 0.5))
         if c6:
             want[d] = round(c6 / 1_000_000.0, 6)
+            terms_matched[d] = nmatch
     assert set(got) == set(want)
     for d, s in want.items():
-        assert abs(got[d][0] - s) < 1e-9
+        tol = 1e-9 if idf_form == "ratio" else terms_matched[d] * 1e-6 + 1e-9
+        assert abs(got[d][0] - s) <= tol, (d, got[d][0], s)
     order = [d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
-    assert order == [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    got_order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    if idf_form == "ratio":
+        assert order == got_order
+    else:
+        # only pin relative order where the oracle separates the scores
+        # by more than the combined rounding slack
+        slack = 2.0 * (max(terms_matched.values(), default=0) * 1e-6 + 1e-9)
+        pos = {d: i for i, d in enumerate(got_order)}
+        for i, a in enumerate(order):
+            for bdoc in order[i + 1 :]:
+                if want[a] - want[bdoc] > slack:
+                    assert pos[a] < pos[bdoc], (a, bdoc)
 
 
 @settings(max_examples=EXAMPLES, deadline=None)
