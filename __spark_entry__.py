@@ -1509,6 +1509,19 @@ def q_packed_sequences(spark, sf_dir):
     return ops.pack_sequences(docs, budget=PACK_BUDGET, n_shards=SHARD_N)
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split: cumulative-fraction buckets
+    over the salted portable hash — no rand(), stable under layout and
+    re-runs (operators/export.py). The leakage-safe variant (hash the
+    duplicate-GROUP id so near-dups never straddle train/test) is the
+    same operator with key_col swapped; pinned by pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.split_assignment(docs, SPLIT_FRACTIONS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1519,15 +1532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 4 new r5 queries follow (never checked — must be in-window), then
+    # the 5 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 13
+    # the 9 r4-new queries (second consecutive in-window round), and 12
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the two stayers
-    # displaced by the r5 additions (latest_events, stratified_docs) — due
-    # back in r6.
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the three
+    # stayers displaced by the r5 additions (latest_events,
+    # stratified_docs, tfidf_top_terms) — due back in r6.
     return {
         # --- due back in the window (r4 tail) ---
         "normalized_embeddings": q_normalized_embeddings,
@@ -1556,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_stats": q_ivf_cell_stats,
         "shard_stats": q_shard_stats,
         "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1583,9 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
-        "tfidf_top_terms": q_tfidf_top_terms,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "tfidf_top_terms": q_tfidf_top_terms,
         "latest_events": q_latest_events,
         "stratified_docs": q_stratified_docs,
         "pricing_summary": q_pricing_summary,
@@ -2443,6 +2457,18 @@ SELECT ({_shard})::BIGINT AS shard,
        sum(strlen(text))::BIGINT AS n_bytes
 FROM documents
 GROUP BY 1"""
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        _split_thresholds,
+    )
+
+    _split_h = _HASH60("doc_id::VARCHAR", salt="split:")
+    _split_case = " ".join(
+        f"WHEN ({_split_h}) < {t} THEN '{name}'"
+        for name, t in _split_thresholds(SPLIT_FRACTIONS)
+    )
+    sql["dataset_split"] = f"""
+SELECT doc_id, CASE {_split_case} END AS split FROM documents"""
 
     sql["packed_sequences"] = f"""
 SELECT doc_id, shard, ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS seq_id, n_tokens

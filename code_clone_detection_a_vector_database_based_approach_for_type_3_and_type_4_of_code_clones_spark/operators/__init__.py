@@ -41,9 +41,11 @@ from .sketch import (  # noqa: F401
 )
 from .export import (  # noqa: F401
     export_shards,
+    leakage_safe_split,
     pack_sequences,
     shard_assignment,
     shard_stats,
+    split_assignment,
 )
 from .retrieval import (  # noqa: F401
     bm25_index,

@@ -22,6 +22,11 @@ hard requirements this module implements Spark-first:
    (docs/tokens/bytes) a loader needs for length-aware scheduling, as one
    partial-aggregated groupBy; ``pack_sequences`` assigns every document to
    a fixed-token-budget training sequence.
+4. **Leakage-safe splits.** ``split_assignment`` is the deterministic
+   hash train/val/test split; ``leakage_safe_split`` hashes the
+   DUPLICATE-GROUP id instead of the document id, so near-duplicates
+   (which survive any imperfect dedup) can never straddle train and
+   test and silently inflate eval numbers.
 
 Packing semantics (``pack_sequences``): documents are laid out in the
 deterministic shuffle order and cut into CONTIGUOUS chunks at running-sum
@@ -126,6 +131,80 @@ def pack_sequences(
             .alias("seq_id"),
             "n_tokens",
         )
+    )
+
+
+SPLIT_SALT = "split:"
+_HASH_SPACE = 1 << 60  # stable_hash64 is uniform on [0, 2^60)
+
+
+def _split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    out, cum = [], 0.0
+    for name, f in fractions.items():
+        if f < 0:
+            raise ValueError(f"negative fraction for {name!r}")
+        cum += f
+        out.append((name, int(cum * _HASH_SPACE)))
+    out[-1] = (out[-1][0], _HASH_SPACE)  # close float gap at the top
+    return out
+
+
+def split_assignment(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split: ``(id, split)`` where the split
+    is chosen by which cumulative-fraction bucket the salted 60-bit hash
+    of the SPLIT KEY falls in — integer thresholds, no ``rand()``, stable
+    under data layout, re-runs, and cluster size. Map-only.
+
+    ``key_col`` is the leakage lever: by default the key is the document
+    id, but passing a DUPLICATE-GROUP id (see ``leakage_safe_split``)
+    hashes the group instead, so near-identical documents can never
+    straddle train and test — the classic eval-contamination bug with
+    per-document random splits over an imperfectly-deduped corpus.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    key = F.col(key_col) if key_col else F.col(id_col)
+    h = stable_hash64(key, salt=SPLIT_SALT)
+    expr = F.lit(None).cast("string")
+    for name, threshold in reversed(_split_thresholds(fractions)):
+        expr = F.when(h < threshold, F.lit(name)).otherwise(expr)
+    return docs.select(F.col(id_col), expr.alias("split"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_groups: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-aware split: documents that are near-duplicates of each other
+    (per ``duplicate_groups``' ``(doc_id, group_id)`` output) are split as
+    ONE unit — the whole group hashes on its ``group_id``, singletons on
+    their own id. Output ``(id, split)`` for every document.
+
+    Scale shape: ``dup_groups`` covers only docs that appear in some
+    near-dup pair (a small fraction of a deduped corpus), so the join is
+    a broadcast-or-small shuffle against the corpus, and everything after
+    is map-side. The group table is exactly what the dedup stage already
+    produced — no extra corpus pass."""
+    g = dup_groups.select(
+        F.col(id_col), F.col("group_id").cast("string").alias("_split_key")
+    )
+    keyed = docs.select(F.col(id_col)).join(g, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_split_key"), F.col(id_col).cast("string")).alias(
+            "_split_key"
+        ),
+    )
+    return split_assignment(
+        keyed, fractions, id_col=id_col, key_col="_split_key"
     )
 
 

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
     export_shards,
+    leakage_safe_split,
     pack_sequences,
     shard_assignment,
     shard_stats,
+    split_assignment,
 )
 
 N_SHARDS = 8
@@ -128,6 +130,57 @@ def test_export_validates_args(documents):
         shard_assignment(documents, 0)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(documents, budget=0, n_shards=4)
+
+
+def test_split_assignment_deterministic_fractions(documents):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in split_assignment(documents, fr).collect()}
+    b = {r.doc_id: r.split for r in split_assignment(documents, fr).collect()}
+    assert a == b
+    assert len(a) == documents.count()
+    assert set(a.values()) <= set(fr)
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    n = len(a)
+    # hash uniformity at n=500: generous +-50% tolerance per bucket
+    assert 0.5 * 0.8 * n <= sizes["train"] <= min(n, 1.5 * 0.8 * n + 1)
+    for s in ("val", "test"):
+        assert sizes[s] <= 0.1 * n * 2.5 + 1
+
+
+def test_split_assignment_validates_fractions(documents):
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        split_assignment(documents, {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        split_assignment(documents, {"train": 1.5, "test": -0.5})
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    """Every member of a duplicate group lands in the SAME split; docs in
+    no group split independently; a group whose group_id equals a
+    singleton's id agrees with that singleton (group_id is the min member
+    id, so the group contains that very doc — consistent by design)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # groups: {0,1,2}, {10,11}, {20,25,30}; keepers irrelevant here
+    rows = [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (20, 20), (25, 20), (30, 20)]
+    groups = spark.createDataFrame(rows, "doc_id long, group_id long")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r.doc_id: r.split for r in
+           leakage_safe_split(docs, groups, fr).collect()}
+    assert len(out) == 40
+    for members in ([0, 1, 2], [10, 11], [20, 25, 30]):
+        assert len({out[m] for m in members}) == 1, members
+    # the group hashes its group_id, which equals member-doc 0's own key:
+    # the singleton form of doc 0 would get the identical split
+    solo = {r.doc_id: r.split for r in split_assignment(docs, fr).collect()}
+    assert out[0] == solo[0]
+    # ungrouped docs match the plain per-doc split exactly
+    grouped_ids = {d for d, _ in rows}
+    for d in set(out) - grouped_ids:
+        assert out[d] == solo[d], d
 
 
 def test_pack_sequences_budget_cut(spark):

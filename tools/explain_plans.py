@@ -94,6 +94,12 @@ def main() -> None:
     plans["kmv_tokens"] = entrymod.q_kmv_tokens(spark, sf)
     plans["semantic_dups"] = entrymod.q_semantic_dups(spark, sf)
 
+    # round-5 additions: training export (shard manifest + sequence
+    # packing — expect ONE hash-partition exchange on the shard id, a
+    # shard-local window sort, map-side hash/token expressions)
+    plans["shard_stats"] = entrymod.q_shard_stats(spark, sf)
+    plans["packed_sequences"] = entrymod.q_packed_sequences(spark, sf)
+
     for name, df in plans.items():
         print(f"\n===== {name} =====")
         df.explain("formatted")
