@@ -66,7 +66,7 @@ def corpus_prep(
 ) -> dict[str, DataFrame]:
     """Run the 7-stage prep over ``docs (doc_id, text, lang, source)``.
 
-    Returns ``{"docs", "chunks", "accounting"}``:
+    Returns ``{"docs", "chunks", "accounting", "near_groups"}``:
 
     - ``docs``: surviving documents with ``text`` = cleaned text plus the
       per-stage flag columns (auditable — a dropped doc's reason is the
@@ -76,6 +76,10 @@ def corpus_prep(
     - ``accounting``: ONE row with the funnel —
       ``n_input, n_lines_removed, n_exact_kept, n_near_kept,
       n_quality_kept, n_decontaminated, n_sampled``.
+    - ``near_groups``: the stage-3 ``duplicate_groups`` output
+      ``(doc_id, group_id, is_keeper)`` — downstream consumers (e.g. a
+      leakage-safe train/test split, plans/ship.py) reuse it instead of
+      re-running the LSH pipeline.
     """
     cleaned = remove_boilerplate_lines(docs, min_df=boilerplate_min_df)
     meta_cols = [c for c in docs.columns if c != "text"]  # doc_id + metadata
@@ -102,7 +106,8 @@ def corpus_prep(
         exact_kept, lsh_candidate_pairs(exact_kept, max_bucket=max_bucket),
         eager_persist=False,  # plan builders must not execute (analyze gate)
     ).filter(F.col("jaccard") >= jaccard_threshold)
-    near_flags = duplicate_groups(near_pairs, eager_checkpoint=False).select(
+    near_groups = duplicate_groups(near_pairs, eager_checkpoint=False)
+    near_flags = near_groups.select(
         "doc_id", F.col("is_keeper").alias("is_near_keeper")
     )
     base = base.join(near_flags, "doc_id", "left").withColumn(
@@ -180,4 +185,9 @@ def corpus_prep(
         F.sum(k4.cast("long")).cast("bigint").alias("n_decontaminated"),
     ).crossJoin(sampled.agg(F.count("*").cast("bigint").alias("n_sampled")))
 
-    return {"docs": sampled, "chunks": chunks, "accounting": acc}
+    return {
+        "docs": sampled,
+        "chunks": chunks,
+        "accounting": acc,
+        "near_groups": near_groups,
+    }

@@ -1,0 +1,117 @@
+"""Prepare-and-ship: the full training-data lifecycle as one composition —
+curate (plans/corpus_prep) → leakage-safe split (operators/export) →
+deterministic sharded export with per-split/per-shard manifests.
+
+This is the step the reference never needed (it retrieves; it doesn't
+ship corpora), and the one a 100 TB training pipeline runs nightly. The
+design decision worth reading:
+
+**The split threshold is LOWER than the drop threshold.** Stage 3 of the
+funnel drops near-dups at ``jaccard_threshold`` (default 0.8 — only
+near-identical docs cost tokens to keep). But eval leakage starts well
+below that: a 0.6-jaccard pair kept in the corpus (correctly — it's
+genuinely different text) still inflates eval numbers if one lands in
+train and the other in test. So the ship step re-pairs the SURVIVORS at
+``leakage_jaccard`` (default 0.5), resolves groups, and hashes the GROUP
+id for the split (``leakage_safe_split``). The dedup pass and the split
+pass answer different questions at different thresholds; conflating them
+is the classic silent-leak bug this plan exists to prevent.
+
+Scale shape: the survivor re-pairing is the same LSH-bounded pipeline as
+stage 3 (never all-pairs); the split is map-side after one small join;
+the export is one hash-partition shuffle per split. Writing the three
+splits is three independent jobs over disjoint row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    duplicate_groups,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from ..operators.export import (
+    export_shards,
+    leakage_safe_split,
+    shard_stats,
+)
+from .corpus_prep import corpus_prep
+
+DEFAULT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def prepare_and_ship(
+    docs: DataFrame,
+    out_dir: str,
+    eval_docs: DataFrame | None = None,
+    fractions: dict[str, float] | None = None,
+    n_shards: int = 8,
+    leakage_jaccard: float = 0.5,
+    leakage_bands: int = 8,
+    **prep_kwargs,
+) -> dict:
+    """Run the 7-stage funnel, split the survivors leakage-safely, and
+    write ``{out_dir}/{split}/shard=<k>/`` parquet shards.
+
+    Returns ``{"splits", "manifest", "accounting", "written"}``:
+
+    - ``splits``: lazy ``(doc_id, split)`` assignment for every survivor;
+    - ``manifest``: lazy per-(split, shard) ``n_docs/n_tokens/n_bytes``;
+    - ``accounting``: the funnel's one-row accounting (lazy);
+    - ``written``: dict split -> output path (the only executed part —
+      calling this function writes the shards).
+    """
+    fractions = fractions or DEFAULT_FRACTIONS
+    prep = corpus_prep(docs, eval_docs=eval_docs, **prep_kwargs)
+    survivors = prep["docs"].select("doc_id", "text", *[
+        c for c in ("lang", "source") if c in prep["docs"].columns
+    ])
+
+    # re-pair the survivors at the LOWER leakage threshold (module
+    # docstring); the funnel's own groups (threshold = drop level) have at
+    # most one surviving member each, so they cannot drive the split.
+    # The banding must match the threshold: dedup's default (16 hashes /
+    # 4 bands, r=4) targets ~0.8 jaccard — its candidate recall at 0.5 is
+    # coin-flip. r=2 (8 bands) puts the S-curve's knee near 0.5
+    # (per-band hit s^2, miss-all (1-s^2)^8: recall 0.90 at s=0.5, 0.997
+    # at s=0.7), at the cost of more candidate verification — the right
+    # trade for a leakage guard, where a miss silently corrupts evals.
+    surv_pairs = ngram_jaccard_pairs(
+        survivors,
+        lsh_candidate_pairs(survivors, bands=leakage_bands),
+        eager_persist=False,
+    ).filter(F.col("jaccard") >= leakage_jaccard)
+    groups = duplicate_groups(surv_pairs, eager_checkpoint=False)
+
+    splits = leakage_safe_split(survivors, groups, fractions)
+    labeled = survivors.join(splits, "doc_id")
+
+    written = {}
+    for name in fractions:
+        part = labeled.filter(F.col("split") == name).drop("split")
+        path = f"{out_dir}/{name}"
+        export_shards(part, path, n_shards=n_shards)
+        written[name] = path
+
+    # per-(split, shard) manifest: reuse shard_stats per split and tag it
+    parts = []
+    for name in fractions:
+        part = labeled.filter(F.col("split") == name)
+        parts.append(
+            shard_stats(part, n_shards=n_shards).select(
+                F.lit(name).alias("split"), "shard", "n_docs", "n_tokens", "n_bytes"
+            )
+        )
+    manifest = parts[0]
+    for p in parts[1:]:
+        manifest = manifest.unionByName(p)
+
+    return {
+        "splits": splits,
+        "manifest": manifest,
+        "accounting": prep["accounting"],
+        "written": written,
+    }

@@ -1,0 +1,94 @@
+"""prepare_and_ship integration test: funnel -> leakage-safe split at a
+LOWER threshold than the drop threshold -> sharded per-split export with
+manifests (plans/ship.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.ship import (
+    prepare_and_ship,
+)
+
+# ~60-token stopword-rich body that passes the quality gate
+BODY = (
+    "the quick brown fox jumps over the lazy dog and then it runs back to "
+    "the barn for a rest while the farmer watches from the porch and the "
+    "sun sets slowly over the quiet fields of the old family farm in the "
+    "valley near the river"
+)
+# moderately-overlapping variant: above the leakage threshold (0.35 here),
+# below the dedup drop threshold (0.8) -> BOTH survive, MUST co-split
+BODY_SIBLING = BODY.replace("quick brown fox", "slow gray wolf").replace(
+    "farmer watches from the porch", "child waves from the gate"
+).replace("barn", "shed").replace("river", "forest")
+
+OTHER = (
+    "a completely different story about ships at sea where the captain "
+    "charts a course through the storm and the crew works the sails while "
+    "waves crash against the hull and the stars guide them safely home to "
+    "the harbor after many long months away"
+)
+
+
+def _corpus(spark):
+    rows = [(0, BODY, "en", "web"), (1, BODY_SIBLING, "en", "web"),
+            (2, OTHER, "en", "web")]
+    # pad with MUTUALLY-DISTINCT filler docs (disjoint shingle sets — a
+    # shared template would make the fillers near-dups of each other and
+    # the funnel would rightly collapse them)
+    for i in range(3, 30):
+        body = " ".join(f"w{i}x{j}" for j in range(40))
+        rows.append((i, f"the story {i} says {body} and so it ends", "en", "web"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_prepare_and_ship_end_to_end(spark, tmp_path):
+    docs = _corpus(spark)
+    out_dir = str(tmp_path / "ship")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    res = prepare_and_ship(
+        docs,
+        out_dir,
+        fractions=fr,
+        n_shards=4,
+        leakage_jaccard=0.35,
+        boilerplate_min_df=1000,  # no boilerplate in this corpus
+        jaccard_threshold=0.8,
+        quality_min=0.0,  # token-soup fillers have no stopwords
+    )
+
+    # every survivor split exactly once, into a known split
+    splits = {r.doc_id: r.split for r in res["splits"].collect()}
+    assert set(splits.values()) <= set(fr)
+    assert len(splits) == 30  # nothing dropped by this corpus's funnel
+
+    # the 0.5-ish-jaccard sibling pair survives dedup (below 0.8) but
+    # MUST land in the same split (above the 0.35 leakage threshold)
+    assert splits[0] == splits[1]
+
+    # written shards reproduce the split assignment exactly
+    for name in fr:
+        path = res["written"][name]
+        assert os.path.exists(path)
+        back = spark.read.parquet(path)
+        got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+        want_ids = {d for d, s in splits.items() if s == name}
+        assert got_ids == want_ids, name
+        assert "text" in back.columns and "shard" in back.columns
+
+    # manifest totals agree with the split sizes
+    man = res["manifest"].collect()
+    by_split = {}
+    for r in man:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    from collections import Counter
+
+    assert by_split == dict(Counter(splits.values()))
+
+    # accounting row is reachable and consistent
+    acc = res["accounting"].collect()[0]
+    assert acc.n_input == 30
+    assert acc.n_sampled == 30
