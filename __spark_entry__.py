@@ -1522,6 +1522,35 @@ def q_dataset_split(spark, sf_dir):
     return ops.split_assignment(docs, SPLIT_FRACTIONS)
 
 
+QUALITY_CUTOFF_P = 0.75  # keep the top quartile by heuristic quality
+
+
+def q_quality_cutoff(spark, sf_dir):
+    """Adaptive quality filtering: keep documents at or above the corpus's
+    75th-percentile quality score — the data-driven alternative to a fixed
+    threshold (corpora differ; the percentile self-calibrates). Scores are
+    integer micro-units so the type-7 interpolated percentile (Spark
+    `percentile` == DuckDB `quantile_cont`, both h=(N-1)p) is bit-exact
+    cross-engine; the 1-row threshold broadcasts. At 100 TB swap the exact
+    percentile for `approx_percentile` — same plan shape, sketch-merged
+    instead of sorted."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(cf.quality_score(F.col("text")) * 1_000_000)
+        .cast("bigint")
+        .alias("quality6"),
+    )
+    thr = scored.agg(
+        F.expr(f"percentile(quality6, {QUALITY_CUTOFF_P})").alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality6") >= F.col("thr"))
+        .select("doc_id", "quality6")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1532,15 +1561,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 5 new r5 queries follow (never checked — must be in-window), then
+    # the 6 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 12
+    # the 9 r4-new queries (second consecutive in-window round), and 11
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the three
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the four
     # stayers displaced by the r5 additions (latest_events,
-    # stratified_docs, tfidf_top_terms) — due back in r6.
+    # stratified_docs, tfidf_top_terms, redacted_docs) — due back in r6.
     return {
         # --- due back in the window (r4 tail) ---
         "normalized_embeddings": q_normalized_embeddings,
@@ -1570,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "packed_sequences": q_packed_sequences,
         "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1596,9 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
-        "redacted_docs": q_redacted_docs,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "redacted_docs": q_redacted_docs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "latest_events": q_latest_events,
         "stratified_docs": q_stratified_docs,
@@ -2469,6 +2499,16 @@ GROUP BY 1"""
     )
     sql["dataset_split"] = f"""
 SELECT doc_id, CASE {_split_case} END AS split FROM documents"""
+
+    # quality_cutoff: integer micro-unit scores make the type-7
+    # interpolated percentile (quantile_cont == Spark percentile,
+    # h=(N-1)p over quarter-fractions of integers) bit-exact
+    sql["quality_cutoff"] = f"""
+WITH q AS (
+  SELECT doc_id, round(quality * 1000000)::BIGINT AS quality6
+  FROM ({_quality_sql()})
+), t AS (SELECT quantile_cont(quality6, {QUALITY_CUTOFF_P}) AS thr FROM q)
+SELECT doc_id, quality6 FROM q, t WHERE quality6 >= thr"""
 
     sql["packed_sequences"] = f"""
 SELECT doc_id, shard, ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS seq_id, n_tokens
