@@ -1,0 +1,83 @@
+"""Continuous training-data export: Structured Streaming -> deterministic
+shard layout (beyond-reference extension; the streaming twin of
+``operators/export.export_shards``).
+
+A live corpus grows in increments (crawl drops, nightly dumps); the
+export layout must absorb them without rewriting history and without
+duplicating rows when a micro-batch replays after a crash. The sink
+writes each batch under ``{out_dir}/batch=<id>/shard=<k>/`` with DYNAMIC
+partition overwrite:
+
+- the shard id and within-shard order come from the same salted portable
+  hashes as the batch exporter, so a document's shard never depends on
+  WHEN it arrived;
+- ``batch`` is the idempotence key: ``foreachBatch`` replays a batch with
+  the same ``batch_id`` and the same rows, and dynamic overwrite rewrites
+  exactly the ``batch=<id>`` partitions — effectively-exactly-once with
+  no transaction log (the same argument as ``index_ingest_stream``'s
+  replace-per-id upsert, keyed on the partition instead of the row);
+- a data-loader reads ``{out_dir}`` recursively: ``shard`` is a real
+  column in every file, so the global shard k is the union of the
+  per-batch ``shard=<k>`` directories — append-only from the reader's
+  point of view.
+
+Scale shape per batch: one hash-partition shuffle on ``shard``, local
+sort, dynamic-partition write — identical to the batch exporter, sized by
+the increment, never by the accumulated corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ids import stable_hash64
+from ..operators.export import ORDER_SALT, SHARD_SALT
+
+DOCUMENT_SCHEMA = "doc_id bigint, text string"
+
+
+def export_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    n_shards: int,
+    schema: str = DOCUMENT_SCHEMA,
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Build the (unstarted) streaming writer: call ``.trigger(...)``,
+    ``.option("checkpointLocation", ...)`` and ``.start()`` on the result.
+
+    Each micro-batch shards deterministically and lands under
+    ``batch=<batch_id>/shard=<k>`` via dynamic partition overwrite (module
+    docstring for the idempotence argument)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        (
+            batch.select(
+                "*",
+                (stable_hash64(F.col(id_col), salt=SHARD_SALT) % n_shards).alias(
+                    "shard"
+                ),
+                stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("sort_key"),
+            )
+            .withColumn("batch", F.lit(batch_id))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("sort_key", id_col)
+            .drop("sort_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "shard")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(sink)

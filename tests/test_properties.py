@@ -325,3 +325,94 @@ def test_upsert_equals_rebuild_random_batches(spark, repl, new, shift):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# arbitrary unicode text (including whitespace runs, emoji, CJK, empty)
+_unicode_doc = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFFF
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(docs=st.lists(_unicode_doc, min_size=1, max_size=12))
+def test_shard_stats_matches_bruteforce_unicode(spark, docs):
+    """shard_stats vs a pure-Python oracle on arbitrary unicode text:
+    token counts (lowercased whitespace split), BYTE lengths (utf-8 —
+    octet_length, not character count), and the salted-hash shard
+    assignment all agree, including empty strings, whitespace-only docs,
+    emoji and astral-plane codepoints."""
+    import hashlib
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        shard_stats,
+    )
+
+    n_shards = 4
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.shard: (r.n_docs, r.n_tokens, r.n_bytes)
+           for r in shard_stats(df, n_shards).collect()}
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    want: dict = {}
+    for i, t in rows:
+        shard = h60(f"shard:{i}") % n_shards
+        # Java regex \s (Spark split) and RE2 \s (the DuckDB oracle) are
+        # the ASCII class [ \t\n\x0B\f\r]; PYTHON's re \s additionally
+        # matches \x1c-\x1f and unicode spaces — so the brute force must
+        # spell out the engines' class, not use \s (hypothesis found
+        # '0\x1f0': 1 token in both engines, 2 under Python \s)
+        toks = [
+            w
+            for w in __import__("re").split(r"[ \t\n\x0b\f\r]+", t.lower())
+            if w
+        ]
+        d, tk, by = want.get(shard, (0, 0, 0))
+        want[shard] = (d + 1, tk + len(toks), by + len(t.encode("utf-8")))
+    assert got == want
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    docs=st.lists(_unicode_doc, min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=30),
+)
+def test_pack_sequences_boundary_law_random(spark, docs, budget):
+    """pack_sequences on random unicode docs: every doc in exactly one
+    sequence, seq_id == floor(start_offset/budget) in the hash order, and
+    within every shard the sequence ids are contiguous from 0."""
+    import hashlib
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        pack_sequences,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.shard, r.seq_id, r.n_tokens)
+           for r in pack_sequences(df, budget=budget, n_shards=2).collect()}
+    assert set(out) == {i for i, _ in rows}
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    by_shard: dict = {}
+    for i, t in rows:
+        by_shard.setdefault(h60(f"shard:{i}") % 2, []).append(
+            (h60(f"order:{i}"), i)
+        )
+    for shard, members in by_shard.items():
+        cum = 0
+        seqs = set()
+        for _, i in sorted(members):
+            s, seq_id, n_tok = out[i]
+            assert s == shard
+            assert seq_id == cum // budget, i
+            seqs.add(seq_id)
+            cum += n_tok
+        assert seqs == set(range(len(seqs)))
