@@ -1533,7 +1533,9 @@ def q_quality_cutoff(spark, sf_dir):
     `percentile` == DuckDB `quantile_cont`, both h=(N-1)p) is bit-exact
     cross-engine; the 1-row threshold broadcasts. At 100 TB swap the exact
     percentile for `approx_percentile` — same plan shape, sketch-merged
-    instead of sorted."""
+    instead of sorted; it returns a dataset element at-or-below the
+    interpolated point, so that cut keeps boundary ties the interpolated
+    threshold excludes (relationship pinned in test_export.py)."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -1551,6 +1553,24 @@ def q_quality_cutoff(spark, sf_dir):
     )
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the near-dup GROUP resolution
+    (same LSH -> Jaccard -> 3-round label propagation as dup_groups)
+    drives the split hash, so documents that are near-duplicates of each
+    other can never straddle train and test — the eval-contamination
+    guard. Singletons hash their own id; the oracle wraps the dup_groups
+    SQL as a CTE and replays the identical coalesce + CASE thresholds."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs,
+        ops.lsh_candidate_pairs(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE),
+        MINHASH_SHINGLE,
+    ).filter(F.col("jaccard") >= NEARDUP_JACCARD)
+    pairs = ops.persist_bounded(pairs)
+    groups = ops.duplicate_groups(pairs, iterations=DUP_GROUP_ITERS)
+    return ops.leakage_safe_split(docs, groups, SPLIT_FRACTIONS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1561,15 +1581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 6 new r5 queries follow (never checked — must be in-window), then
+    # the 7 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 11
+    # the 9 r4-new queries (second consecutive in-window round), and 10
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the four
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the five
     # stayers displaced by the r5 additions (latest_events,
-    # stratified_docs, tfidf_top_terms, redacted_docs) — due back in r6.
+    # stratified_docs, tfidf_top_terms, redacted_docs, doc_chunks) — due
+    # back in r6.
     return {
         # --- due back in the window (r4 tail) ---
         "normalized_embeddings": q_normalized_embeddings,
@@ -1600,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "dataset_split": q_dataset_split,
         "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1625,9 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
-        "doc_chunks": q_doc_chunks,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "latest_events": q_latest_events,
@@ -1992,6 +2014,10 @@ SELECT cell, token, n, rank FROM (
 
 
 def oracle_sql() -> dict[str, str]:
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        _split_thresholds,
+    )
+
     toks = _TOKENS
     h_tok = _HASH60("t")
     sh3 = _shingles_sql(toks, MINHASH_SHINGLE)
@@ -2198,7 +2224,7 @@ JOIN shingled b ON b.doc_id = c.doc_b"""
   GROUP BY l.doc_id, l.label
 )"""
         )
-    sql["dup_groups"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
+    dup_groups_sql = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
 shingled AS (
   SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
   FROM documents
@@ -2222,6 +2248,22 @@ l0 AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges),
 {", ".join(prop_steps)}
 SELECT doc_id, label AS group_id, doc_id = label AS is_keeper
 FROM l{DUP_GROUP_ITERS}"""
+    sql["dup_groups"] = dup_groups_sql
+
+    # leakage_split: the SAME group resolution, wrapped as a CTE, with the
+    # split CASE hashing the group key (group id for grouped docs, own id
+    # for singletons — coalesce order matches leakage_safe_split)
+    _lk_hash = _HASH60(
+        "coalesce(g.group_id::VARCHAR, d.doc_id::VARCHAR)", salt="split:"
+    )
+    _lk_case = " ".join(
+        f"WHEN ({_lk_hash}) < {t} THEN '{name}'"
+        for name, t in _split_thresholds(SPLIT_FRACTIONS)
+    )
+    sql["leakage_split"] = f"""
+WITH g AS ({dup_groups_sql})
+SELECT d.doc_id, CASE {_lk_case} END AS split
+FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id"""
 
     sql["simhash"] = _simhash_sql()
 
@@ -2487,10 +2529,6 @@ SELECT ({_shard})::BIGINT AS shard,
        sum(strlen(text))::BIGINT AS n_bytes
 FROM documents
 GROUP BY 1"""
-
-    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
-        _split_thresholds,
-    )
 
     _split_h = _HASH60("doc_id::VARCHAR", salt="split:")
     _split_case = " ".join(

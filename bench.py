@@ -235,6 +235,14 @@ def bench_queries(spark, sf_dir):
     def q_semantic_dedup():
         return ops.semantic_duplicates(emb, threshold=0.30, n_centroids=16)
 
+    def q_shard_export():
+        # the full export path: deterministic shard assignment, ONE hash
+        # shuffle, shard-local sort, dynamic-partition parquet write
+        # (write-inclusive — this row times a sink, not just a plan)
+        out = os.path.join(tempfile.gettempdir(), "bench_shards")
+        ops.export_shards(docs, out, n_shards=32, extra_cols=("lang", "source"))
+        return spark.read.parquet(out).select("doc_id")
+
     def q_corpus_prep():
         # the full 7-stage funnel; consuming the 1-row accounting runs the
         # whole annotate-then-filter graph including the LSH dedup pass
@@ -250,6 +258,7 @@ def bench_queries(spark, sf_dir):
         "bm25_topk": q_bm25,
         "semantic_dedup": q_semantic_dedup,
         "corpus_prep_funnel": q_corpus_prep,
+        "shard_export": q_shard_export,
     }
 
     return {

@@ -193,3 +193,43 @@ def test_pack_sequences_budget_cut(spark):
            pack_sequences(df, budget=10, n_shards=1).collect()}
     assert len(out) == 3
     assert sorted(out.values()) == [0, 0, 1]
+
+
+def test_quality_cutoff_approx_percentile_swap(spark, documents, sf_dir):
+    """The graded quality_cutoff uses the exact interpolated percentile;
+    its docstring claims the 100 TB swap is approx_percentile with the
+    same plan shape. Pin the precise relationship: approx_percentile
+    returns a DATASET ELEMENT at-or-below the interpolated point (no
+    interpolation), so the approx cut keeps a superset of the exact cut
+    and every extra doc sits exactly AT the approx threshold — boundary
+    ties, not ranking errors."""
+    import __spark_entry__ as e
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        quality_score,
+    )
+
+    exact_ids = {r.doc_id for r in e.q_quality_cutoff(spark, sf_dir).collect()}
+
+    scored = documents.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 1_000_000)
+        .cast("bigint")
+        .alias("quality6"),
+    )
+    thr = scored.agg(
+        F.expr(
+            f"approx_percentile(quality6, {e.QUALITY_CUTOFF_P}, 10000)"
+        ).alias("thr")
+    )
+    thr_val = thr.collect()[0].thr
+    approx = {
+        r.doc_id: r.quality6
+        for r in scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality6") >= F.col("thr"))
+        .collect()
+    }
+    assert set(approx) >= exact_ids
+    extras = set(approx) - exact_ids
+    assert all(approx[d] == thr_val for d in extras), extras
+    # the boundary-tie overshoot is a sliver, not a ranking error
+    assert len(extras) <= max(2, len(exact_ids) // 10)
