@@ -208,6 +208,48 @@ def leakage_safe_split(
     )
 
 
+def write_sharded(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    partition_cols: tuple[str, ...] = ("shard",),
+    dynamic: bool = False,
+) -> None:
+    """The shared shuffle-sort-write kernel behind ``export_shards`` and
+    the streaming appender (``streaming/export_stream``) — ONE definition
+    of the shard/order contract so batch and stream can never drift:
+    salted-hash shard + sort_key, hash repartition ON THE SHARD COLUMN
+    (one shuffle, n_shards reduce tasks), shard-local sort, partitioned
+    parquet write. ``dynamic`` switches to dynamic partition overwrite
+    (rewrite only the partitions present in ``df`` — the streaming
+    replay-idempotence mode); extra ``partition_cols`` (e.g. a batch id)
+    must already be columns of ``df``.
+
+    Note the Hive layout contract: ``partition_cols`` are encoded in the
+    DIRECTORY names, not in the data files. Partition-discovery readers
+    (``spark.read.parquet(out_dir)``) recover them as columns; a raw
+    per-file loader (pyarrow on one shard's files) gets them from the
+    path it chose to read — ``.../shard=7/part-*.parquet`` IS the shard
+    label."""
+    writer = (
+        df.select(
+            "*",
+            (stable_hash64(F.col(id_col), salt=SHARD_SALT) % n_shards).alias(
+                "shard"
+            ),
+            stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("sort_key"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("sort_key", id_col)
+        .drop("sort_key")
+        .write.mode("overwrite")
+    )
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_cols).parquet(out_dir)
+
+
 def export_shards(
     docs: DataFrame,
     out_dir: str,
@@ -217,23 +259,11 @@ def export_shards(
     extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Write the shuffled corpus as ``{out_dir}/shard=<k>/`` parquet, one
-    file per shard, rows in the deterministic order. The physical plan is
-    the 100 TB shape: hash repartition ON THE SHARD COLUMN (one shuffle,
-    n_shards reduce tasks), local sort by ``sort_key``, dynamic partition
-    write — no global sort, no driver involvement. Re-running on the same
-    snapshot rewrites byte-identical shards (deterministic hash order +
+    file per shard, rows in the deterministic order (``write_sharded``
+    kernel — see its docstring for the plan shape and the Hive-layout
+    contract on the ``shard`` label). Re-running on the same snapshot
+    rewrites byte-identical shards (deterministic hash order +
     ``maxRecordsPerFile``-free single file per task)."""
-    keep = [id_col, text_col, *extra_cols]
-    (
-        docs.select(
-            *keep,
-            (stable_hash64(F.col(id_col), salt=SHARD_SALT) % n_shards).alias("shard"),
-            stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("sort_key"),
-        )
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("sort_key", id_col)
-        .drop("sort_key")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
+    write_sharded(
+        docs.select(id_col, text_col, *extra_cols), out_dir, n_shards, id_col
     )

@@ -675,32 +675,39 @@ def _split_oversized_cells(
     routed: DataFrame, assigned: DataFrame, max_cell: int
 ) -> tuple[DataFrame, DataFrame]:
     """The ``max_cell`` sub-bucketing step: count cell occupancy (one
-    column-pruned pass; <= n_centroids result rows, driver-small by
-    construction), then give each oversized cell ``factor =
-    ceil(n/max_cell)`` hash sub-buckets. Index rows land in exactly one
-    sub-bucket (pmod of the id hash); probes of that cell replicate to all
-    of them. Cells within bound get the single bucket 0 — their plan is
-    unchanged up to the extra constant grouping key."""
-    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
-    factors = {
-        int(r.cell): -(-int(r.n) // max_cell) for r in sizes if r.n > max_cell
-    }
-    if not factors:
-        return (
-            routed.withColumn("__b", F.lit(0)),
-            assigned.withColumn("__b", F.lit(0)),
-        )
-    fmap = F.create_map(
-        *[F.lit(x) for cf in sorted(factors.items()) for x in cf]
+    column-pruned aggregation, <= n_centroids result rows), then give each
+    oversized cell ``factor = ceil(n/max_cell)`` hash sub-buckets. Index
+    rows land in exactly one sub-bucket (pmod of the id hash); probes of
+    that cell replicate to all of them. Cells within bound get factor 1 —
+    single bucket 0, plan unchanged up to the constant grouping key.
+
+    The occupancy is a LAZY broadcast-joined frame, not a driver collect:
+    constructing the plan must not execute a corpus pass (the repo-wide
+    analyze-gate contract — a review finding against the first, collect-
+    based form). The tiny aggregate is lazily persisted so the two
+    consumers (probe side, index side) materialize it once per action."""
+    from .dedup import persist_bounded
+
+    factors = persist_bounded(
+        assigned.groupBy("cell").agg(
+            F.greatest(
+                F.ceil(F.count("*") / F.lit(max_cell)).cast("int"), F.lit(1)
+            ).alias("__factor")
+        ),
+        eager=False,
     )
-    factor = F.coalesce(fmap[F.col("cell")], F.lit(1))
-    assigned = assigned.withColumn(
-        "__b", F.pmod(F.hash(F.col("result_id")), factor).cast("int")
+    f = F.coalesce(F.col("__factor"), F.lit(1))
+    assigned = (
+        assigned.join(F.broadcast(factors), "cell", "left")
+        .withColumn("__b", F.pmod(F.hash(F.col("result_id")), f).cast("int"))
+        .drop("__factor")
     )
     # explode must stay top-level (generators can't nest in expressions);
     # sequence of ints already yields int elements
-    routed = routed.withColumn(
-        "__b", F.explode(F.sequence(F.lit(0), factor - F.lit(1)))
+    routed = (
+        routed.join(F.broadcast(factors), "cell", "left")
+        .withColumn("__b", F.explode(F.sequence(F.lit(0), f - F.lit(1))))
+        .drop("__factor")
     )
     return routed, assigned
 

@@ -66,9 +66,10 @@ def prepare_and_ship(
     """
     fractions = fractions or DEFAULT_FRACTIONS
     prep = corpus_prep(docs, eval_docs=eval_docs, **prep_kwargs)
-    survivors = prep["docs"].select("doc_id", "text", *[
+    meta_cols = tuple(
         c for c in ("lang", "source") if c in prep["docs"].columns
-    ])
+    )
+    survivors = prep["docs"].select("doc_id", "text", *meta_cols)
 
     # re-pair the survivors at the LOWER leakage threshold (module
     # docstring); the funnel's own groups (threshold = drop level) have at
@@ -87,13 +88,20 @@ def prepare_and_ship(
     groups = duplicate_groups(surv_pairs, eager_checkpoint=False)
 
     splits = leakage_safe_split(survivors, groups, fractions)
-    labeled = survivors.join(splits, "doc_id")
+    # the fan-out point: every split write + the manifest + the returned
+    # `splits` re-consume this frame, and its lineage holds the funnel,
+    # the survivor re-pairing, and the label propagation — persist (lazy:
+    # plan builders must not execute; see persist_bounded) so the
+    # pipeline materializes once, not once per consumer
+    from ..operators.dedup import persist_bounded
+
+    labeled = persist_bounded(survivors.join(splits, "doc_id"), eager=False)
 
     written = {}
     for name in fractions:
         part = labeled.filter(F.col("split") == name).drop("split")
         path = f"{out_dir}/{name}"
-        export_shards(part, path, n_shards=n_shards)
+        export_shards(part, path, n_shards=n_shards, extra_cols=meta_cols)
         written[name] = path
 
     # per-(split, shard) manifest: reuse shard_stats per split and tag it
@@ -110,7 +118,9 @@ def prepare_and_ship(
         manifest = manifest.unionByName(p)
 
     return {
-        "splits": splits,
+        # served from the persisted frame so collecting it doesn't re-run
+        # the funnel + split pipeline
+        "splits": labeled.select("doc_id", "split"),
         "manifest": manifest,
         "accounting": prep["accounting"],
         "written": written,

@@ -16,10 +16,13 @@ partition overwrite:
   exactly the ``batch=<id>`` partitions — effectively-exactly-once with
   no transaction log (the same argument as ``index_ingest_stream``'s
   replace-per-id upsert, keyed on the partition instead of the row);
-- a data-loader reads ``{out_dir}`` recursively: ``shard`` is a real
-  column in every file, so the global shard k is the union of the
-  per-batch ``shard=<k>`` directories — append-only from the reader's
-  point of view.
+- the global shard k is the union of the per-batch ``shard=<k>``
+  directories — append-only from the reader's point of view. Hive-layout
+  contract: ``batch`` and ``shard`` live in the DIRECTORY names, not the
+  data files; ``spark.read.parquet(out_dir)`` (or any partition-discovery
+  reader) recovers both as columns, and a raw per-file loader targeting
+  one shard globs ``*/shard=<k>/*.parquet`` — the path it chose IS the
+  shard label.
 
 Scale shape per batch: one hash-partition shuffle on ``shard``, local
 sort, dynamic-partition write — identical to the batch exporter, sized by
@@ -31,8 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.ids import stable_hash64
-from ..operators.export import ORDER_SALT, SHARD_SALT
+from ..operators.export import write_sharded
 
 DOCUMENT_SCHEMA = "doc_id bigint, text string"
 
@@ -62,22 +64,16 @@ def export_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        (
-            batch.select(
-                "*",
-                (stable_hash64(F.col(id_col), salt=SHARD_SALT) % n_shards).alias(
-                    "shard"
-                ),
-                stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("sort_key"),
-            )
-            .withColumn("batch", F.lit(batch_id))
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("sort_key", id_col)
-            .drop("sort_key")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch", "shard")
-            .parquet(out_dir)
+        # ONE shard/order definition for batch + stream: the shared
+        # write_sharded kernel (operators/export.py) — only the batch
+        # partition column and dynamic-overwrite mode differ here
+        write_sharded(
+            batch.withColumn("batch", F.lit(batch_id)),
+            out_dir,
+            n_shards,
+            id_col=id_col,
+            partition_cols=("batch", "shard"),
+            dynamic=True,
         )
 
     return stream.writeStream.foreachBatch(sink)

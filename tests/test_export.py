@@ -71,12 +71,14 @@ def test_pack_sequences_contract(spark, documents):
     # aligned: totals never exceed budget + the largest single document
     for total in seqs.values():
         assert total <= budget + per_doc_max
-    # seq ids are contiguous from 0 within each shard
+    # each shard's sequences start at 0; ids may gap when a single doc
+    # spans multiple budget windows (the boundary law below is the real
+    # invariant — contiguity is not one, review finding)
     by_shard = defaultdict(set)
     for s, q in seqs:
         by_shard[s].add(q)
     for s, qs in by_shard.items():
-        assert qs == set(range(len(qs))), s
+        assert min(qs) == 0, s
     # boundary law: seq_id == floor(start_offset / budget) in shuffle order
     assign = {
         r.doc_id: (r.shard, r.sort_key)

@@ -385,7 +385,11 @@ def test_shard_stats_matches_bruteforce_unicode(spark, docs):
 def test_pack_sequences_boundary_law_random(spark, docs, budget):
     """pack_sequences on random unicode docs: every doc in exactly one
     sequence, seq_id == floor(start_offset/budget) in the hash order, and
-    within every shard the sequence ids are contiguous from 0."""
+    every shard's first sequence is 0. Sequence ids may have GAPS — a doc
+    longer than the budget occupies several budget windows and the next
+    doc starts at floor of a later offset (review finding: asserting
+    contiguity here was a false invariant, e.g. a 5-token doc at budget 1
+    legitimately yields seq ids {0, 5})."""
     import hashlib
 
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
@@ -408,11 +412,12 @@ def test_pack_sequences_boundary_law_random(spark, docs, budget):
         )
     for shard, members in by_shard.items():
         cum = 0
-        seqs = set()
+        first = True
         for _, i in sorted(members):
             s, seq_id, n_tok = out[i]
             assert s == shard
             assert seq_id == cum // budget, i
-            seqs.add(seq_id)
+            if first:
+                assert seq_id == 0
+                first = False
             cum += n_tok
-        assert seqs == set(range(len(seqs)))

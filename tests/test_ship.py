@@ -77,7 +77,9 @@ def test_prepare_and_ship_end_to_end(spark, tmp_path):
         got_ids = {r.doc_id for r in back.select("doc_id").collect()}
         want_ids = {d for d, s in splits.items() if s == name}
         assert got_ids == want_ids, name
-        assert "text" in back.columns and "shard" in back.columns
+        # metadata provenance survives the ship (review finding: survivors
+        # carried lang/source but the write dropped them)
+        assert {"text", "shard", "lang", "source"} <= set(back.columns)
 
     # manifest totals agree with the split sizes
     man = res["manifest"].collect()
