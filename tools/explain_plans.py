@@ -96,9 +96,12 @@ def main() -> None:
 
     # round-5 additions: training export (shard manifest + sequence
     # packing — expect ONE hash-partition exchange on the shard id, a
-    # shard-local window sort, map-side hash/token expressions)
+    # shard-local window sort, map-side hash/token expressions) and the
+    # max_cell-guarded cogroup join (expect the occupancy aggregate as a
+    # lazily-persisted BROADCAST side, never a driver collect)
     plans["shard_stats"] = entrymod.q_shard_stats(spark, sf)
     plans["packed_sequences"] = entrymod.q_packed_sequences(spark, sf)
+    plans["knn_join_guarded"] = entrymod.q_knn_join_guarded(spark, sf)
 
     for name, df in plans.items():
         print(f"\n===== {name} =====")
