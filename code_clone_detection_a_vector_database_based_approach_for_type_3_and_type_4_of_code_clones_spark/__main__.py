@@ -19,6 +19,9 @@ Usage:
         --functions_csv FUNCTIONS.csv --source_dir ./java_sources \
         --index_path ./bcb_index --output_dir ./results
     python -m <package> --dataset poj --poj_dir ./datasets/poj104
+    python -m <package> --dataset corpus --docs_parquet ./docs.parquet \
+        --output_dir ./shipped --n_shards 32   # beyond-reference:
+        # prep funnel -> leakage-safe split -> sharded training export
 """
 
 from __future__ import annotations
@@ -34,8 +37,11 @@ def _build_parser() -> argparse.ArgumentParser:
         prog="clonespark",
         description="PySpark-native clone-detection benchmark pipelines",
     )
-    p.add_argument("--dataset", choices=("bcb", "poj"), default="poj",
-                   help="pipeline to run (reference default: poj, main.py:16)")
+    p.add_argument("--dataset", choices=("bcb", "poj", "corpus"), default="poj",
+                   help="pipeline to run (reference default: poj, main.py:16; "
+                        "'corpus' is the beyond-reference training-data "
+                        "lifecycle: prep funnel -> leakage-safe split -> "
+                        "sharded export, plans/ship.py)")
     p.add_argument("--clones_csv", help="BCB CLONES.csv path")
     p.add_argument("--functions_csv", help="BCB FUNCTIONS_CLEANED.csv path")
     p.add_argument("--source_dir", help="BCB Java source tree")
@@ -59,6 +65,18 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="where the two results CSVs go (main.py:85-90)")
     p.add_argument("--cpus", type=int, default=0,
                    help="local[n] cores; 0 = all")
+    # --dataset corpus (training-data lifecycle)
+    p.add_argument("--docs_parquet",
+                   help="corpus: input documents parquet "
+                        "(doc_id, text[, lang, source])")
+    p.add_argument("--eval_parquet",
+                   help="corpus: optional eval-set parquet for "
+                        "decontamination (doc_id, text)")
+    p.add_argument("--n_shards", type=int, default=8,
+                   help="corpus: shards per split")
+    p.add_argument("--train_frac", type=float, default=0.9)
+    p.add_argument("--val_frac", type=float, default=0.05)
+    p.add_argument("--test_frac", type=float, default=0.05)
     return p
 
 
@@ -94,6 +112,40 @@ def run(argv: list[str] | None = None) -> dict:
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("clonespark-cli", master=master)
+
+    if args.dataset == "corpus":
+        if not args.docs_parquet:
+            raise SystemExit("--dataset corpus requires --docs_parquet")
+        from .plans.ship import prepare_and_ship
+
+        docs = spark.read.parquet(args.docs_parquet)
+        eval_docs = (
+            spark.read.parquet(args.eval_parquet) if args.eval_parquet else None
+        )
+        res = prepare_and_ship(
+            docs,
+            args.output_dir,
+            eval_docs=eval_docs,
+            fractions={
+                "train": args.train_frac,
+                "val": args.val_frac,
+                "test": args.test_frac,
+            },
+            n_shards=args.n_shards,
+        )
+        acc = res["accounting"].first().asDict()
+        man = {
+            (r.split, int(r.shard)): int(r.n_docs)
+            for r in res["manifest"].collect()
+        }
+        per_split = {}
+        for (s, _), n in man.items():
+            per_split[s] = per_split.get(s, 0) + n
+        print(f"Funnel: {acc}")
+        print(f"Shipped: {per_split} -> {res['written']}")
+        return {"accounting": acc, "per_split": per_split,
+                "written": res["written"]}
+
     embed = _embedder(args)
 
     if args.dataset == "bcb":

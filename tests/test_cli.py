@@ -134,3 +134,30 @@ def test_model_catalog_registry():
     assert model_info("hash").kind == "builtin"
     with pytest.raises(KeyError, match="known models"):
         model_info("nope")
+
+
+def test_cli_corpus_end_to_end(spark, tmp_path):
+    """--dataset corpus: the training-data lifecycle (prep funnel ->
+    leakage-safe split -> sharded export) driven from the CLI against the
+    sf0.001 documents fixture."""
+    out_dir = tmp_path / "shipped"
+    out_dir.mkdir()
+    res = run([
+        "--dataset", "corpus",
+        "--docs_parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--output_dir", str(out_dir),
+        "--n_shards", "4",
+        "--train_frac", "0.8", "--val_frac", "0.1", "--test_frac", "0.1",
+    ])
+    acc = res["accounting"]
+    assert acc["n_input"] > 0
+    assert sum(res["per_split"].values()) == acc["n_sampled"]
+    for name, path in res["written"].items():
+        back = spark.read.parquet(path)
+        assert back.count() == res["per_split"].get(name, 0)
+        assert {"doc_id", "text", "shard"} <= set(back.columns)
+
+
+def test_cli_corpus_missing_args_fail_fast():
+    with pytest.raises(SystemExit, match="docs_parquet"):
+        run(["--dataset", "corpus"])
