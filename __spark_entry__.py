@@ -1553,6 +1553,25 @@ def q_quality_cutoff(spark, sf_dir):
     )
 
 
+ZORDER_BITS = 12
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user_id, ts) — the
+    data-layout primitive behind multi-dimensional row-group pruning
+    (operators/layout.py; the Delta/Iceberg OPTIMIZE ZORDER gap in OSS
+    Spark). Per-dimension stretch-scaling to [0, 2^bits) is one IEEE
+    division + an exact power-of-two multiply, the interleave is pure
+    bigint bit ops — both replayed bit-for-bit in the oracle. The pruning
+    receipt (2-D box reads a fraction of row groups; a 1-D sort cannot
+    prune the second dimension at all) is pinned in tests/test_layout.py
+    from parquet footers."""
+    ev = load_events_micros(spark, sf_dir).select("event_id", "user_id", "ts")
+    return ops.zorder_key(ev, "user_id", "ts", bits=ZORDER_BITS).select(
+        "event_id", "zkey"
+    )
+
+
 def q_leakage_split(spark, sf_dir):
     """Leakage-safe train/val/test split: the near-dup GROUP resolution
     (same LSH -> Jaccard -> 3-round label propagation as dup_groups)
@@ -1581,15 +1600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 7 new r5 queries follow (never checked — must be in-window), then
+    # the 8 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 10
+    # the 9 r4-new queries (second consecutive in-window round), and 9
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the five
-    # stayers displaced by the r5 additions (latest_events,
-    # stratified_docs, tfidf_top_terms, redacted_docs, doc_chunks) — due
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the six stayers
+    # displaced by the r5 additions (latest_events, stratified_docs,
+    # tfidf_top_terms, redacted_docs, doc_chunks, cms_token_counts) — due
     # back in r6.
     return {
         # --- due back in the window (r4 tail) ---
@@ -1622,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "quality_cutoff": q_quality_cutoff,
         "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1646,9 +1666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
         "mixture_sample": q_mixture_sample,
-        "cms_token_counts": q_cms_token_counts,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2547,6 +2567,26 @@ WITH q AS (
   FROM ({_quality_sql()})
 ), t AS (SELECT quantile_cont(quality6, {QUALITY_CUTOFF_P}) AS thr FROM q)
 SELECT doc_id, quality6 FROM q, t WHERE quality6 >= thr"""
+
+    # zorder_keys: stretch-scale each dimension to [0, 2^bits) with ONE
+    # IEEE division + an exact power-of-two multiply, then interleave bits
+    # with pure bigint ops — every step replayed identically
+    _zb = ZORDER_BITS
+    _zinter = " | ".join(
+        f"(((q1 >> {i}) & 1) << {2 * i}) | (((q2 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_zb)
+    )
+    sql["zorder_keys"] = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+s AS (SELECT min(user_id) AS m1, max(user_id) AS x1,
+             min(ts) AS m2, max(ts) AS x2 FROM e),
+q AS (
+  SELECT event_id,
+         floor(((user_id - m1)::DOUBLE / (x1 - m1 + 1)::DOUBLE) * {1 << _zb})::BIGINT AS q1,
+         floor(((ts - m2)::DOUBLE / (x2 - m2 + 1)::DOUBLE) * {1 << _zb})::BIGINT AS q2
+  FROM e, s
+)
+SELECT event_id, ({_zinter})::BIGINT AS zkey FROM q"""
 
     sql["packed_sequences"] = f"""
 SELECT doc_id, shard, ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS seq_id, n_tokens

@@ -47,6 +47,13 @@ from .export import (  # noqa: F401
     shard_stats,
     split_assignment,
 )
+from .layout import (  # noqa: F401
+    file_pruning_stats,
+    interleave_bits,
+    scale_to_bits,
+    write_zordered,
+    zorder_key,
+)
 from .retrieval import (  # noqa: F401
     bm25_index,
     bm25_topk,
