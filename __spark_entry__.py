@@ -561,6 +561,25 @@ def q_knn_join_guarded(spark, sf_dir):
     )
 
 
+def q_knn_join_pruned(spark, sf_dir):
+    """The full-scale ANN composition: table-sized probes x the PERSISTED
+    cell-partitioned index (operators.knn.ivf_knn_join_persisted). No
+    driver round-trip on either side and no query-time assignment pass —
+    probes route map-side against the stored centroid bank, the index
+    scan reads its pre-assigned `cell` partition column, scoring is the
+    cogrouped per-cell matmul. Same routing/rounding contract as
+    ivf_knn_join (equivalence-pinned in tests/test_knn.py), so the oracle
+    SQL is knn_join's verbatim."""
+    path = _ivf_index_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.ivf_knn_join_persisted(
+        spark, path, probes, k=KNN_K, nprobe=IVF_NPROBE
+    )
+
+
 def q_ivf_cell_stats(spark, sf_dir):
     """Per-IVF-cell occupancy + skew-guard plan (operators.knn.
     ivf_cell_stats): n_members, whether the cell overflows IVF_MAX_CELL,
@@ -1600,16 +1619,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a green row in the latest round's artifact.
     # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 8 new r5 queries follow (never checked — must be in-window), then
+    # the 9 new r5 queries follow (never checked — must be in-window), then
     # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
     # body now searches the persisted partition-pruned index; doc_knn and
     # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 9
+    # the 9 r4-new queries (second consecutive in-window round), and 8
     # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the six stayers
-    # displaced by the r5 additions (latest_events, stratified_docs,
-    # tfidf_top_terms, redacted_docs, doc_chunks, cms_token_counts) — due
-    # back in r6.
+    # 13 TPC-H queries + 10 long-green text/LSH queries + the seven
+    # stayers displaced by the r5 additions (latest_events,
+    # stratified_docs, tfidf_top_terms, redacted_docs, doc_chunks,
+    # cms_token_counts, mixture_sample) — due back in r6.
     return {
         # --- due back in the window (r4 tail) ---
         "normalized_embeddings": q_normalized_embeddings,
@@ -1642,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_cutoff": q_quality_cutoff,
         "leakage_split": q_leakage_split,
         "zorder_keys": q_zorder_keys,
+        "knn_join_pruned": q_knn_join_pruned,
         # --- implementation changed in round 5 (re-grade) ---
         "ivf_knn": q_ivf_knn,
         "doc_knn": q_doc_knn,
@@ -1665,9 +1685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
-        "mixture_sample": q_mixture_sample,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r04; due back in r6) ---
+        "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
@@ -2327,6 +2347,8 @@ FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
     # the skew guard is a physical strategy, not a semantics change: the
     # sub-bucketed form must produce knn_join's exact rows
     sql["knn_join_guarded"] = _ivf_sql(probe_pred="TRUE")
+    # the persisted cogroup composition shares knn_join's routing contract
+    sql["knn_join_pruned"] = _ivf_sql(probe_pred="TRUE")
 
     sql["ivf_cell_stats"] = f"""
 WITH {_IVF_ASSIGN_CTES}
