@@ -421,3 +421,88 @@ def test_pack_sequences_boundary_law_random(spark, docs, budget):
                 assert seq_id == 0
                 first = False
             cum += n_tok
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=25, unique=True),
+    cuts=st.tuples(
+        st.floats(min_value=0.05, max_value=0.9),
+        st.floats(min_value=0.05, max_value=0.9),
+    ),
+)
+def test_split_assignment_matches_bruteforce(spark, ids, cuts):
+    """split_assignment vs a pure-Python oracle: identical salted-hash
+    bucketing for arbitrary ids and fraction layouts (thresholds are
+    integer, computed by the same helper both sides)."""
+    import hashlib
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        _split_thresholds,
+        split_assignment,
+    )
+
+    a, b = sorted(cuts)
+    fr = {"train": a, "val": b - a, "test": 1.0 - b}
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    got = {r.doc_id: r.split for r in split_assignment(df, fr).collect()}
+
+    ths = _split_thresholds(fr)
+    want = {}
+    for i in ids:
+        h = int(hashlib.sha256(f"split:{i}".encode()).hexdigest()[:15], 16)
+        for name, t in ths:
+            if h < t:
+                want[i] = name
+                break
+    assert got == want
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1_000_000, max_value=1_000_000),
+            st.integers(min_value=-10**14, max_value=10**14),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    bits=st.integers(min_value=1, max_value=12),
+)
+def test_zorder_key_matches_bruteforce(spark, rows, bits):
+    """zorder_key vs an independent Python implementation of the same
+    stretch-scale + interleave arithmetic, over random (possibly negative,
+    wide-range) domains — Python floats ARE IEEE doubles, so the single
+    rounding in the scale division must agree bit-for-bit."""
+    import math
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.layout import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "rid long, a long, b long",
+    )
+    got = {r.rid: r.zkey for r in zorder_key(df, "a", "b", bits=bits).collect()}
+
+    a_vals = [a for a, _ in rows]
+    b_vals = [b for _, b in rows]
+    m1, x1 = min(a_vals), max(a_vals)
+    m2, x2 = min(b_vals), max(b_vals)
+
+    def scale(c, lo, hi):
+        return math.floor((float(c - lo) / float(hi - lo + 1)) * float(1 << bits))
+
+    def morton(q1, q2):
+        z = 0
+        for i in range(bits):
+            z |= ((q1 >> i) & 1) << (2 * i)
+            z |= ((q2 >> i) & 1) << (2 * i + 1)
+        return z
+
+    for i, (a, b) in enumerate(rows):
+        assert got[i] == morton(scale(a, m1, x1), scale(b, m2, x2)), (a, b)
