@@ -77,3 +77,21 @@ def export_stream(
         )
 
     return stream.writeStream.foreachBatch(sink)
+
+
+def read_shards_as_of(
+    spark: SparkSession, out_dir: str, max_batch: int | None = None
+) -> DataFrame:
+    """Snapshot read of the streaming shard layout: the corpus AS OF batch
+    ``max_batch`` (inclusive; ``None`` = latest). Because the sink is
+    append-only at the batch level — a batch id's partitions are written
+    once and only ever REWRITTEN with identical content on crash replay —
+    ``batch <= N`` is a consistent, reproducible snapshot: the exact
+    training corpus a run that consumed batches 0..N saw, recoverable
+    forever. Poor-man's time travel with zero manifest machinery; the
+    filter is partition pruning on the ``batch`` directory column, so a
+    snapshot read scans only its own batches' files."""
+    df = spark.read.parquet(out_dir)
+    if max_batch is not None:
+        df = df.filter(F.col("batch") <= max_batch)
+    return df

