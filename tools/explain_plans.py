@@ -102,6 +102,7 @@ def main() -> None:
     plans["shard_stats"] = entrymod.q_shard_stats(spark, sf)
     plans["packed_sequences"] = entrymod.q_packed_sequences(spark, sf)
     plans["knn_join_guarded"] = entrymod.q_knn_join_guarded(spark, sf)
+    plans["zorder_keys"] = entrymod.q_zorder_keys(spark, sf)
 
     for name, df in plans.items():
         print(f"\n===== {name} =====")
