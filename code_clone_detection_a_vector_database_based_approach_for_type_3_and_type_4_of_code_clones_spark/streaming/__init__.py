@@ -1,7 +1,11 @@
 """Structured Streaming extension (beyond the reference surface — the
 reference is strictly batch, SURVEY SS2.10)."""
 
-from .export_stream import export_stream, read_shards_as_of  # noqa: F401
+from .export_stream import (  # noqa: F401
+    export_stream,
+    quality_annotate_stream,
+    read_shards_as_of,
+)
 from .index_ingest import index_ingest_stream  # noqa: F401
 from .events import (  # noqa: F401
     click_purchase_join_stream,

@@ -95,3 +95,54 @@ def read_shards_as_of(
     if max_batch is not None:
         df = df.filter(F.col("batch") <= max_batch)
     return df
+
+
+def quality_annotate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: str = DOCUMENT_SCHEMA,
+    quality_min: float = 0.25,
+    max_dup_shingle_ratio: float = 0.5,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The map-only curation stages of the prep funnel as a STREAM: as
+    document increments arrive, annotate quality score, repetition mass,
+    language id, token count, and the resulting ``quality_ok`` flag —
+    per-document pure expressions (funnel stage 4 + the text-analysis
+    columns), so the streaming twin is the IDENTICAL plan over a
+    streaming source, no state, no watermark.
+
+    Returns the streaming DataFrame; write it with
+    ``.writeStream.format("parquet").option("checkpointLocation", ...)``
+    — Spark's file sink is exactly-once under checkpointing (its commit
+    log records which files belong to each batch), so no custom
+    idempotence machinery is needed for a pure-map stage. The corpus-wide
+    stages (boilerplate df, dedup, decontamination) are inherently batch
+    — they need the whole corpus — and stay in plans/corpus_prep; the
+    production split is stream-annotate cheap gates at ingest, batch-run
+    the corpus-wide passes per snapshot.
+    """
+    from ..functions.text import (
+        language_id,
+        quality_score,
+        repetition_stats,
+        token_stats,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    rep = repetition_stats(F.col("text"))
+    stats = token_stats(F.col("text"))
+    return docs.select(
+        "*",
+        quality_score(F.col("text")).alias("quality"),
+        rep["dup_shingle_ratio"].alias("dup_shingle_ratio"),
+        language_id(F.col("text")).alias("lang_pred"),
+        stats["n_tokens"].cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("quality") >= quality_min)
+        & (F.col("dup_shingle_ratio") <= max_dup_shingle_ratio),
+    )

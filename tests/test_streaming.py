@@ -621,3 +621,58 @@ def test_read_shards_as_of_snapshots(spark, tmp_path, documents):
         # snapshot == union of its own batches, nothing from the future
         assert snap.filter(F.col("batch") > b).count() == 0
     assert seen_prev == docs.count()
+
+
+def test_quality_annotate_stream_matches_batch(spark, tmp_path, documents):
+    """The streaming quality annotator (map-only funnel gates over a file
+    stream, exactly-once parquet sink) produces the identical annotation
+    the batch expressions produce — same quality/repetition/lang/token
+    columns, same quality_ok flag, every doc exactly once."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        language_id,
+        quality_score,
+        repetition_stats,
+        token_stats,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        quality_annotate_stream,
+    )
+
+    docs = documents.select("doc_id", "text")
+    drops = str(tmp_path / "drops")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{drops}/d{i}"
+        )
+    out = str(tmp_path / "annotated")
+    q = (
+        quality_annotate_stream(spark, drops + "/*", max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.quality, r.dup_shingle_ratio, r.lang_pred, r.n_tokens,
+                   r.quality_ok)
+        for r in spark.read.parquet(out).collect()
+    }
+    rep = repetition_stats(F.col("text"))
+    stats = token_stats(F.col("text"))
+    want = {
+        r.doc_id: (r.quality, r.dsr, r.lang_pred, r.n_tokens,
+                   r.quality >= 0.25 and r.dsr <= 0.5)
+        for r in docs.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            rep["dup_shingle_ratio"].alias("dsr"),
+            language_id(F.col("text")).alias("lang_pred"),
+            stats["n_tokens"].cast("bigint").alias("n_tokens"),
+        ).collect()
+    }
+    assert got == want
