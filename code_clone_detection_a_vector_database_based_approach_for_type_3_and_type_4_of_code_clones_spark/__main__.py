@@ -134,13 +134,9 @@ def run(argv: list[str] | None = None) -> dict:
             n_shards=args.n_shards,
         )
         acc = res["accounting"].first().asDict()
-        man = {
-            (r.split, int(r.shard)): int(r.n_docs)
-            for r in res["manifest"].collect()
-        }
-        per_split = {}
-        for (s, _), n in man.items():
-            per_split[s] = per_split.get(s, 0) + n
+        per_split: dict[str, int] = {}
+        for r in res["manifest"].collect():
+            per_split[r.split] = per_split.get(r.split, 0) + int(r.n_docs)
         print(f"Funnel: {acc}")
         print(f"Shipped: {per_split} -> {res['written']}")
         return {"accounting": acc, "per_split": per_split,

@@ -222,3 +222,25 @@ def repetition_stats(text: Column) -> dict[str, Column]:
             n_sh > 0, F.round(F.lit(1.0) - n_uniq / n_sh.cast("double"), 6)
         ).otherwise(F.lit(0.0)),
     }
+
+
+def quality_gate_columns(
+    text: Column,
+    quality_min: float = 0.25,
+    max_dup_shingle_ratio: float = 0.5,
+) -> dict[str, Column]:
+    """THE quality-gate expressions, defined once: ``quality``,
+    ``dup_shingle_ratio``, and the ``quality_ok`` conjunction with the
+    standard thresholds. Shared by the batch funnel's stage 4
+    (plans/corpus_prep.py), the streaming annotator
+    (streaming/export_stream.quality_annotate_stream), and their parity
+    test — one definition, so the stream's "identical plan" claim cannot
+    silently drift from the funnel's verdicts (r5 review finding)."""
+    q = quality_score(text)
+    dsr = repetition_stats(text)["dup_shingle_ratio"]
+    return {
+        "quality": q,
+        "dup_shingle_ratio": dsr,
+        "quality_ok": (q >= F.lit(float(quality_min)))
+        & (dsr <= F.lit(float(max_dup_shingle_ratio))),
+    }

@@ -39,12 +39,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_bits(bits: int) -> None:
+    # 2*bits interleaved bits must fit a signed long WITHOUT touching the
+    # sign bit: bits=32 would shift q2's top bit to position 63, making
+    # high keys NEGATIVE and range-sorting them before all positive keys —
+    # silently destroying the Morton clustering (r5 review finding)
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+
+
 def scale_to_bits(c: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """``floor((c - cmin) / (cmax - cmin + 1) * 2^bits)`` — maps
     [cmin, cmax] onto [0, 2^bits), STRETCHING narrow domains across the
     full bit range so every dimension contributes high interleave bits
     (see module docstring for the cross-engine exactness argument and why
     a divide-by-step form is wrong here)."""
+    _check_bits(bits)
     ratio = (c - cmin).cast("double") / (cmax - cmin + F.lit(1)).cast("double")
     return F.floor(ratio * F.lit(float(1 << bits))).cast("bigint")
 
@@ -52,6 +62,7 @@ def scale_to_bits(c: Column, cmin: Column, cmax: Column, bits: int) -> Column:
 def interleave_bits(q1: Column, q2: Column, bits: int) -> Column:
     """Z-order (Morton) key of two already-scaled bigints in [0, 2^bits):
     bit i of ``q1`` lands at position 2i, bit i of ``q2`` at 2i+1."""
+    _check_bits(bits)
     one = F.lit(1)
     out = None
     for i in range(bits):
@@ -130,8 +141,13 @@ def file_pruning_stats(path: str, box: dict[str, tuple]) -> dict:
             total += 1
             hit = True
             for col, (lo, hi) in box.items():
+                if col not in idx:
+                    # hive PARTITION columns (batch=/shard= layouts) live
+                    # in directory names, not file schemas: footer stats
+                    # can't speak to them -> cannot prune -> counts as read
+                    continue
                 st = md.row_group(rg).column(idx[col]).statistics
-                if st is None or st.min is None:
+                if st is None or st.min is None or st.max is None:
                     continue  # no stats -> cannot prune -> counts as read
                 if st.max < lo or st.min > hi:
                     hit = False

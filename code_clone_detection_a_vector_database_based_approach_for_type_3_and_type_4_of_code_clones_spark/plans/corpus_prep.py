@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_score, repetition_stats, token_chunks, tokens
+from ..functions.text import quality_gate_columns, token_chunks, tokens
 from ..operators.cleanse import remove_boilerplate_lines
 from ..operators.dedup import (
     duplicate_groups,
@@ -114,11 +114,15 @@ def corpus_prep(
         "is_near_keeper", F.coalesce(F.col("is_near_keeper"), F.lit(True))
     )
 
-    # stage 4: quality + repetition (map-side expressions)
-    rep = repetition_stats(F.col("text"))
+    # stage 4: quality + repetition (map-side expressions; the gate is the
+    # SHARED definition in functions/text.py — the streaming annotator and
+    # the parity test use the same one)
+    gate = quality_gate_columns(
+        F.col("text"), quality_min, max_dup_shingle_ratio
+    )
     base = (
-        base.withColumn("quality", quality_score(F.col("text")))
-        .withColumn("dup_shingle_ratio", rep["dup_shingle_ratio"])
+        base.withColumn("quality", gate["quality"])
+        .withColumn("dup_shingle_ratio", gate["dup_shingle_ratio"])
         .withColumn(
             "quality_ok",
             (F.col("quality") >= quality_min)

@@ -80,7 +80,10 @@ def export_stream(
 
 
 def read_shards_as_of(
-    spark: SparkSession, out_dir: str, max_batch: int | None = None
+    spark: SparkSession,
+    out_dir: str,
+    max_batch: int | None = None,
+    committed_only: bool = False,
 ) -> DataFrame:
     """Snapshot read of the streaming shard layout: the corpus AS OF batch
     ``max_batch`` (inclusive; ``None`` = latest). Because the sink is
@@ -90,10 +93,23 @@ def read_shards_as_of(
     training corpus a run that consumed batches 0..N saw, recoverable
     forever. Poor-man's time travel with zero manifest machinery; the
     filter is partition pruning on the ``batch`` directory column, so a
-    snapshot read scans only its own batches' files."""
+    snapshot read scans only its own batches' files.
+
+    CONSISTENCY CAVEAT for ``max_batch=None`` while the stream is LIVE: a
+    batch is several ``shard=<k>`` directories with no atomic
+    cross-partition commit, so the highest batch id on disk may be
+    mid-write (or a crash's partial leftover awaiting replay) — reading
+    it is a torn view. Pass an explicit ``max_batch`` you know completed,
+    or ``committed_only=True``, which excludes the HIGHEST batch id
+    present (sound while at most one batch is in flight — foreachBatch's
+    sequential contract). ``None`` alone is only consistent when the
+    stream is stopped."""
     df = spark.read.parquet(out_dir)
     if max_batch is not None:
         df = df.filter(F.col("batch") <= max_batch)
+    elif committed_only:
+        top = df.agg(F.max("batch").alias("m"))
+        df = df.join(F.broadcast(top)).filter(F.col("batch") < F.col("m")).drop("m")
     return df
 
 
@@ -122,27 +138,23 @@ def quality_annotate_stream(
     production split is stream-annotate cheap gates at ingest, batch-run
     the corpus-wide passes per snapshot.
     """
-    from ..functions.text import (
-        language_id,
-        quality_score,
-        repetition_stats,
-        token_stats,
-    )
+    from ..functions.text import language_id, quality_gate_columns, token_stats
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_dir)
-    rep = repetition_stats(F.col("text"))
+    # ONE gate definition for batch funnel + stream + parity test
+    # (functions.text.quality_gate_columns — r5 review finding)
+    gate = quality_gate_columns(
+        F.col("text"), quality_min, max_dup_shingle_ratio
+    )
     stats = token_stats(F.col("text"))
     return docs.select(
         "*",
-        quality_score(F.col("text")).alias("quality"),
-        rep["dup_shingle_ratio"].alias("dup_shingle_ratio"),
+        gate["quality"].alias("quality"),
+        gate["dup_shingle_ratio"].alias("dup_shingle_ratio"),
         language_id(F.col("text")).alias("lang_pred"),
         stats["n_tokens"].cast("bigint").alias("n_tokens"),
-    ).withColumn(
-        "quality_ok",
-        (F.col("quality") >= quality_min)
-        & (F.col("dup_shingle_ratio") <= max_dup_shingle_ratio),
+        gate["quality_ok"].alias("quality_ok"),
     )

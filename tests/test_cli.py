@@ -136,7 +136,7 @@ def test_model_catalog_registry():
         model_info("nope")
 
 
-def test_cli_corpus_end_to_end(spark, tmp_path):
+def test_cli_corpus_end_to_end(spark, tmp_path, sf_dir):
     """--dataset corpus: the training-data lifecycle (prep funnel ->
     leakage-safe split -> sharded export) driven from the CLI against the
     sf0.001 documents fixture."""
@@ -144,7 +144,7 @@ def test_cli_corpus_end_to_end(spark, tmp_path):
     out_dir.mkdir()
     res = run([
         "--dataset", "corpus",
-        "--docs_parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--docs_parquet", f"{sf_dir}/documents.parquet",
         "--output_dir", str(out_dir),
         "--n_shards", "4",
         "--train_frac", "0.8", "--val_frac", "0.1", "--test_frac", "0.1",

@@ -119,3 +119,13 @@ def test_zorder_prunes_2d_box(spark, layouts):
             .count()
         )
         assert got == want, name
+
+
+def test_bits_validation(spark):
+    """bits outside [1, 31] must fail fast: 0 is degenerate and >= 32
+    would push interleaved bits into the long sign bit, silently breaking
+    the z-order (negative keys sort first)."""
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    for bad in (0, 32, 64):
+        with pytest.raises(ValueError, match="bits"):
+            zorder_key(df, "x", "y", bits=bad)

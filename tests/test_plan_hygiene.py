@@ -15,7 +15,8 @@ forbid (PLANS.md "Known trade-offs"; the task's anti-pattern sweep):
 This was previously a prose audit (PLANS.md); every new graded query is
 now gated automatically. Rendering uses ``explain``'s formatted output —
 plans are BUILT, never executed (same contract as the analyze-only gate),
-except the two checkpoint-building queries the registry documents.
+except the THREE queries whose construction executes a checkpoint
+(``SKIP_HEAVY`` below).
 """
 
 import os
@@ -28,10 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
 # queries whose PLAN CONSTRUCTION executes a checkpoint (documented
-# analyze-gate exceptions — heavy to build, same nodes as their tested
-# components); their component plans are covered by the operators they
-# compose (dup_groups covers label propagation, corpus_prep_funnel the
-# funnel stages)
+# analyze-gate exceptions — heavy to build): dup_groups covers label
+# propagation, corpus_prep_funnel the funnel stages. leakage_split
+# composes the SAME checkpointed group resolution with split_assignment,
+# whose own plan is hygiene-checked via dataset_split (identical CASE /
+# hash shape, only the key expression differs) — so its exemption leaves
+# no node shape ungated.
 SKIP_HEAVY = {"dup_groups", "corpus_prep_funnel", "leakage_split"}
 
 BANNED = ("BatchEvalPython", "CartesianProduct")

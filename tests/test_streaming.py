@@ -676,3 +676,35 @@ def test_quality_annotate_stream_matches_batch(spark, tmp_path, documents):
         ).collect()
     }
     assert got == want
+
+
+def test_read_shards_as_of_committed_only(spark, tmp_path, documents):
+    """committed_only=True excludes the highest batch id present — the
+    sound default while one batch may be in flight."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        export_stream,
+        read_shards_as_of,
+    )
+
+    drops = str(tmp_path / "drops")
+    docs = documents.select("doc_id", "text")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{drops}/d{i}"
+        )
+    out = str(tmp_path / "shards")
+    q = (
+        export_stream(spark, drops + "/*", out, n_shards=2,
+                      max_files_per_trigger=1)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = read_shards_as_of(spark, out)
+    safe = read_shards_as_of(spark, out, committed_only=True)
+    top = full.agg(F.max("batch")).first()[0]
+    assert safe.filter(F.col("batch") >= top).count() == 0
+    assert safe.count() == full.filter(F.col("batch") < top).count()
