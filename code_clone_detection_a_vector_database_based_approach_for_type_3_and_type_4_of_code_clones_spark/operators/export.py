@@ -232,6 +232,13 @@ def write_sharded(
     per-file loader (pyarrow on one shard's files) gets them from the
     path it chose to read — ``.../shard=7/part-*.parquet`` IS the shard
     label."""
+    # shard/sort_key are DERIVED here (the one definition of the contract);
+    # an input that already carries them — e.g. anything built from
+    # shard_assignment output — would otherwise produce duplicate column
+    # names and fail the repartition with an ambiguity error. Dropping is
+    # safe: both are pure functions of (id_col, n_shards), so recomputing
+    # yields the same values or corrects a stale n_shards.
+    df = df.drop("shard", "sort_key")
     writer = (
         df.select(
             "*",

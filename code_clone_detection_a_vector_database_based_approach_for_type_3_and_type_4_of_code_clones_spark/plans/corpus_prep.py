@@ -123,11 +123,7 @@ def corpus_prep(
     base = (
         base.withColumn("quality", gate["quality"])
         .withColumn("dup_shingle_ratio", gate["dup_shingle_ratio"])
-        .withColumn(
-            "quality_ok",
-            (F.col("quality") >= quality_min)
-            & (F.col("dup_shingle_ratio") <= max_dup_shingle_ratio),
-        )
+        .withColumn("quality_ok", gate["quality_ok"])
     )
 
     # stage 5: decontamination (broadcast eval n-gram set)

@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    bucket_stats,
     duplicate_groups,
     lsh_candidate_pairs,
+    minhash_bands,
     ngram_jaccard_pairs,
 )
 from ..operators.export import (
@@ -61,6 +63,9 @@ def prepare_and_ship(
     - ``splits``: lazy ``(doc_id, split)`` assignment for every survivor;
     - ``manifest``: lazy per-(split, shard) ``n_docs/n_tokens/n_bytes``;
     - ``accounting``: the funnel's one-row accounting (lazy);
+    - ``leakage_bucket_stats``: per-bucket occupancy of the r=2 leakage
+      re-pairing (lazy; ``overflow`` flags buckets the ``max_bucket`` cap
+      skipped — audit it before trusting the split on a degenerate corpus);
     - ``written``: dict split -> output path (the only executed part —
       calling this function writes the shards).
     """
@@ -80,12 +85,32 @@ def prepare_and_ship(
     # (per-band hit s^2, miss-all (1-s^2)^8: recall 0.90 at s=0.5, 0.997
     # at s=0.7), at the cost of more candidate verification — the right
     # trade for a leakage guard, where a miss silently corrupts evals.
+    # r=2 banding makes buckets much larger than the funnel's r=4 pass, so
+    # the in-bucket |B|^2 expansion needs the same hot-bucket cap the funnel
+    # uses — an uncapped hot bucket here is the module's own "never
+    # all-pairs" claim violated at the worst possible stage. Skipped buckets
+    # stay countable via the returned ``leakage_bucket_stats``.
+    leakage_max_bucket = prep_kwargs.get("max_bucket")
     surv_pairs = ngram_jaccard_pairs(
         survivors,
-        lsh_candidate_pairs(survivors, bands=leakage_bands),
+        lsh_candidate_pairs(
+            survivors, bands=leakage_bands, max_bucket=leakage_max_bucket
+        ),
         eager_persist=False,
     ).filter(F.col("jaccard") >= leakage_jaccard)
-    groups = duplicate_groups(surv_pairs, eager_checkpoint=False)
+    leakage_buckets = bucket_stats(
+        minhash_bands(survivors, bands=leakage_bands),
+        max_bucket=leakage_max_bucket,
+    )
+    # until_converged: the split hashes the GROUP id, so every member of a
+    # connected component must resolve to the same label — a fixed round
+    # count silently splits any component whose diameter exceeds it, which
+    # is the exact train/test leak this plan exists to prevent. The lower
+    # leakage threshold makes components larger and chainier than the dedup
+    # pass's, so the fixpoint loop (not a guessed bound) is the only safe
+    # resolution. It forces eager execution per round; prepare_and_ship
+    # already executes writes, so the analyze-only gate is not violated.
+    groups = duplicate_groups(surv_pairs, until_converged=True)
 
     splits = leakage_safe_split(survivors, groups, fractions)
     # the fan-out point: every split write + the manifest + the returned
@@ -123,5 +148,6 @@ def prepare_and_ship(
         "splits": labeled.select("doc_id", "split"),
         "manifest": manifest,
         "accounting": prep["accounting"],
+        "leakage_bucket_stats": leakage_buckets,
         "written": written,
     }

@@ -79,11 +79,32 @@ def export_stream(
     return stream.writeStream.foreachBatch(sink)
 
 
+def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None:
+    """Highest FULLY-COMMITTED batch id per the stream's own commit log
+    (``<checkpoint>/commits/<batch_id>`` — Spark writes each entry only
+    AFTER ``foreachBatch`` returns, so this is the authoritative
+    completion record, valid live or stopped). ``None`` if no batch has
+    committed yet. Uses the Hadoop FS API so any checkpoint scheme
+    (local, HDFS, s3a) works."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "commits")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    ids = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.isdigit():  # skips .tmp spill files and metadata
+            ids.append(int(name))
+    return max(ids) if ids else None
+
+
 def read_shards_as_of(
     spark: SparkSession,
     out_dir: str,
     max_batch: int | None = None,
     committed_only: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Snapshot read of the streaming shard layout: the corpus AS OF batch
     ``max_batch`` (inclusive; ``None`` = latest). Because the sink is
@@ -99,12 +120,23 @@ def read_shards_as_of(
     batch is several ``shard=<k>`` directories with no atomic
     cross-partition commit, so the highest batch id on disk may be
     mid-write (or a crash's partial leftover awaiting replay) — reading
-    it is a torn view. Pass an explicit ``max_batch`` you know completed,
-    or ``committed_only=True``, which excludes the HIGHEST batch id
-    present (sound while at most one batch is in flight — foreachBatch's
-    sequential contract). ``None`` alone is only consistent when the
+    it is a torn view. The sound fix is ``checkpoint_dir``: the stream's
+    own commit log (``commits/<id>``, written only after ``foreachBatch``
+    returns) is the authoritative completion record, so the snapshot is
+    exactly the committed prefix — live or stopped, including the final
+    batch of a finished stream. ``committed_only=True`` WITHOUT a
+    checkpoint dir is the legacy pessimistic heuristic: it excludes the
+    highest batch id on disk, which is sound only while the stream is
+    live (at most one batch in flight, foreachBatch's sequential
+    contract) — on a STOPPED stream it over-drops the final committed
+    batch, and with exactly one batch on disk it returns an empty frame.
+    Prefer ``checkpoint_dir``; ``None`` alone is only consistent when the
     stream is stopped."""
     df = spark.read.parquet(out_dir)
+    if checkpoint_dir is not None and max_batch is None:
+        max_batch = last_committed_batch(spark, checkpoint_dir)
+        if max_batch is None:  # nothing committed yet: empty snapshot
+            return df.filter(F.lit(False))
     if max_batch is not None:
         df = df.filter(F.col("batch") <= max_batch)
     elif committed_only:

@@ -127,6 +127,30 @@ def test_export_shards_roundtrip(spark, documents, tmp_path):
         assert again == order1[d], d
 
 
+def test_write_sharded_tolerates_preexisting_shard_cols(spark, documents,
+                                                       tmp_path):
+    """An input already carrying shard/sort_key (e.g. derived from
+    shard_assignment output) must not produce duplicate column names
+    (r5 advice finding) — the kernel re-derives both from id_col."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        write_sharded,
+    )
+
+    pre = documents.select("doc_id", "text").join(
+        shard_assignment(documents, 2).select("doc_id", "shard"), "doc_id"
+    ).withColumn("sort_key", documents.doc_id * 0)
+    out = str(tmp_path / "shards")
+    write_sharded(pre, out, N_SHARDS)  # would raise on ambiguity before
+    back = spark.read.parquet(out)
+    assert back.count() == documents.count()
+    # the written shard is the n_shards=N_SHARDS derivation, not the
+    # stale 2-shard column the input carried
+    assign = {r.doc_id: r.shard for r in
+              shard_assignment(documents, N_SHARDS).collect()}
+    for r in back.select("doc_id", "shard").collect():
+        assert int(r.shard) == assign[r.doc_id]
+
+
 def test_export_validates_args(documents):
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignment(documents, 0)

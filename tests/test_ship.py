@@ -94,3 +94,49 @@ def test_prepare_and_ship_end_to_end(spark, tmp_path):
     acc = res["accounting"].collect()[0]
     assert acc.n_input == 30
     assert acc.n_sampled == 30
+
+    # the leakage re-pairing's bucket occupancy is surfaced (r5 advice:
+    # the r=2 pass must be auditable, not silently unbounded)
+    stats = res["leakage_bucket_stats"]
+    assert {"band_idx", "band_key", "n_members"} <= set(stats.columns)
+    assert stats.count() > 0
+
+
+def test_ship_long_chain_component_co_splits(spark, tmp_path):
+    """A >3-diameter near-dup CHAIN at the leakage threshold must land in
+    ONE split (r5 advice finding: fixed 3-round label propagation gave
+    far members different group ids — the silent eval leak the split
+    exists to prevent; until_converged resolves any diameter)."""
+    vocab = [f"tok{i:03d}" for i in range(120)]
+    rows = []
+    # doc i = 30-word window starting at 10*i: consecutive docs share 20
+    # words (3-shingle jaccard ~0.47 > leakage 0.3), docs 2 apart share 10
+    # (~0.17 < 0.3) -> a pure path graph of diameter 7
+    for i in range(8):
+        rows.append((i, " ".join(vocab[10 * i : 10 * i + 30]), "en", "web"))
+    # distinct controls so splits can differ at all
+    for i in range(8, 20):
+        rows.append(
+            (i, " ".join(f"z{i}q{j}" for j in range(30)), "en", "web")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    res = prepare_and_ship(
+        docs,
+        str(tmp_path / "ship"),
+        fractions={"train": 0.5, "val": 0.25, "test": 0.25},
+        n_shards=2,
+        leakage_jaccard=0.3,
+        leakage_bands=16,  # r=1: recall ~1 at jaccard 0.47 edges
+        boilerplate_min_df=1000,
+        jaccard_threshold=0.8,
+        quality_min=0.0,
+    )
+    splits = {r.doc_id: r.split for r in res["splits"].collect()}
+    assert len(splits) == 20
+    chain_splits = {splits[i] for i in range(8)}
+    assert len(chain_splits) == 1, (
+        f"chain component straddles splits: {chain_splits} — "
+        "label propagation did not converge across the component"
+    )

@@ -708,3 +708,44 @@ def test_read_shards_as_of_committed_only(spark, tmp_path, documents):
     top = full.agg(F.max("batch")).first()[0]
     assert safe.filter(F.col("batch") >= top).count() == 0
     assert safe.count() == full.filter(F.col("batch") < top).count()
+
+
+def test_read_shards_as_of_commit_log(spark, tmp_path, documents):
+    """checkpoint_dir consults the stream's OWN commit log instead of the
+    drop-max heuristic (r5 advice finding: committed_only over-drops the
+    final committed batch of a stopped stream, and returns an empty frame
+    when exactly one batch exists). After a finished availableNow run,
+    every batch is committed, so the commit-log snapshot == the full
+    corpus — including the single-batch case committed_only gets wrong."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        export_stream,
+        last_committed_batch,
+        read_shards_as_of,
+    )
+
+    drops = str(tmp_path / "drops")
+    docs = documents.select("doc_id", "text")
+    docs.coalesce(1).write.parquet(f"{drops}/d0")  # ONE batch on disk
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        export_stream(spark, drops + "/*", out, n_shards=2)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert last_committed_batch(spark, ckpt) == 0
+    # commit log: the single committed batch is IN the snapshot
+    snap = read_shards_as_of(spark, out, checkpoint_dir=ckpt)
+    assert snap.count() == docs.count()
+    # the legacy heuristic on the same state returns an empty frame
+    assert read_shards_as_of(spark, out, committed_only=True).count() == 0
+    # a checkpoint with no commits yet -> empty, not a crash
+    empty_ckpt = str(tmp_path / "never_ran")
+    assert (
+        read_shards_as_of(spark, out, checkpoint_dir=empty_ckpt).count() == 0
+    )
