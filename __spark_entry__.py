@@ -65,6 +65,10 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_MAX_CELL = 64  # skew guard: sub-bucket cells larger than this
 SAMPLE_N = 500
+E2E_SAMPLES = 40  # probe sample for the graded end-to-end pipeline entries
+IVF_RERANK_OVERFETCH = 4  # quantized candidate over-fetch before f32 rerank
+CHAIN_STRIDE = 100  # dup_groups_converged: one >3-diameter chain per stride
+CHAIN_LEN = 21  # chain diameter 20 — far beyond the fixed-3-round form
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1609,6 +1613,152 @@ def q_leakage_split(spark, sf_dir):
     return ops.leakage_safe_split(docs, groups, SPLIT_FRACTIONS)
 
 
+def q_dup_groups_converged(spark, sf_dir):
+    """``duplicate_groups(until_converged=True)`` graded on components of
+    ARBITRARY diameter (retires the r5 fixed-3-round caveat): the pair set
+    is a deterministic family of 20-edge chains over documents (doc d ~
+    d+1 within each CHAIN_STRIDE block), so every component has diameter
+    20 — the fixed-3-round form provably mislabels it, and the fixpoint
+    loop must walk the full diameter. The oracle computes the same
+    connected-component minimum with a WITH RECURSIVE transitive closure —
+    an independent fixpoint formulation, not an unrolled copy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    left = docs.filter(F.col("doc_id") % CHAIN_STRIDE < CHAIN_LEN - 1)
+    # join back onto documents so both endpoints exist (the top doc of the
+    # table must not fabricate a phantom neighbor)
+    right = docs.select((F.col("doc_id") - 1).alias("doc_a"))
+    pairs = (
+        left.select(F.col("doc_id").alias("doc_a"))
+        .join(right, "doc_a")
+        .select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    )
+    return ops.duplicate_groups(pairs, until_converged=True)
+
+
+def q_bcb_e2e(spark, sf_dir):
+    """SURVEY SS3.1 graded END-TO-END: the BCB pipeline composition —
+    clone map (J3/A1) -> corpus assembly with range-join snippet
+    extraction (J1/S4/P6) -> hash embed (M1 test twin) -> deterministic
+    probe sample (O3) -> exact kNN (J2) -> clone-array relevance (P4) ->
+    the 4-metric row with the BCB min(|gt|,k) AP normalization (A4-A6,
+    W1-W4). Inputs are BCB-shaped frames derived deterministically from
+    the documents table (pairs d~d+1 where d%5<2; snippet = word range
+    [d%3+1, d%3+7+d%4]), so DuckDB replays the entire chain."""
+    res = _bcb_e2e_result(spark, sf_dir)
+    return res.metrics
+
+
+def q_bcb_e2e_detailed(spark, sf_dir):
+    """The same end-to-end BCB run's per-result table — the reference's
+    ``*_detailed_results.csv`` schema (bcb_utils.py:191-199): one row per
+    (query, result) with score, rank, and clone-array relevance. Graded
+    separately from the metric row so the hash pins every intermediate
+    rank, not just the final four aggregates."""
+    res = _bcb_e2e_result(spark, sf_dir)
+    return res.detailed
+
+
+def _bcb_e2e_result(spark, sf_dir):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.bcb import (
+        bcb_pipeline_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.select(F.col("doc_id").alias("function_id_one")).filter(
+        F.col("function_id_one") % 5 < 2
+    )
+    exists = docs.select((F.col("doc_id") - 1).alias("function_id_one"))
+    clones = (
+        left.join(exists, "function_id_one")
+        .select(
+            "function_id_one",
+            (F.col("function_id_one") + 1).alias("function_id_two"),
+        )
+    )
+    functions = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("name"),
+        (F.col("doc_id") % 3 + 1).alias("startline"),
+        (F.col("doc_id") % 3 + 7 + F.col("doc_id") % 4).alias("endline"),
+    )
+    source_lines = docs.select(
+        F.col("doc_id").alias("name"),
+        F.posexplode(F.split("text", " ")).alias("pos", "line"),
+    ).select("name", (F.col("pos") + 1).alias("line_no"), "line")
+    return bcb_pipeline_frames(
+        spark, clones, functions, source_lines,
+        num_samples=E2E_SAMPLES, k=KNN_K,
+    )
+
+
+def q_poj_e2e(spark, sf_dir):
+    """SURVEY SS3.2 graded END-TO-END: the POJ pipeline composition —
+    UUIDv5 corpus ids (F1), hash embed, deterministic sample, exact kNN
+    keyed on the UUID STRING, label-match relevance (P5), and the /k AP
+    normalization. The corpus derives from documents (class label =
+    'c'||doc_id%16), and since the oracle engine has no SHA-1, the UUID
+    column replays via a CPython-precomputed VALUES fixture (the
+    ``uuid5_ids`` pattern) joined into an otherwise all-SQL chain."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.plans.poj import (
+        poj_pipeline_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 16).cast("string")).alias(
+            "clone_type"
+        ),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "code_name"
+        ),
+        F.col("text").alias("code_contents"),
+    )
+    res = poj_pipeline_corpus(spark, raw, num_samples=E2E_SAMPLES, k=KNN_K)
+    return res.metrics
+
+
+_QUANT_IVF_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _quant_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped int8-QUANTIZED persisted IVF index (same centroid
+    bank as ``_ivf_index_path`` — both derive it deterministically from
+    the same embeddings table), built once per (application, sf_dir)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _QUANT_IVF_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_ivfq_"), "index")
+        emb = _t(spark, sf_dir, "embeddings")
+        ops.build_ivf_index(
+            emb, path, n_centroids=IVF_CENTROIDS, quantize=True
+        )
+        _QUANT_IVF_CACHE[key] = path
+    return path
+
+
+def q_ivf_knn_quantized(spark, sf_dir):
+    """The documented 100-TB memory shape, graded: int8-quantized
+    persisted IVF serves an over-fetched candidate pass (k x OVERFETCH per
+    probe on dequantized codes), then candidates re-score at full
+    precision against the f32 index pruned to the SAME routed cells —
+    IVF-PQ + refine. Every step is deterministic fixed-point (symmetric
+    int8 codes, float32 stored scale, 6dp rounding before ranking), so
+    the oracle replays quantize -> dequantize -> candidate top-k ->
+    exact rerank in SQL."""
+    f32_path = _ivf_index_path(spark, sf_dir)
+    q_path = _quant_ivf_index_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 50)
+    return ops.ivf_knn_persisted(
+        spark, q_path, probes, k=KNN_K, nprobe=IVF_NPROBE,
+        quantized=True, rerank_path=f32_path, overfetch=IVF_RERANK_OVERFETCH,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1617,76 +1767,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # No query may go two consecutive rounds outside the window —
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
-    # entry must have a green row in the latest round's artifact.
-    # Round-5 rotation: the 21-entry r4 tail is back in the window (front),
-    # the 9 new r5 queries follow (never checked — must be in-window), then
-    # the three queries whose IMPLEMENTATION changed this round (ivf_knn's
-    # body now searches the persisted partition-pruned index; doc_knn and
-    # ann_recall ride the half-up rounding swap in the vectorized paths),
-    # the 9 r4-new queries (second consecutive in-window round), and 8
-    # r3/r4-green stayers. Rotated out (all green in CORRECTNESS_r04): the
-    # 13 TPC-H queries + 10 long-green text/LSH queries + the seven
-    # stayers displaced by the r5 additions (latest_events,
-    # stratified_docs, tfidf_top_terms, redacted_docs, doc_chunks,
-    # cms_token_counts, mixture_sample) — due back in r6.
+    # entry must have a fully-green row in the union of the last two.
+    # Round-6 rotation: the full 30-entry r5 tail is back in the window
+    # (front — its r4-green rows age out of the union this round, so
+    # in-window is mandatory), then the 5 new r6 queries (the graded
+    # BCB/POJ end-to-end pipelines, the quantized-IVF+rerank composition,
+    # and the until-converged group resolution — never checked), then 15
+    # r5-window queries on their second in-window round (the 9 r5-new +
+    # the 3 r5-changed + knn_join/srp_verified_dups/bm25_topk). Rotated
+    # out (all green in CORRECTNESS_r05): the 21-entry r4-tail block, 6
+    # r4-new queries, and 8 long-green stayers — due back in r7.
     return {
-        # --- due back in the window (r4 tail) ---
-        "normalized_embeddings": q_normalized_embeddings,
-        "source_overlap": q_source_overlap,
-        "sliding_events": q_sliding_events,
-        "srp_near_dups": q_srp_near_dups,
-        "frame_samples": q_frame_samples,
-        "media_features": q_media_features,
-        "status_pivot": q_status_pivot,
-        "knn_topk": q_knn_topk,
-        "knn_detailed": q_knn_detailed,
-        "query_stats": q_query_stats,
-        "ir_metrics_poj": q_ir_metrics_poj,
-        "ir_metrics_bcb": q_ir_metrics_bcb,
-        "clone_map": q_clone_map,
-        "lookup_join": q_lookup_join,
-        "snippet_extract": q_snippet_extract,
-        "uuid5_ids": q_uuid5_ids,
-        "deterministic_sample": q_deterministic_sample,
-        "top_tokens": q_top_tokens,
-        "asof_click": q_asof_click,
-        "exact_dups": q_exact_dups,
-        "minhash_sigs": q_minhash_sigs,
-        # --- new in round 5 (never checked) ---
-        "knn_join_guarded": q_knn_join_guarded,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "shard_stats": q_shard_stats,
-        "packed_sequences": q_packed_sequences,
-        "dataset_split": q_dataset_split,
-        "quality_cutoff": q_quality_cutoff,
-        "leakage_split": q_leakage_split,
-        "zorder_keys": q_zorder_keys,
-        "knn_join_pruned": q_knn_join_pruned,
-        # --- implementation changed in round 5 (re-grade) ---
-        "ivf_knn": q_ivf_knn,
-        "doc_knn": q_doc_knn,
-        "ann_recall": q_ann_recall,
-        # --- new in round 4 (second in-window round) ---
-        "knn_join": q_knn_join,
-        "srp_verified_dups": q_srp_verified_dups,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "boilerplate_clean": q_boilerplate_clean,
-        "kmv_tokens": q_kmv_tokens,
-        "semantic_dups": q_semantic_dups,
-        "corpus_prep_funnel": q_corpus_prep_funnel,
-        "cluster_top_terms": q_cluster_top_terms,
-        # --- green stayers ---
-        "dup_groups": q_dup_groups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "click_attribution": q_click_attribution,
-        "repetition_stats": q_repetition_stats,
-        "quantized_embeddings": q_quantized_embeddings,
-        "contamination": q_contamination,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r04; due back in r6) ---
+        # --- due back in the window (the 30-entry r5 tail) ---
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
@@ -1717,6 +1809,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "token_counts": q_token_counts,
         "event_props": q_event_props,
+        # --- new in round 6 (never checked) ---
+        "bcb_e2e": q_bcb_e2e,
+        "bcb_e2e_detailed": q_bcb_e2e_detailed,
+        "poj_e2e": q_poj_e2e,
+        "ivf_knn_quantized": q_ivf_knn_quantized,
+        "dup_groups_converged": q_dup_groups_converged,
+        # --- r5-new / r5-changed: second in-window round ---
+        "knn_join_guarded": q_knn_join_guarded,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
+        "knn_join_pruned": q_knn_join_pruned,
+        "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
+        "ann_recall": q_ann_recall,
+        "knn_join": q_knn_join,
+        "srp_verified_dups": q_srp_verified_dups,
+        "bm25_topk": q_bm25_topk,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r05; due back in r7) ---
+        "normalized_embeddings": q_normalized_embeddings,
+        "source_overlap": q_source_overlap,
+        "sliding_events": q_sliding_events,
+        "srp_near_dups": q_srp_near_dups,
+        "frame_samples": q_frame_samples,
+        "media_features": q_media_features,
+        "status_pivot": q_status_pivot,
+        "knn_topk": q_knn_topk,
+        "knn_detailed": q_knn_detailed,
+        "query_stats": q_query_stats,
+        "ir_metrics_poj": q_ir_metrics_poj,
+        "ir_metrics_bcb": q_ir_metrics_bcb,
+        "clone_map": q_clone_map,
+        "lookup_join": q_lookup_join,
+        "snippet_extract": q_snippet_extract,
+        "uuid5_ids": q_uuid5_ids,
+        "deterministic_sample": q_deterministic_sample,
+        "top_tokens": q_top_tokens,
+        "asof_click": q_asof_click,
+        "exact_dups": q_exact_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "hybrid_rrf": q_hybrid_rrf,
+        "boilerplate_clean": q_boilerplate_clean,
+        "kmv_tokens": q_kmv_tokens,
+        "semantic_dups": q_semantic_dups,
+        "corpus_prep_funnel": q_corpus_prep_funnel,
+        "cluster_top_terms": q_cluster_top_terms,
+        "dup_groups": q_dup_groups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "click_attribution": q_click_attribution,
+        "repetition_stats": q_repetition_stats,
+        "quantized_embeddings": q_quantized_embeddings,
+        "contamination": q_contamination,
     }
 
 
@@ -2343,7 +2494,44 @@ SELECT doc_id,
 FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
 
     sql["ivf_knn"] = _ivf_sql()
+    sql["ivf_knn_quantized"] = _ivf_quantized_sql()
     sql["knn_join"] = _ivf_sql(probe_pred="TRUE")
+
+    sql["dup_groups_converged"] = f"""
+WITH RECURSIVE
+base AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {CHAIN_STRIDE} < {CHAIN_LEN - 1}
+),
+edges AS (SELECT a, b FROM base UNION ALL SELECT b, a FROM base),
+reach(doc_id, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+)
+SELECT doc_id, min(lbl) AS group_id, doc_id = min(lbl) AS is_keeper
+FROM reach GROUP BY doc_id"""
+
+    sql["bcb_e2e"] = f"""
+WITH {_bcb_e2e_ctes()},
+perq AS ({_E2E_PERQ})
+SELECT round(sum(success) / count(*)::DOUBLE, 6) AS success_rate,
+       round(sum(n_rel) / (count(*)::DOUBLE * {KNN_K}), 6) AS mean_precision_at_k,
+       round(sum(rr6) / (count(*)::DOUBLE * 1000000), 6) AS mrr,
+       round(sum(ap6) / (count(*)::DOUBLE * 1000000), 6) AS map_at_k
+FROM (
+  SELECT *, CASE WHEN gt_size > 0
+                 THEN round(ap_num6 / least(gt_size, {KNN_K}))::BIGINT
+                 ELSE 0 END AS ap6
+  FROM perq
+)"""
+
+    sql["bcb_e2e_detailed"] = f"""
+WITH {_bcb_e2e_ctes()}
+SELECT query_id, result_id, score, rank, is_clone FROM edetailed"""
+
+    sql["poj_e2e"] = _poj_e2e_sql()
     # the skew guard is a physical strategy, not a semantics change: the
     # sub-bucketed form must produce knn_join's exact rows
     sql["knn_join_guarded"] = _ivf_sql(probe_pred="TRUE")
@@ -2357,26 +2545,8 @@ SELECT cell, count(*)::BIGINT AS n_members,
        greatest(ceil(count(*) / {IVF_MAX_CELL}.0)::INT, 1) AS split_factor
 FROM assigned GROUP BY cell"""
 
-    h_tok_b = _HASH60("t")
     sql["doc_knn"] = f"""
-WITH toked AS (SELECT doc_id, {toks} AS toksl FROM documents),
-hs AS (SELECT doc_id, list_transform(toksl, t -> {h_tok_b}) AS hl FROM toked),
-raw AS (
-  SELECT doc_id,
-         list_transform(range(0, 64), b ->
-           coalesce(list_sum(list_transform(hl,
-             h -> CASE WHEN h % 64 = b THEN ((h >> 30) & 1) * 2 - 1 ELSE 0 END)), 0)::DOUBLE
-         ) AS counts
-  FROM hs
-),
-emb AS (
-  SELECT doc_id,
-         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
-              ELSE counts END AS v
-  FROM (SELECT doc_id, counts,
-               sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
-        FROM raw)
-),
+WITH {_hash_emb_ctes(f"SELECT doc_id, {toks} AS toksl FROM documents")},
 scored AS (
   SELECT q.doc_id AS query_id, x.doc_id AS result_id,
          round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)) <> 0
@@ -3162,5 +3332,226 @@ SELECT query_id, result_id, score, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {KNN_K}"""
+
+
+def _ivf_quantized_sql() -> str:
+    """IVF-PQ + refine replay (``ivf_knn_quantized``): candidates ranked on
+    DEQUANTIZED int8 codes (symmetric per-vector scheme: q_i = round(x_i /
+    (amax/127)), stored scale float32 — the ::FLOAT::DOUBLE round-trip
+    reproduces the storage cast), over-fetched to k x OVERFETCH per probe,
+    then re-scored exactly against the float32 vectors of the SAME routed
+    cells. Routing and the final ranking contract are ``_ivf_sql``'s."""
+    deq = (
+        "round(el / (amax / 127.0))::BIGINT::DOUBLE * "
+        "((amax / 127.0)::FLOAT::DOUBLE)"
+    )
+    return f"""
+WITH {_IVF_ASSIGN_CTES},
+dq AS (
+  SELECT result_id,
+         CASE WHEN amax <> 0
+              THEN list_transform(v, el -> {deq})
+              ELSE list_transform(v, el -> 0.0) END AS dv
+  FROM (SELECT result_id, v,
+               list_aggregate(list_transform(v, el -> abs(el)), 'max') AS amax
+        FROM x)
+),
+qassigned AS (
+  SELECT a.result_id, d.dv AS v, a.cell
+  FROM assigned a JOIN dq d ON d.result_id = a.result_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 50
+),
+routed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cent_vec) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6) DESC,
+                      c.cent_id ASC) AS rnk
+    FROM q CROSS JOIN cents c
+  ) WHERE rnk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, qv, result_id FROM (
+    SELECT r.query_id, r.qv, a.result_id,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY round(list_dot_product(r.qv, a.v) /
+                      (sqrt(list_dot_product(r.qv, r.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+                      a.result_id ASC) AS rnk
+    FROM routed r JOIN qassigned a ON a.cell = r.cell
+    WHERE a.result_id <> r.query_id
+  ) WHERE rnk <= {KNN_K * IVF_RERANK_OVERFETCH}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id,
+         round(list_dot_product(c.qv, x.v) /
+               (sqrt(list_dot_product(c.qv, c.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) AS score
+  FROM cand c JOIN x ON x.result_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {KNN_K}"""
+
+
+def _hash_emb_ctes(toked_sql: str) -> str:
+    """The hash-embedder replay (``functions.embed.hash_embedding``) over
+    any ``(doc_id, toksl)`` token source: bucket = hash(token) mod 64,
+    sign = hash bit 30, signed counts L2-normalized. One definition shared
+    by ``doc_knn`` and the e2e pipeline oracles so the chains cannot
+    drift."""
+    h_tok_b = _HASH60("t")
+    return f"""toked AS ({toked_sql}),
+hs AS (SELECT doc_id, list_transform(toksl, t -> {h_tok_b}) AS hl FROM toked),
+raw AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b ->
+           coalesce(list_sum(list_transform(hl,
+             h -> CASE WHEN h % 64 = b THEN ((h >> 30) & 1) * 2 - 1 ELSE 0 END)), 0)::DOUBLE
+         ) AS counts
+  FROM hs
+),
+emb AS (
+  SELECT doc_id,
+         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS v
+  FROM (SELECT doc_id, counts,
+               sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
+        FROM raw)
+)"""
+
+
+_E2E_PERQ = """
+  SELECT query_id,
+         max(CASE WHEN is_clone THEN 1 ELSE 0 END) AS success,
+         sum(CASE WHEN is_clone THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         coalesce(round(1000000.0 / min(CASE WHEN is_clone THEN rank END))::BIGINT, 0) AS rr6,
+         coalesce(sum(prec6), 0)::BIGINT AS ap_num6,
+         any_value(gt_size) AS gt_size
+  FROM (
+    SELECT *,
+           CASE WHEN is_clone THEN
+             round(1000000.0 * (sum(CASE WHEN is_clone THEN 1 ELSE 0 END)
+                OVER (PARTITION BY query_id ORDER BY rank
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / rank)::BIGINT
+           END AS prec6
+    FROM edetailed
+  ) GROUP BY query_id
+"""
+
+
+def _bcb_e2e_ctes() -> str:
+    """Shared replay prefix for ``bcb_e2e`` / ``bcb_e2e_detailed``: the
+    whole SS3.1 chain — synthetic clone pairs (d ~ d+1 where d%5<2),
+    symmetric clone map, word-range snippet extraction (the corpus text),
+    hash embed, hash-ordered probe sample, exact cosine kNN, clone-array
+    relevance — ending at ``edetailed(query_id, result_id, score, rank,
+    is_clone, gt_size)``."""
+    toked = (
+        "SELECT doc_id, list_filter(list_transform("
+        "list_slice(string_split(text, ' '), "
+        "(doc_id % 3 + 1)::INT, (doc_id % 3 + 7 + doc_id % 4)::INT), "
+        "t -> lower(t)), t -> t <> '') AS toksl FROM documents"
+    )
+    return f"""pairs AS (
+  SELECT d.doc_id AS f1, d.doc_id + 1 AS f2
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 < 2
+),
+cm AS (
+  SELECT func_id, list_sort(list(DISTINCT clone_id)) AS clones
+  FROM (
+    SELECT f1 AS func_id, f2 AS clone_id FROM pairs
+    UNION ALL
+    SELECT f2 AS func_id, f1 AS clone_id FROM pairs
+  ) GROUP BY func_id
+),
+{_hash_emb_ctes(toked)},
+corpus AS (
+  SELECT c.func_id, e.v, c.clones FROM cm c JOIN emb e ON e.doc_id = c.func_id
+),
+probes AS (
+  SELECT func_id AS query_id, v AS qv, clones AS gt FROM (
+    SELECT func_id, v, clones, {_HASH60("func_id::VARCHAR")} AS hk FROM corpus
+  ) ORDER BY hk, func_id LIMIT {E2E_SAMPLES}
+),
+escored AS (
+  SELECT p.query_id, x.func_id AS result_id,
+         round(CASE WHEN sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(x.v, x.v)) <> 0
+               THEN list_dot_product(p.qv, x.v) /
+                    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(x.v, x.v)))
+               END, 6) AS score,
+         p.gt
+  FROM probes p JOIN corpus x ON x.func_id <> p.query_id
+),
+edetailed AS (
+  SELECT query_id, result_id, score, rank,
+         list_contains(gt, result_id) AS is_clone,
+         len(gt)::BIGINT AS gt_size
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+    FROM escored
+  ) WHERE rank <= {KNN_K}
+)"""
+
+
+def _poj_e2e_sql() -> str:
+    """``poj_e2e`` replay: UUIDv5 corpus ids come from a CPython-precomputed
+    VALUES fixture (no SHA-1 in the oracle engine — the ``uuid5_ids``
+    pattern) joined onto documents; embed, hash-ordered sampling on the
+    UUID string, exact kNN keyed by UUID, label relevance, and the POJ /k
+    AP normalization are all SQL."""
+    import uuid as _uuid
+
+    rows = ",".join(
+        f"({i},'{_uuid.uuid5(_uuid.NAMESPACE_DNS, f'c{i % 16}doc_{i}')}')"
+        for i in range(5000)
+    )
+    toked = f"SELECT doc_id, {_TOKENS} AS toksl FROM documents"
+    return f"""
+WITH uu AS (
+  SELECT d.doc_id, m.code_uuid, 'c' || (d.doc_id % 16)::VARCHAR AS label
+  FROM documents d
+  JOIN (VALUES {rows}) AS m(doc_id, code_uuid) ON d.doc_id = m.doc_id
+),
+{_hash_emb_ctes(toked)},
+corpus AS (
+  SELECT u.code_uuid, u.label, e.v FROM uu u JOIN emb e ON e.doc_id = u.doc_id
+),
+probes AS (
+  SELECT code_uuid AS query_id, label AS qlabel, v AS qv FROM (
+    SELECT code_uuid, label, v, {_HASH60("code_uuid")} AS hk FROM corpus
+  ) ORDER BY hk, code_uuid LIMIT {E2E_SAMPLES}
+),
+escored AS (
+  SELECT p.query_id, p.qlabel, x.code_uuid AS result_id, x.label AS rlabel,
+         round(CASE WHEN sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(x.v, x.v)) <> 0
+               THEN list_dot_product(p.qv, x.v) /
+                    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(x.v, x.v)))
+               END, 6) AS score
+  FROM probes p JOIN corpus x ON x.code_uuid <> p.query_id
+),
+edetailed AS (
+  SELECT query_id, result_id, score, rank,
+         (qlabel = rlabel) AS is_clone, 1::BIGINT AS gt_size
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+    FROM escored
+  ) WHERE rank <= {KNN_K}
+),
+perq AS ({_E2E_PERQ})
+SELECT round(sum(success) / count(*)::DOUBLE, 6) AS success_rate,
+       round(sum(n_rel) / (count(*)::DOUBLE * {KNN_K}), 6) AS mean_precision_at_k,
+       round(sum(rr6) / (count(*)::DOUBLE * 1000000), 6) AS mrr,
+       round(sum(ap6) / (count(*)::DOUBLE * 1000000), 6) AS map_at_k
+FROM (SELECT *, round(ap_num6 / {KNN_K})::BIGINT AS ap6 FROM perq)"""
 
 

@@ -78,6 +78,8 @@ def bench_queries(spark, sf_dir):
     ivf_dir = os.path.join(tempfile.gettempdir(), "bench_ivf_index")
     ops.build_ivf_index(emb, ivf_dir, n_centroids=16)
     ivf_centroids = ops.load_centroid_bank(spark, ivf_dir)
+    ivfq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfq_index")
+    ops.build_ivf_index(emb, ivfq_dir, n_centroids=16, quantize=True)
 
     def q_ivf_knn():
         probes = emb.select(
@@ -253,8 +255,23 @@ def bench_queries(spark, sf_dir):
         out = corpus_prep(docs, eval_docs=docs.limit(50))
         return out["accounting"]
 
+    def q_quantized_rerank():
+        # int8 candidate pass + f32 rerank against the persisted indexes —
+        # the 100-TB memory shape (graded as ivf_knn_quantized). The int8
+        # index scans 4x less; the rerank reads only the routed cells of
+        # the f32 table for k x 4 candidates per probe.
+        probes = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).filter(F.col("query_id") < BENCH_PROBES)
+        return ops.ivf_knn_persisted(
+            spark, ivfq_dir, probes, k=BENCH_K, nprobe=4,
+            quantized=True, rerank_path=ivf_dir, centroids=ivf_centroids,
+        )
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
+        "quantized_rerank": q_quantized_rerank,
         "bm25_topk": q_bm25,
         "semantic_dedup": q_semantic_dedup,
         "corpus_prep_funnel": q_corpus_prep,

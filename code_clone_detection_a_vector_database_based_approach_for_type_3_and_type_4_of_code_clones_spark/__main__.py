@@ -65,6 +65,21 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="where the two results CSVs go (main.py:85-90)")
     p.add_argument("--cpus", type=int, default=0,
                    help="local[n] cores; 0 = all")
+    p.add_argument("--scalability_test", action="store_true",
+                   help="run the ingest/search scalability sweep instead of "
+                        "a benchmark pipeline (main3.py:23): per corpus "
+                        "size, timed parquet ingest, JVM-heap delta, and "
+                        "mean top-k search latency; writes the reference's "
+                        "two CSVs (main3.py:89-92) into --output_dir")
+    p.add_argument("--vectors_parquet",
+                   help="scalability: the (vec_id, embedding) parquet table "
+                        "the sweep slices (reference main3 generates its "
+                        "corpus in-process; here any vector table works)")
+    p.add_argument("--sizes", default="1000,5000,10000,20000,50000",
+                   help="scalability: comma-separated corpus sizes "
+                        "(reference list, main3.py:36)")
+    p.add_argument("--n_queries", type=int, default=10,
+                   help="scalability: probes per size (main3.py:75)")
     # --dataset corpus (training-data lifecycle)
     p.add_argument("--docs_parquet",
                    help="corpus: input documents parquet "
@@ -112,6 +127,43 @@ def run(argv: list[str] | None = None) -> dict:
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("clonespark-cli", master=master)
+
+    if args.scalability_test:
+        if not args.vectors_parquet:
+            raise SystemExit("--scalability_test requires --vectors_parquet")
+        from .plans.scalability import scalability_sweep
+        from .sources.csv_io import write_results_csv
+
+        sizes = tuple(int(s) for s in args.sizes.split(",") if s.strip())
+        sweep = scalability_sweep(
+            spark,
+            spark.read.parquet(args.vectors_parquet),
+            sizes=sizes,
+            k=args.k,
+            n_queries=args.n_queries,
+        )
+        rows = sweep.collect()
+        # the reference's two-CSV shape (main3.py:89-92): query times and
+        # memory land in separate files
+        times = sweep.select("size", "avg_query_time_seconds")
+        memory = sweep.select(
+            "size", "ingest_seconds", "ingest_heap_delta_mb", "heap_used_mb"
+        )
+        times_path = f"{args.output_dir}/scalability_query_times.csv"
+        memory_path = f"{args.output_dir}/scalability_memory.csv"
+        write_results_csv(times, times_path)
+        write_results_csv(memory, memory_path)
+        for r in rows:
+            print(
+                f"size={r.size} ingest={r.ingest_seconds}s "
+                f"heap_delta={r.ingest_heap_delta_mb}MB "
+                f"avg_query={r.avg_query_time_seconds}s"
+            )
+        return {
+            "sweep": [r.asDict() for r in rows],
+            "query_times": times_path,
+            "memory": memory_path,
+        }
 
     if args.dataset == "corpus":
         if not args.docs_parquet:

@@ -3,11 +3,13 @@ extension for the training-data-pipeline north star.
 
 Media travel as opaque ``binary`` columns with a typed metadata struct; all
 compute is Arrow-batched ``mapInPandas`` so executors stream media without
-ever materializing a row-at-a-time Python object per pixel. The decode
-kernels themselves are STUBS: the imaging/audio libraries are not in this
-container, so ``decode_image`` raises unless ``fake=True`` substitutes a
-deterministic stand-in (content-hash-seeded), keeping the Spark-side
-plumbing — schema, batch shape, partitioning — real and testable.
+ever materializing a row-at-a-time Python object per pixel. Two decode
+kernels share one resize-and-pool numeric tail: the REAL image kernel
+(``real_feature``, Pillow decode — import-try gated, Pillow is absent in
+this container; audio/video need ffmpeg and stay out of scope) and the
+deterministic content-hash-seeded stand-in (``fake=True``), which keeps
+the Spark-side plumbing — schema, batch shape, partitioning — testable
+and oracle-graded everywhere.
 
 Schema contract:
     media(media_id BIGINT, kind STRING, content BINARY,
@@ -76,6 +78,21 @@ def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _resize_and_pool(px: np.ndarray, target_size: tuple[int, int]) -> np.ndarray:
+    """The shared numeric tail of BOTH decode kernels: nearest-neighbor
+    resize to ``target_size``, 4x4 channel-wise block means, first
+    ``FEATURE_DIM`` floats. Real and fake decode differ only in where the
+    pixel array comes from — the feature math is one definition, so the
+    graded fake twin pins the numerics the real path will use."""
+    tw, th = target_size
+    px = px.astype(np.float64)
+    ys = np.linspace(0, px.shape[0] - 1, th).astype(int)
+    xs = np.linspace(0, px.shape[1] - 1, tw).astype(int)
+    small = px[np.ix_(ys, xs)]
+    pooled = small.reshape(4, th // 4, 4, tw // 4, 3).mean(axis=(1, 3))
+    return pooled.ravel()[:FEATURE_DIM].astype(np.float32)
+
+
 def fake_feature(
     content: bytes,
     width: int,
@@ -83,18 +100,31 @@ def fake_feature(
     target_size: tuple[int, int] = TARGET_SIZE,
 ) -> np.ndarray:
     """Pure per-item twin of :func:`decode_and_featurize`'s kernel:
-    fake-decode ``content`` at (height, width), nearest-neighbor resize to
-    ``target_size``, 4x4 channel-wise block means, first ``FEATURE_DIM``
-    floats. The Spark kernel and the driver's precomputed VALUES oracle both
-    call THIS function, so a kernel tweak can never desynchronize them.
+    fake-decode ``content`` at (height, width), then the shared
+    resize-and-pool tail. The Spark kernel and the driver's precomputed
+    VALUES oracle both call THIS function, so a kernel tweak can never
+    desynchronize them.
     """
-    tw, th = target_size
-    px = _fake_pixels(content, width, height).astype(np.float64)
-    ys = np.linspace(0, px.shape[0] - 1, th).astype(int)
-    xs = np.linspace(0, px.shape[1] - 1, tw).astype(int)
-    small = px[np.ix_(ys, xs)]
-    pooled = small.reshape(4, th // 4, 4, tw // 4, 3).mean(axis=(1, 3))
-    return pooled.ravel()[:FEATURE_DIM].astype(np.float32)
+    return _resize_and_pool(
+        _fake_pixels(content, width, height), target_size
+    )
+
+
+def real_feature(
+    content: bytes, target_size: tuple[int, int] = TARGET_SIZE
+) -> np.ndarray:
+    """Per-item REAL image kernel: PIL decodes the bytes, then the SAME
+    resize-and-pool tail as :func:`fake_feature` (PIL is used only as a
+    decoder — the numerics stay in the one shared implementation, so the
+    fake twin's oracle coverage transfers). Raises ImportError where
+    Pillow is absent (this container), letting callers env-gate."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 - import-try is the env gate
+
+    with Image.open(io.BytesIO(content)) as img:
+        px = np.asarray(img.convert("RGB"))
+    return _resize_and_pool(px, target_size)
 
 
 def decode_and_featurize(
@@ -106,13 +136,24 @@ def decode_and_featurize(
     ``mapInPandas`` pass (Arrow batches; one Python worker per core; media
     bytes never shuffle — the transform is map-side on the scan).
 
+    ``fake=False`` is the REAL image path: Pillow decodes each row's bytes
+    and the shared resize-and-pool tail featurizes (audio/video decode
+    needs ffmpeg and stays out of scope — non-image kinds raise inside the
+    kernel). Import-try gated: where Pillow is absent (this container) the
+    call fails fast at plan-build time with ImportError, and the fake twin
+    — which shares every numeric step after decode — remains the graded
+    kernel.
+
     Output: input columns (minus content) + ``feature ARRAY<FLOAT>``.
     """
     if not fake:
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg, not present in this "
-            "container; call with fake=True for the deterministic stand-in"
-        )
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "real media decoding needs Pillow, which is not installed; "
+                "call with fake=True for the deterministic stand-in kernel"
+            ) from e
     tw, th = target_size
 
     out_schema = (
@@ -122,12 +163,24 @@ def decode_and_featurize(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for content, meta in zip(pdf["content"], pdf["meta"]):
-                w = (meta["width"] if meta is not None else None) or tw
-                h = (meta["height"] if meta is not None else None) or th
-                feats.append(
-                    fake_feature(bytes(content), w, h, (tw, th)).tolist()
-                )
+            for content, meta, kind in zip(
+                pdf["content"], pdf["meta"], pdf["kind"]
+            ):
+                if fake:
+                    w = (meta["width"] if meta is not None else None) or tw
+                    h = (meta["height"] if meta is not None else None) or th
+                    feats.append(
+                        fake_feature(bytes(content), w, h, (tw, th)).tolist()
+                    )
+                elif kind == "image":
+                    feats.append(
+                        real_feature(bytes(content), (tw, th)).tolist()
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"real decode for kind={kind!r} needs ffmpeg; "
+                        "filter to kind == 'image' or use fake=True"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -68,6 +68,33 @@ def bcb_pipeline(
         functions = functions.withColumn(
             "name", functions_name_transform(F.col("name"))
         )
+    return bcb_pipeline_frames(
+        spark,
+        clones,
+        functions,
+        source_lines,
+        index_path=index_path,
+        embed=embed,
+        num_samples=num_samples,
+        k=k,
+    )
+
+
+def bcb_pipeline_frames(
+    spark: SparkSession,
+    clones: DataFrame,
+    functions: DataFrame,
+    source_lines: DataFrame,
+    index_path: str | None = None,
+    embed=embed_hash,
+    num_samples: int = 500,
+    k: int = 100,
+) -> BcbResult:
+    """Stages 4-8 of ``bcb_pipeline`` over already-loaded frames — the
+    source-agnostic core. ``bcb_pipeline`` feeds it the reference's CSV
+    scans; the graded ``bcb_e2e`` oracle entry feeds it frames derived from
+    the test parquet so the whole composition (clone map -> corpus ->
+    embed -> sample -> kNN -> metrics) replays in SQL end-to-end."""
     clone_map = build_clone_map(clones)
     corpus = build_corpus(clone_map, functions, source_lines)
 

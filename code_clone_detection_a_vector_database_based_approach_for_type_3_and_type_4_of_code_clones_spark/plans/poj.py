@@ -42,7 +42,30 @@ def poj_pipeline(
     num_samples: int = 500,
     k: int = 100,
 ) -> PojResult:
-    corpus = poj_directory_source(spark, directory).select(
+    return poj_pipeline_corpus(
+        spark,
+        poj_directory_source(spark, directory),
+        index_path=index_path,
+        embed=embed,
+        num_samples=num_samples,
+        k=k,
+    )
+
+
+def poj_pipeline_corpus(
+    spark: SparkSession,
+    raw_corpus: DataFrame,
+    index_path: str | None = None,
+    embed=embed_hash,
+    num_samples: int = 500,
+    k: int = 100,
+) -> PojResult:
+    """The POJ pipeline over an already-loaded ``(clone_type, code_name,
+    code_contents)`` frame — the source-agnostic core. ``poj_pipeline``
+    feeds it the binaryFile directory scan; the graded ``poj_e2e`` oracle
+    entry feeds it a frame derived from the test parquet so UUIDv5 ids,
+    embed, sampling, kNN and the /k metrics replay end-to-end."""
+    corpus = raw_corpus.select(
         uuid5_udf(F.concat(F.col("clone_type"), F.col("code_name"))).alias("code_uuid"),
         "clone_type",
         "code_name",

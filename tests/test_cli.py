@@ -161,3 +161,35 @@ def test_cli_corpus_end_to_end(spark, tmp_path, sf_dir):
 def test_cli_corpus_missing_args_fail_fast():
     with pytest.raises(SystemExit, match="docs_parquet"):
         run(["--dataset", "corpus"])
+
+
+def test_cli_scalability_sweep(spark, tmp_path, sf_dir):
+    """--scalability_test (reference main3.py:23): timed ingest + search
+    per corpus size, the reference's two CSVs written to --output_dir."""
+    out_dir = tmp_path / "sweep"
+    out_dir.mkdir()
+    res = run([
+        "--scalability_test",
+        "--vectors_parquet", f"{sf_dir}/embeddings.parquet",
+        "--sizes", "20,50",
+        "--n_queries", "3",
+        "--k", "5",
+        "--output_dir", str(out_dir),
+    ])
+    assert [r["size"] for r in res["sweep"]] == [20, 50]
+    for r in res["sweep"]:
+        assert r["ingest_seconds"] > 0
+        assert r["avg_query_time_seconds"] > 0
+    times = spark.read.option("header", True).csv(res["query_times"])
+    assert times.columns == ["size", "avg_query_time_seconds"]
+    assert times.count() == 2
+    memory = spark.read.option("header", True).csv(res["memory"])
+    assert memory.columns == [
+        "size", "ingest_seconds", "ingest_heap_delta_mb", "heap_used_mb"
+    ]
+    assert memory.count() == 2
+
+
+def test_cli_scalability_missing_args_fail_fast():
+    with pytest.raises(SystemExit, match="vectors_parquet"):
+        run(["--scalability_test"])

@@ -62,7 +62,14 @@ def test_sentence_transformer_gated(spark):
 
 
 _FAKE_ST = '''\
-"""Deterministic stand-in for sentence_transformers (test fixture)."""
+"""Deterministic stand-in for sentence_transformers (test fixture).
+
+One module serves both fake tests (addPyFile rejects same-named files
+with different contents, so the behaviors dispatch on the model name):
+a "recorder" model returns float64 vectors carrying the encode() call's
+shape (call size, forwarded batch_size) so the driver can audit the UDF
+boundary without a side channel; any other name returns the original
+text-derived float32 vectors."""
 import numpy as np
 
 
@@ -71,6 +78,15 @@ class SentenceTransformer:
         self.name = name
 
     def encode(self, texts, batch_size=32, normalize_embeddings=False):
+        if "recorder" in self.name:
+            # float64 on purpose: the contract test pins the float32 cast
+            # at the declared array<float> schema boundary
+            n = float(len(texts))
+            return np.stack([
+                np.array([float(len(t)) + 0.1, n, float(batch_size)],
+                         dtype=np.float64)
+                for t in texts
+            ])
         out = []
         for t in texts:
             v = np.array(
@@ -130,6 +146,57 @@ def test_sentence_transformer_fake_module(spark, tmp_path, monkeypatch):
         got2 = {r.doc_id: r.embedding for r in again.collect()}
         assert got2 == {k: v for k, (_, v) in got.items()}
     finally:
+        sys.modules.pop("sentence_transformers", None)
+
+
+def test_sentence_transformer_udf_boundary_contract(spark, tmp_path,
+                                                    monkeypatch):
+    """The first real-cluster run's diffable CONTRACT (r5 verdict ask):
+    (1) one encode() call per ARROW batch, sized by
+    spark.sql.execution.arrow.maxRecordsPerBatch — never the whole
+    partition; (2) the caller's batch_size reaches the model verbatim
+    (the model does its own sub-batching, reference bcb_utils.py:101);
+    (3) a float64-returning model is cast to float32 at the declared
+    array<float> schema boundary — downstream kNN sees float32-rounded
+    values, bit-exactly np.float32(x)."""
+    import sys
+
+    import numpy as np
+
+    fake = tmp_path / "sentence_transformers.py"
+    fake.write_text(_FAKE_ST)  # byte-identical to the e2e test's module
+    monkeypatch.syspath_prepend(str(tmp_path))
+    spark.sparkContext.addPyFile(str(fake))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(i, f"text number {i} " * (i % 3 + 1)) for i in range(37)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(2)
+        got = {
+            r.doc_id: r.embedding
+            for r in embed_sentence_transformer(
+                df, model_name="fake-recorder", batch_size=8
+            ).collect()
+        }
+        assert len(got) == 37
+        texts = dict(rows)
+        for i, (len01, call_n, bsz) in got.items():
+            # (3) float32 cast at the boundary: 0.1 is not representable,
+            # so equality only holds against the float32-rounded value
+            assert len01 == np.float32(len(texts[i]) + 0.1)
+            assert len01 != len(texts[i]) + 0.1
+            # (1) Arrow batch cap bounds every encode() call
+            assert 1 <= int(call_n) <= 7
+            # (2) batch_size forwarded verbatim
+            assert int(bsz) == 8
+        # at 37 rows / 2 partitions / cap 7, slicing must actually happen
+        # (a whole-partition call would have shown call_n ~ 18)
+        assert max(int(v[1]) for v in got.values()) <= 7
+        assert sum(1 for v in got.values() if int(v[1]) == 7) > 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
         sys.modules.pop("sentence_transformers", None)
 
 

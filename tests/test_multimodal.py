@@ -19,9 +19,63 @@ def _media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_requires_explicit_fake(spark):
-    with pytest.raises(NotImplementedError, match="fake=True"):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_real_fails_fast_without_pillow(spark):
+    """Where Pillow is absent (this container) the real path fails at
+    plan-build time with a clear ImportError, not mid-job."""
+    if _pil_available():
+        pytest.skip("Pillow installed; the real path is live here")
+    with pytest.raises(ImportError, match="fake=True"):
         decode_and_featurize(_media(spark))
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_decode_real_matches_per_item_twin(spark):
+    """Env-gated REAL kernel e2e: PIL-decoded features through the Spark
+    mapInPandas pass equal the per-item real_feature twin, and share the
+    resize-and-pool tail with the graded fake kernel."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.multimodal import (
+        real_feature,
+    )
+
+    def png(seed: int, w: int, h: int) -> bytes:
+        rng = np.random.default_rng(seed)
+        img = Image.fromarray(
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png(1, 64, 48), ("png", 64, 48, None)),
+        (2, "image", png(2, 32, 32), ("png", 32, 32, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.feature for r in
+           decode_and_featurize(media).collect()}
+    for media_id, _, content, _ in rows:
+        want = real_feature(content).tolist()
+        assert got[media_id] == pytest.approx(want), media_id
+    # non-image kinds are an explicit refusal on the real path
+    vid = spark.createDataFrame(
+        [(3, "video", b"\x00\x00ftyp", ("mp4", 640, 480, 1000))], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        decode_and_featurize(vid).collect()
 
 
 def test_decode_and_featurize_fake(spark):
