@@ -1,0 +1,195 @@
+"""Incremental near-dedup against HISTORY: new document increments are
+near-dup-filtered against the full accepted corpus so far (beyond-reference
+extension; the ingest shape a training-data pipeline actually runs).
+
+The batch funnel (plans/corpus_prep) answers "dedup this corpus"; a live
+pipeline needs "is this NEW crawl increment a near-dup of anything we
+already kept?" — without re-scanning the corpus. The trick is the same one
+``build_ivf_index`` uses for vectors: pay the signature work once at
+accept time and PERSIST it. The state store is the accepted docs' MinHash
+band table (``{state_dir}/bands``, partitioned by the batch id); an
+increment's bands hash-join that table on ``(band_idx, band_key)`` — the
+probe side is increment-sized, the history side is bucket-bounded by the
+join, and the corpus text is only consulted for the matched candidates
+(a semi-join-sized read of the accepted store).
+
+SEMANTICS — greedy prefix, not global components: each increment is
+compared against the ACCEPTED set only. Chained corpora diverge from the
+batch funnel's component resolution (A~B, B~C, A!~C across three
+increments: incremental keeps A and C; the batch funnel's min-label keeps
+only A). This is inherent to any one-pass incremental dedup — documents
+already shipped to training cannot be retracted — and is documented
+rather than hidden. Within one increment, resolution IS the funnel's
+(LSH -> jaccard -> ``duplicate_groups`` keeper election), so a
+single-increment run matches the batch pipeline exactly.
+
+Delivery semantics: both sinks (accepted docs, their bands) land under
+``batch=<id>`` via dynamic partition overwrite, and the history reads
+filter ``batch < current`` — a crashed batch's replay rewrites its own
+partitions and cannot see its own half-written state, so the stream is
+effectively exactly-once without a transaction log (the export_stream
+idempotence argument, plus the self-match guard).
+
+Scale shape: no stage touches more than (increment x matched buckets);
+the history bands table only ever grows by accepted-increment bands, and
+the band join is an equi-join Catalyst plans as a hash join. At 100 TB,
+bucket the bands table by ``band_key`` so increments co-locate with
+history without a shuffle of the large side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+)
+
+DOCUMENT_SCHEMA = "doc_id bigint, text string"
+
+
+def _maybe_read(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet dir that may not exist yet (first increment):
+    absent -> empty frame with the expected schema + batch column."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema + ", batch bigint")
+
+
+def process_increment(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> None:
+    """Process ONE increment: reject near-dups of history, resolve
+    within-increment duplicates, append survivors + their bands.
+
+    Public (not a stream-only closure) so a batch backfill replays the
+    exact code path the stream runs — and so the crash-replay test can
+    re-invoke a batch id directly.
+    """
+    spark = batch.sparkSession
+    docs = batch.select("doc_id", "text")
+
+    # --- history rejection ---------------------------------------------
+    # bands of THIS increment, joined against the persisted bands of all
+    # STRICTLY EARLIER batches (the self-match guard that makes replay
+    # idempotent: a replayed batch never sees its own half-written state)
+    new_bands = minhash_bands(docs, n_hashes, bands, shingle_n)
+    history_bands = _maybe_read(
+        spark, f"{state_dir}/bands",
+        "doc_id bigint, band_idx int, band_key string",
+    ).filter(F.col("batch") < batch_id)
+    cand = (
+        new_bands.join(
+            history_bands.select(
+                "band_idx", "band_key", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    # verification texts: the increment + ONLY the matched history docs
+    # (semi-join-sized read of the accepted store, batch-pruned)
+    old_docs = (
+        _maybe_read(spark, out_dir, DOCUMENT_SCHEMA)
+        .filter(F.col("batch") < batch_id)
+        .join(
+            cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id"
+        )
+        .select("doc_id", "text")
+    )
+    verify_pool = docs.unionByName(old_docs)
+    rejected = (
+        ngram_jaccard_pairs(
+            verify_pool, cand, shingle_n, eager_persist=False
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.join(rejected, "doc_id", "left_anti")
+
+    # --- within-increment resolution (the funnel's own staging) --------
+    pairs = ngram_jaccard_pairs(
+        survivors,
+        lsh_candidate_pairs(
+            survivors, n_hashes, bands, shingle_n, max_bucket=max_bucket
+        ),
+        shingle_n,
+        eager_persist=False,
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    groups = duplicate_groups(pairs, until_converged=True)
+    losers = groups.filter(~F.col("is_keeper")).select("doc_id")
+    accepted = survivors.join(losers, "doc_id", "left_anti")
+
+    # materialize before the two writes: the second write must not re-run
+    # the LSH/verify pipeline, and the accepted frame is increment-sized
+    accepted = accepted.localCheckpoint(eager=True)
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        accepted.withColumn("batch", F.lit(batch_id)).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("batch").parquet(out_dir)
+        minhash_bands(accepted, n_hashes, bands, shingle_n).withColumn(
+            "batch", F.lit(batch_id)
+        ).coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(
+            f"{state_dir}/bands"
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def neardup_filter_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+    schema: str = DOCUMENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+):
+    """Build the (unstarted) streaming writer: call ``.trigger(...)``,
+    ``.option("checkpointLocation", ...)`` and ``.start()`` on the result.
+
+    Each micro-batch runs :func:`process_increment` — history rejection,
+    within-increment resolution, idempotent batch-partitioned appends."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        process_increment(
+            batch, batch_id, state_dir, out_dir,
+            jaccard_threshold=jaccard_threshold, n_hashes=n_hashes,
+            bands=bands, shingle_n=shingle_n, max_bucket=max_bucket,
+        )
+
+    return stream.writeStream.foreachBatch(sink)
+
+
+def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accepted corpus so far (``doc_id, text, batch``)."""
+    return spark.read.parquet(out_dir)

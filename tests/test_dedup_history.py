@@ -1,0 +1,143 @@
+"""Incremental near-dedup against history (streaming/dedup_history):
+increments filtered against the persisted accepted-corpus band store —
+rejection of history dups, within-increment resolution, greedy-prefix
+chain semantics, and crash-replay idempotence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.dedup_history import (
+    neardup_filter_stream,
+    process_increment,
+    read_accepted,
+)
+
+VOCAB = [f"tok{i:03d}" for i in range(80)]
+
+
+def _doc(start: int, n: int = 30) -> str:
+    return " ".join(VOCAB[start : start + n])
+
+
+def _distinct(i: int) -> str:
+    return " ".join(f"u{i}w{j}" for j in range(30))
+
+
+def _run_stream(spark, tmp_path, increments, **kwargs):
+    drops = str(tmp_path / "drops")
+    for i, rows in enumerate(increments):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{drops}/d{i}")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "accepted")
+    q = (
+        neardup_filter_stream(
+            spark, drops + "/*", state, out, max_files_per_trigger=1, **kwargs
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return state, out
+
+
+def test_history_rejection_and_within_batch_resolution(spark, tmp_path):
+    """Exact-copy dups: within an increment the keeper election keeps the
+    min id; across increments the history match rejects the newcomer; a
+    below-threshold sibling survives both gates."""
+    body = _doc(0)
+    sibling = _doc(10)  # 20-token overlap -> jaccard ~0.47, below 0.8
+    inc0 = [(0, body), (1, body), (2, _distinct(2)), (3, _distinct(3))]
+    inc1 = [(10, body), (11, sibling), (12, _distinct(12))]
+    inc2 = [(20, sibling), (21, _distinct(21))]
+    state, out = _run_stream(spark, tmp_path, [inc0, inc1, inc2])
+
+    acc = read_accepted(spark, out)
+    got = {r.doc_id: r.batch for r in acc.select("doc_id", "batch").collect()}
+    # 1 lost within-batch to 0; 10 and 20 rejected against history
+    assert set(got) == {0, 2, 3, 11, 12, 21}
+    assert got[0] == 0 and got[11] == 1 and got[21] == 2
+    # the band store covers exactly the accepted docs
+    band_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/bands").select("doc_id").collect()
+    }
+    assert band_ids == set(got)
+
+
+def test_greedy_prefix_chain_semantics(spark, tmp_path):
+    """The documented divergence from batch component resolution: A~B and
+    B~C (0.87 jaccard) but A!~C (0.75 < 0.8). Incrementally: A accepted,
+    B rejected against A, C compared against the ACCEPTED set {A} only ->
+    accepted. (The batch funnel's min-label would keep only A.)"""
+    a, b, c = _doc(0), _doc(2), _doc(4)
+    state, out = _run_stream(
+        spark, tmp_path, [[(0, a)], [(1, b)], [(2, c)]]
+    )
+    got = {r.doc_id for r in read_accepted(spark, out).collect()}
+    assert got == {0, 2}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch crash semantics: re-running the LAST batch id over the
+    same increment must leave the accepted corpus and the band store
+    byte-for-byte identical — the batch<current filter means a replay
+    never sees its own half-written state and self-rejects."""
+    body = _doc(0)
+    inc0 = [(0, body), (1, _distinct(1))]
+    inc1 = [(10, body), (11, _distinct(11))]
+    state, out = _run_stream(spark, tmp_path, [inc0, inc1])
+
+    before = sorted(
+        (r.doc_id, r.text, r.batch) for r in read_accepted(spark, out).collect()
+    )
+    bands_before = sorted(
+        map(tuple, spark.read.parquet(f"{state}/bands").collect())
+    )
+
+    replay = spark.createDataFrame(inc1, "doc_id long, text string")
+    process_increment(replay, 1, state, out)
+
+    after = sorted(
+        (r.doc_id, r.text, r.batch) for r in read_accepted(spark, out).collect()
+    )
+    bands_after = sorted(
+        map(tuple, spark.read.parquet(f"{state}/bands").collect())
+    )
+    assert after == before
+    assert bands_after == bands_before
+    # and the replayed batch still rejected the history dup
+    assert {d for d, _, _ in after} == {0, 1, 11}
+
+
+def test_single_increment_matches_batch_funnel(spark, tmp_path):
+    """With ONE increment there is no history, so the result must equal
+    the batch pipeline's own resolution (LSH -> jaccard -> keeper
+    election) over the same docs."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        duplicate_groups,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(0, _doc(0)), (1, _doc(0)), (2, _doc(2)), (3, _distinct(3)),
+            (4, _distinct(4))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "accepted")
+    process_increment(docs, 0, state, out)
+    got = {r.doc_id for r in read_accepted(spark, out).collect()}
+
+    pairs = ngram_jaccard_pairs(
+        docs, lsh_candidate_pairs(docs), eager_persist=False
+    ).filter(F.col("jaccard") >= 0.8)
+    losers = {
+        r.doc_id
+        for r in duplicate_groups(pairs, until_converged=True)
+        .filter(~F.col("is_keeper"))
+        .collect()
+    }
+    want = {d for d, _ in rows} - losers
+    assert got == want
