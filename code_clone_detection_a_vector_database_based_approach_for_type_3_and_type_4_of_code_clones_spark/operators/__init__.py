@@ -11,6 +11,7 @@ from .knn import (  # noqa: F401
     ivf_knn_persisted,
     load_centroid_bank,
     self_knn,
+    suggest_overfetch,
     upsert_ivf_index,
 )
 from .evaluate import (  # noqa: F401

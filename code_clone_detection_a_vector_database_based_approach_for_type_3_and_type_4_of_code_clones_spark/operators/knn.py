@@ -998,6 +998,28 @@ def upsert_ivf_index(
     return affected
 
 
+def suggest_overfetch(n_rows: int, n_centroids: int, floor: int = 4,
+                      cap: int = 256) -> int:
+    """Occupancy-scaled candidate over-fetch for the IVF-PQ + rerank
+    composition: ``ceil(rows_per_cell / 2000)`` clamped to [floor, cap].
+
+    The 10M-vector measurement (BASELINE.md round 6) showed overfetch is
+    NOT a constant: int8 near-ties crowd the top-k as cells densify, so
+    the candidate pool must scale with cell occupancy. Measured
+    recall-1.000 minima on the clustered synthetic corpus: ~31k rows/cell
+    needs overfetch 16 (2M receipt), ~156k rows/cell needs 64 (10M
+    receipt; 16 leaves recall at 0.878). The /2000 divisor sits above
+    both anchors with margin; the cap bounds the rerank's f32 working set
+    at k x cap candidate rows per probe. Data with a different
+    quantization-noise profile should re-anchor with an
+    ``ann_recall``-style gauge rather than trust the constant.
+    """
+    import math
+
+    cell = max(n_rows / max(n_centroids, 1), 1.0)
+    return max(floor, min(cap, math.ceil(cell / 2000.0)))
+
+
 def ivf_knn_persisted(
     spark,
     path: str,

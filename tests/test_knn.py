@@ -700,3 +700,23 @@ def test_upsert_ivf_index_dedups_batch_ids(spark, embeddings, tmp_path):
         assert len(rows) == 1
         winners.append(tuple(rows[0].embedding))
     assert winners[0] == winners[1]  # deterministic winner across runs
+
+
+def test_suggest_overfetch_tracks_cell_occupancy():
+    """The overfetch heuristic must sit at-or-above both measured
+    recall-1.000 anchors (BASELINE.md: 2M/64 cells -> 16, 10M/64 cells
+    -> 64) and respect its floor/cap clamps."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        suggest_overfetch,
+    )
+
+    assert suggest_overfetch(2_000_000, 64) >= 16
+    assert suggest_overfetch(10_000_000, 64) >= 64
+    assert suggest_overfetch(5_000, 16) == 4       # floor at tiny scale
+    assert suggest_overfetch(10**9, 64) == 256     # cap bounds the rerank set
+    # monotone in occupancy: denser cells never suggest fewer candidates
+    prev = 0
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8):
+        cur = suggest_overfetch(n, 64)
+        assert cur >= prev
+        prev = cur
