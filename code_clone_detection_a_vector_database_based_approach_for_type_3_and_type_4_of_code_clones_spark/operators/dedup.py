@@ -199,7 +199,8 @@ def _expand_bucket_pairs(buckets: DataFrame, pair_expr: str,
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                         shingle_n: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        banded: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, hash-join docs
     sharing a (band_idx, band_key) bucket (SURVEY SS7 M6; the classic
     shingle->minhash->band->bucket-join pipeline).
@@ -213,8 +214,15 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     degrades to a counted skip instead of an in-bucket quadratic blowup.
 
     Output: ``doc_a, doc_b`` (a < b, distinct).
+
+    ``banded``: a precomputed ``minhash_bands`` table for these docs (same
+    n_hashes/bands/shingle params). Callers that already materialized the
+    signatures — the incremental dedup-vs-history pass bands every
+    increment once for the history join AND the state store — pass it here
+    so the signature pipeline (the expensive stage) is not re-derived.
     """
-    banded = minhash_bands(docs, n_hashes, bands, shingle_n, text_col, id_col)
+    if banded is None:
+        banded = minhash_bands(docs, n_hashes, bands, shingle_n, text_col, id_col)
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.collect_list("doc_id").alias("members"))
