@@ -44,6 +44,16 @@ def _consume(df) -> int:
 
 
 def bench_queries(spark, sf_dir):
+    # NOTE (measured negative result, r6): the sf0.1 fixtures are
+    # single-file/single-row-group parquet, so scans yield ONE partition
+    # and map stages run on one core. Pre-spreading every table to 32
+    # partitions was tried and made the headline WORSE (9.2 s -> 12.6 s:
+    # lsh_neardup +0.6 s, dup_groups +0.7 s, corpus_prep_funnel +6 s) —
+    # at 5k-row tables, per-task scheduling and per-partition Python
+    # worker costs exceed the map work being parallelized. The win only
+    # exists where the map compute is large relative to task overhead
+    # (the 100k-probe routing fix in ivf_knn_join, 3x); production scans
+    # get parallelism from their natural file count instead.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
