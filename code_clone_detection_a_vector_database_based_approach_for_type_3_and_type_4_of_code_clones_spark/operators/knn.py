@@ -629,6 +629,12 @@ def ivf_knn_join(
     target = spark.sparkContext.defaultParallelism
     if probes.rdd.getNumPartitions() < target:
         probes = probes.repartition(target)
+    # the index side's cell ASSIGNMENT is the same map-side expression
+    # with the same hazard (a big single-file raw index would assign on
+    # one core); the persisted-index forms don't need this — assignment
+    # is paid once at build_ivf_index
+    if index.rdd.getNumPartitions() < target:
+        index = index.repartition(target)
     assigned, routed = _ivf_assign_route(
         probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
         vec_col, refine_iters, refine_sample,
