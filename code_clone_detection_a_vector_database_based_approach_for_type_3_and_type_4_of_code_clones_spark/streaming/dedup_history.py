@@ -54,11 +54,17 @@ DOCUMENT_SCHEMA = "doc_id bigint, text string"
 
 def _maybe_read(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a parquet dir that may not exist yet (first increment):
-    absent -> empty frame with the expected schema + batch column."""
+    absent -> empty frame with the expected schema + batch column. Only
+    PATH_NOT_FOUND is treated as empty — a corrupt or wrong-schema store
+    must fail loudly, not silently disable history rejection."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema + ", batch bigint")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema + ", batch bigint")
+        raise
 
 
 def process_increment(
