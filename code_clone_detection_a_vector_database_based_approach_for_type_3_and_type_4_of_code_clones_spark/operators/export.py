@@ -232,24 +232,29 @@ def write_sharded(
     per-file loader (pyarrow on one shard's files) gets them from the
     path it chose to read — ``.../shard=7/part-*.parquet`` IS the shard
     label."""
-    # shard/sort_key are DERIVED here (the one definition of the contract);
-    # an input that already carries them — e.g. anything built from
-    # shard_assignment output — would otherwise produce duplicate column
-    # names and fail the repartition with an ambiguity error. Dropping is
-    # safe: both are pure functions of (id_col, n_shards), so recomputing
-    # yields the same values or corrects a stale n_shards.
-    df = df.drop("shard", "sort_key")
+    # `shard` is DERIVED here (the one definition of the contract); an
+    # input already carrying one — anything built from shard_assignment
+    # output — would produce a duplicate column name and fail the
+    # repartition with an ambiguity error. Dropping `shard` specifically
+    # is safe BECAUSE the name is this module's own published derivation
+    # (a pure function of id_col and n_shards): recomputing yields the
+    # same values or corrects a stale n_shards. The ordering key, by
+    # contrast, is internal-only and never appears in output — it uses a
+    # __-prefixed name so an unrelated caller column called `sort_key`
+    # passes through to the written shards untouched instead of being
+    # silently dropped (r6 review finding).
+    df = df.drop("shard")
     writer = (
         df.select(
             "*",
             (stable_hash64(F.col(id_col), salt=SHARD_SALT) % n_shards).alias(
                 "shard"
             ),
-            stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("sort_key"),
+            stable_hash64(F.col(id_col), salt=ORDER_SALT).alias("__sort_key"),
         )
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("sort_key", id_col)
-        .drop("sort_key")
+        .sortWithinPartitions("__sort_key", id_col)
+        .drop("__sort_key")
         .write.mode("overwrite")
     )
     if dynamic:

@@ -625,16 +625,11 @@ def ivf_knn_join(
     # buys the full cluster for routing (measured 12.2 s -> ~4 s on the
     # 100k-probe bench row, where routing was 9 s single-threaded). A
     # well-partitioned probe table (the 100 TB case) skips this entirely.
-    spark = probes.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if probes.rdd.getNumPartitions() < target:
-        probes = probes.repartition(target)
-    # the index side's cell ASSIGNMENT is the same map-side expression
-    # with the same hazard (a big single-file raw index would assign on
-    # one core); the persisted-index forms don't need this — assignment
-    # is paid once at build_ivf_index
-    if index.rdd.getNumPartitions() < target:
-        index = index.repartition(target)
+    # The index side's cell ASSIGNMENT has the same hazard for a raw
+    # single-file index; the persisted forms don't — assignment is paid
+    # once at build_ivf_index.
+    probes = _spread_if_file_bound(probes)
+    index = _spread_if_file_bound(index)
     assigned, routed = _ivf_assign_route(
         probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
         vec_col, refine_iters, refine_sample,
@@ -1017,6 +1012,38 @@ def upsert_ivf_index(
     return affected
 
 
+def _spread_if_file_bound(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to defaultParallelism ONLY when its parallelism
+    is glued to a too-small file set: fewer input files than cores AND no
+    Exchange anywhere in the plan. The earlier gauge —
+    ``df.rdd.getNumPartitions()`` — is NOT safe here: converting an AQE
+    plan to an RDD materializes its intermediate query stages, so a probe
+    frame with an upstream shuffle would execute that shuffle once for
+    the partition count and again for the real job. Both signals used
+    instead are free: ``inputFiles()`` lists the leaf files without a
+    job, and the executed-plan STRING is built, not run. A plan with an
+    Exchange already runs at spark.sql.shuffle.partitions width; a
+    non-file source (no input files) is left untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # only a SHUFFLE exchange re-spreads partitioning; BroadcastExchange
+    # (e.g. the small side of a broadcast crossJoin) leaves the stream
+    # side's file-bound partitioning untouched and must not veto the
+    # repair
+    if re.search(r"(?<!Broadcast)Exchange", plan):
+        return df
+    return df.repartition(target)
+
+
 def suggest_overfetch(n_rows: int, n_centroids: int, floor: int = 4,
                       cap: int = 256) -> int:
     """Occupancy-scaled candidate over-fetch for the IVF-PQ + rerank
@@ -1052,7 +1079,7 @@ def ivf_knn_persisted(
     exclude_self: bool = True,
     quantized: bool = False,
     rerank_path: str | None = None,
-    overfetch: int = 4,
+    overfetch: int | None = None,
     centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> DataFrame:
     """Search a ``build_ivf_index`` table: route probes against the stored
@@ -1072,7 +1099,12 @@ def ivf_knn_persisted(
     ``rerank_path`` — the candidate-id set broadcasts (Q x k x overfetch
     rows) and the f32 scan is pruned to the SAME routed cells, so the
     rerank reads nprobe/n_centroids of the f32 files and never shuffles
-    them. Final top-k uses the exact scores. This is the standard
+    them. Final top-k uses the exact scores. ``overfetch=None`` (default)
+    sizes the pool from the index's cell occupancy via
+    ``suggest_overfetch`` — the 10M-vector measurement showed a constant
+    is recall-lossy as cells densify (BASELINE.md r6: overfetch 16 left
+    recall at 0.878 where 64 restored 1.000); the row count comes from
+    parquet footer metadata, no data scan. This is the standard
     IVF-PQ + refine composition (quantized codes in memory, full vectors
     on disk).
 
@@ -1113,6 +1145,10 @@ def ivf_knn_persisted(
     # over-fetch from the (cheap, usually quantized) candidate index, then
     # exact-rescore only the candidates against the full-precision table,
     # pruned to the same routed cells
+    if overfetch is None:
+        # footer-metadata count (no data scan) -> occupancy-scaled pool
+        n_rows = spark.read.parquet(path).count()
+        overfetch = suggest_overfetch(n_rows, max(len(cent_ids), 1))
     cand = _score_with_closure(
         assigned, routed_pdf, k * overfetch, exclude_self, id_dt, qid_dt, spark
     ).select("query_id", "result_id")
@@ -1167,11 +1203,10 @@ def ivf_knn_join_persisted(
     """
     # same degenerate-parallelism repair as ivf_knn_join: routing runs on
     # the probe frame's partitioning, and the cell cogroup re-shuffles
-    # immediately after, so spreading an under-partitioned probe table is
-    # one narrow exchange for full-cluster routing
-    target = spark.sparkContext.defaultParallelism
-    if probes.rdd.getNumPartitions() < target:
-        probes = probes.repartition(target)
+    # immediately after, so spreading a file-bound probe table is one
+    # narrow exchange for full-cluster routing (AQE-safe gauge — see
+    # _spread_if_file_bound)
+    probes = _spread_if_file_bound(probes)
     cent_vecs, cent_ids = _load_centroid_bank(spark, path)
     routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
 

@@ -53,6 +53,7 @@ def prepare_and_ship(
     n_shards: int = 8,
     leakage_jaccard: float = 0.5,
     leakage_bands: int = 8,
+    leakage_max_bucket: int | None = None,
     **prep_kwargs,
 ) -> dict:
     """Run the 7-stage funnel, split the survivors leakage-safely, and
@@ -86,22 +87,32 @@ def prepare_and_ship(
     # at s=0.7), at the cost of more candidate verification — the right
     # trade for a leakage guard, where a miss silently corrupts evals.
     # r=2 banding makes buckets much larger than the funnel's r=4 pass, so
-    # the in-bucket |B|^2 expansion needs the same hot-bucket cap the funnel
-    # uses — an uncapped hot bucket here is the module's own "never
-    # all-pairs" claim violated at the worst possible stage. Skipped buckets
-    # stay countable via the returned ``leakage_bucket_stats``.
-    leakage_max_bucket = prep_kwargs.get("max_bucket")
+    # the in-bucket |B|^2 expansion needs a hot-bucket cap — an uncapped
+    # hot bucket here is the module's own "never all-pairs" claim violated
+    # at the worst possible stage. But the cap must NOT be the funnel's
+    # own max_bucket verbatim: r=2 occupancy is systematically larger, so
+    # a cap tuned for r=4 over-triggers here and silently drops leakage
+    # candidate pairs — the exact silent leak this stage exists to
+    # prevent. ``leakage_max_bucket`` is therefore its own parameter; when
+    # unset it defaults to 4x the funnel's cap (a degenerate-blowup guard,
+    # not a recall tuner — the multiplier only needs to keep |B|^2 off the
+    # table). Skipped buckets stay countable via the returned
+    # ``leakage_bucket_stats``.
+    if leakage_max_bucket is None and prep_kwargs.get("max_bucket"):
+        leakage_max_bucket = 4 * prep_kwargs["max_bucket"]
+    # band the survivors ONCE: the same table serves candidate generation
+    # and the occupancy audit (the signature pipeline is the expensive
+    # stage — see lsh_candidate_pairs(banded=...))
+    surv_banded = minhash_bands(survivors, bands=leakage_bands)
     surv_pairs = ngram_jaccard_pairs(
         survivors,
         lsh_candidate_pairs(
-            survivors, bands=leakage_bands, max_bucket=leakage_max_bucket
+            survivors, bands=leakage_bands, max_bucket=leakage_max_bucket,
+            banded=surv_banded,
         ),
         eager_persist=False,
     ).filter(F.col("jaccard") >= leakage_jaccard)
-    leakage_buckets = bucket_stats(
-        minhash_bands(survivors, bands=leakage_bands),
-        max_bucket=leakage_max_bucket,
-    )
+    leakage_buckets = bucket_stats(surv_banded, max_bucket=leakage_max_bucket)
     # until_converged: the split hashes the GROUP id, so every member of a
     # connected component must resolve to the same label — a fixed round
     # count silently splits any component whose diameter exceeds it, which

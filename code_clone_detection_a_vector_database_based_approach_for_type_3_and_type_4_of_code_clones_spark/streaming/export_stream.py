@@ -105,6 +105,7 @@ def read_shards_as_of(
     max_batch: int | None = None,
     committed_only: bool = False,
     checkpoint_dir: str | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Snapshot read of the streaming shard layout: the corpus AS OF batch
     ``max_batch`` (inclusive; ``None`` = latest). Because the sink is
@@ -131,12 +132,22 @@ def read_shards_as_of(
     contract) — on a STOPPED stream it over-drops the final committed
     batch, and with exactly one batch on disk it returns an empty frame.
     Prefer ``checkpoint_dir``; ``None`` alone is only consistent when the
-    stream is stopped."""
-    df = spark.read.parquet(out_dir)
+    stream is stopped.
+
+    ``schema``: DDL string for the empty-snapshot case when ``out_dir``
+    does not exist yet (a monitoring job racing the stream's first write
+    — the batch column is appended automatically). Without it, a missing
+    ``out_dir`` raises even in checkpoint mode, since the row schema
+    cannot be conjured."""
     if checkpoint_dir is not None and max_batch is None:
         max_batch = last_committed_batch(spark, checkpoint_dir)
-        if max_batch is None:  # nothing committed yet: empty snapshot
-            return df.filter(F.lit(False))
+        if max_batch is None and schema is not None:
+            # nothing committed AND possibly nothing written: the only
+            # consistent snapshot is empty, and out_dir may not exist yet
+            return spark.createDataFrame([], schema + ", batch bigint")
+    df = spark.read.parquet(out_dir)
+    if checkpoint_dir is not None and max_batch is None:
+        return df.filter(F.lit(False))  # nothing committed: empty snapshot
     if max_batch is not None:
         df = df.filter(F.col("batch") <= max_batch)
     elif committed_only:

@@ -129,16 +129,19 @@ def test_export_shards_roundtrip(spark, documents, tmp_path):
 
 def test_write_sharded_tolerates_preexisting_shard_cols(spark, documents,
                                                        tmp_path):
-    """An input already carrying shard/sort_key (e.g. derived from
+    """An input already carrying `shard` (e.g. derived from
     shard_assignment output) must not produce duplicate column names
-    (r5 advice finding) — the kernel re-derives both from id_col."""
+    (r5 advice finding) — the kernel re-derives it from id_col. A
+    caller's UNRELATED `sort_key` column, by contrast, is data and must
+    pass through to the written shards untouched (r6 review finding: the
+    internal ordering key is __-prefixed, so no collision)."""
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
         write_sharded,
     )
 
     pre = documents.select("doc_id", "text").join(
         shard_assignment(documents, 2).select("doc_id", "shard"), "doc_id"
-    ).withColumn("sort_key", documents.doc_id * 0)
+    ).withColumn("sort_key", documents.doc_id * 7)
     out = str(tmp_path / "shards")
     write_sharded(pre, out, N_SHARDS)  # would raise on ambiguity before
     back = spark.read.parquet(out)
@@ -149,6 +152,10 @@ def test_write_sharded_tolerates_preexisting_shard_cols(spark, documents,
               shard_assignment(documents, N_SHARDS).collect()}
     for r in back.select("doc_id", "shard").collect():
         assert int(r.shard) == assign[r.doc_id]
+    # the business column named sort_key survived with its values
+    assert "sort_key" in back.columns
+    for r in back.select("doc_id", "sort_key").collect():
+        assert r.sort_key == r.doc_id * 7
 
 
 def test_export_validates_args(documents):

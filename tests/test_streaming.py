@@ -749,3 +749,12 @@ def test_read_shards_as_of_commit_log(spark, tmp_path, documents):
     assert (
         read_shards_as_of(spark, out, checkpoint_dir=empty_ckpt).count() == 0
     )
+    # racing the FIRST write: out_dir absent + nothing committed -> the
+    # schema param yields the documented empty snapshot instead of a
+    # PATH_NOT_FOUND crash (r6 review finding)
+    ghost = read_shards_as_of(
+        spark, str(tmp_path / "not_written_yet"),
+        checkpoint_dir=empty_ckpt, schema="doc_id bigint, text string",
+    )
+    assert ghost.count() == 0
+    assert set(ghost.columns) == {"doc_id", "text", "batch"}
