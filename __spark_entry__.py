@@ -1717,6 +1717,36 @@ def q_poj_e2e(spark, sf_dir):
     return res.metrics
 
 
+HISTORY_SPLIT_ID = 250  # history_rejects: docs below = accepted history
+
+
+def q_history_rejects(spark, sf_dir):
+    """The incremental-ingest history gate (streaming/dedup_history.
+    history_rejections) as a pure batch query: which NEW docs (doc_id >=
+    HISTORY_SPLIT_ID) are near-duplicates of the already-accepted corpus
+    (doc_id < HISTORY_SPLIT_ID), via the persisted-band-store join +
+    exact n-gram Jaccard verification? This is the lazy core the
+    streaming wrapper runs per increment — the state layout and replay
+    bookkeeping around it are pytest-pinned (test_dedup_history); the
+    matching semantics are graded here."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.dedup_history import (
+        history_rejections,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < HISTORY_SPLIT_ID).select(
+        "doc_id", "text"
+    )
+    new = docs.filter(F.col("doc_id") >= HISTORY_SPLIT_ID).select(
+        "doc_id", "text"
+    )
+    bands = ops.minhash_bands(history, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE)
+    return history_rejections(
+        new, bands, history,
+        jaccard_threshold=NEARDUP_JACCARD, shingle_n=MINHASH_SHINGLE,
+    )
+
+
 _QUANT_IVF_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -1770,13 +1800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry must have a fully-green row in the union of the last two.
     # Round-6 rotation: the full 30-entry r5 tail is back in the window
     # (front — its r4-green rows age out of the union this round, so
-    # in-window is mandatory), then the 5 new r6 queries (the graded
+    # in-window is mandatory), then the 6 new r6 queries (the graded
     # BCB/POJ end-to-end pipelines, the quantized-IVF+rerank composition,
-    # and the until-converged group resolution — never checked), then 15
-    # r5-window queries on their second in-window round (the 9 r5-new +
-    # the 3 r5-changed + knn_join/srp_verified_dups/bm25_topk). Rotated
-    # out (all green in CORRECTNESS_r05): the 21-entry r4-tail block, 6
-    # r4-new queries, and 8 long-green stayers — due back in r7.
+    # the until-converged group resolution, and the history-gate core —
+    # never checked), then 14 r5-window queries on their second in-window
+    # round (the 9 r5-new + the 3 r5-changed +
+    # knn_join/srp_verified_dups). Rotated out (all green in
+    # CORRECTNESS_r05): bm25_topk, the 21-entry r4-tail block, 6 r4-new
+    # queries, and 8 long-green stayers — due back in r7.
     return {
         # --- due back in the window (the 30-entry r5 tail) ---
         "mixture_sample": q_mixture_sample,
@@ -1815,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poj_e2e": q_poj_e2e,
         "ivf_knn_quantized": q_ivf_knn_quantized,
         "dup_groups_converged": q_dup_groups_converged,
+        "history_rejects": q_history_rejects,
         # --- r5-new / r5-changed: second in-window round ---
         "knn_join_guarded": q_knn_join_guarded,
         "ivf_cell_stats": q_ivf_cell_stats,
@@ -1830,9 +1862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "knn_join": q_knn_join,
         "srp_verified_dups": q_srp_verified_dups,
-        "bm25_topk": q_bm25_topk,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r05; due back in r7) ---
+        "bm25_topk": q_bm25_topk,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
         "sliding_events": q_sliding_events,
@@ -1959,7 +1991,7 @@ sigs AS (
 )"""
 
 
-def _lsh_pairs_sql() -> str:
+def _banded_sql() -> str:
     rows = MINHASH_N // LSH_BANDS
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_idx, "
@@ -1967,8 +1999,12 @@ def _lsh_pairs_sql() -> str:
         f"FROM sigs WHERE sig IS NOT NULL"
         for bi in range(LSH_BANDS)
     )
+    return f"banded AS ({band_rows})"
+
+
+def _lsh_pairs_sql() -> str:
     return f"""
-banded AS ({band_rows}),
+{_banded_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
@@ -2496,6 +2532,31 @@ FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
     sql["ivf_knn"] = _ivf_sql()
     sql["ivf_knn_quantized"] = _ivf_quantized_sql()
     sql["knn_join"] = _ivf_sql(probe_pred="TRUE")
+
+    sql["history_rejects"] = f"""WITH {_minhash_sig_sql()},
+{_banded_sql()},
+hcand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, h.doc_id AS doc_b
+  FROM banded n JOIN banded h
+    ON n.band_idx = h.band_idx AND n.band_key = h.band_key
+   AND n.doc_id >= {HISTORY_SPLIT_ID} AND h.doc_id < {HISTORY_SPLIT_ID}
+),
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a AS doc_id, c.doc_b AS history_doc_id,
+         round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM hcand c
+  JOIN shingled a ON a.doc_id = c.doc_a
+  JOIN shingled b ON b.doc_id = c.doc_b
+)
+SELECT doc_id, history_doc_id, jaccard FROM verified
+WHERE jaccard >= {NEARDUP_JACCARD}"""
 
     sql["dup_groups_converged"] = f"""
 WITH RECURSIVE

@@ -67,6 +67,59 @@ def _maybe_read(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise
 
 
+def history_rejections(
+    new_docs: DataFrame,
+    history_bands: DataFrame,
+    history_docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    new_bands: DataFrame | None = None,
+) -> DataFrame:
+    """The LAZY core of the history gate, as a pure batch operator: which
+    ``new_docs`` are near-duplicates of the already-accepted corpus?
+
+    ``history_bands`` is the persisted band store (``doc_id, band_idx,
+    band_key``); ``history_docs`` supplies the matched candidates' text
+    for exact verification (only candidate ids are read from it — pass
+    the accepted corpus, the semi-join prunes it). ``new_bands`` lets a
+    caller that already banded the increment (``process_increment``)
+    skip the re-derivation.
+
+    Output: ``doc_id, history_doc_id, jaccard`` — one row per verified
+    (new doc, accepted doc) near-dup pair at or above the threshold.
+    Graded end-to-end by the ``history_rejects`` oracle entry; the
+    streaming wrapper adds only state layout and replay bookkeeping on
+    top of this function.
+    """
+    if new_bands is None:
+        new_bands = minhash_bands(new_docs, shingle_n=shingle_n)
+    cand = (
+        new_bands.join(
+            history_bands.select(
+                "band_idx", "band_key", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    old_docs = (
+        history_docs.select("doc_id", "text")
+        .join(cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id")
+    )
+    verify_pool = new_docs.select("doc_id", "text").unionByName(old_docs)
+    return (
+        ngram_jaccard_pairs(verify_pool, cand, shingle_n, eager_persist=False)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
+        .withColumnsRenamed({"doc_a": "doc_id", "doc_b": "history_doc_id"})
+    )
+
+
 def process_increment(
     batch: DataFrame,
     batch_id: int,
@@ -104,33 +157,18 @@ def process_increment(
         spark, f"{state_dir}/bands",
         "doc_id bigint, band_idx int, band_key string",
     ).filter(F.col("batch") < batch_id)
-    cand = (
-        new_bands.join(
-            history_bands.select(
-                "band_idx", "band_key", F.col("doc_id").alias("doc_b")
-            ),
-            ["band_idx", "band_key"],
-        )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
+    # the accepted corpus, batch-pruned to earlier increments; only the
+    # matched candidates' text is read (semi-join inside the core)
+    history_docs = _maybe_read(spark, out_dir, DOCUMENT_SCHEMA).filter(
+        F.col("batch") < batch_id
     )
-    # verification texts: the increment + ONLY the matched history docs
-    # (semi-join-sized read of the accepted store, batch-pruned)
-    old_docs = (
-        _maybe_read(spark, out_dir, DOCUMENT_SCHEMA)
-        .filter(F.col("batch") < batch_id)
-        .join(
-            cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id"
-        )
-        .select("doc_id", "text")
-    )
-    verify_pool = docs.unionByName(old_docs)
     rejected = (
-        ngram_jaccard_pairs(
-            verify_pool, cand, shingle_n, eager_persist=False
+        history_rejections(
+            docs, history_bands, history_docs,
+            jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
+            new_bands=new_bands,
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select(F.col("doc_a").alias("doc_id"))
+        .select("doc_id")
         .distinct()
     )
     survivors = docs.join(rejected, "doc_id", "left_anti")
