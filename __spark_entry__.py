@@ -1798,72 +1798,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-6 rotation: the full 30-entry r5 tail is back in the window
-    # (front — its r4-green rows age out of the union this round, so
-    # in-window is mandatory), then the 6 new r6 queries (the graded
-    # BCB/POJ end-to-end pipelines, the quantized-IVF+rerank composition,
-    # the until-converged group resolution, and the history-gate core —
-    # never checked), then 14 r5-window queries on their second in-window
-    # round (the 9 r5-new + the 3 r5-changed +
-    # knn_join/srp_verified_dups). Rotated out (all green in
-    # CORRECTNESS_r05): bm25_topk, the 21-entry r4-tail block, 6 r4-new
-    # queries, and 8 long-green stayers — due back in r7.
+    # Round-7 rotation: the full 36-entry r6 tail is back in the window
+    # (front — its r5-green rows age out of the union this round, so
+    # in-window is mandatory), then new r7 queries (never checked), then
+    # cheap r6-window stayers filling the remaining slots. Rotated out
+    # (all green in CORRECTNESS_r06; due back in r8): the r5-tail block,
+    # the 6 r6-new queries, and the r5-new/r5-changed kNN/export block.
     return {
-        # --- due back in the window (the 30-entry r5 tail) ---
-        "mixture_sample": q_mixture_sample,
-        "cms_token_counts": q_cms_token_counts,
-        "doc_chunks": q_doc_chunks,
-        "redacted_docs": q_redacted_docs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "latest_events": q_latest_events,
-        "stratified_docs": q_stratified_docs,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "sales_rollup": q_sales_rollup,
-        "price_percentiles": q_price_percentiles,
-        "order_priority_check": q_order_priority_check,
-        "dormant_customers": q_dormant_customers,
-        "large_orders": q_large_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "topk_per_group": q_topk_per_group,
-        "cust_running_total": q_cust_running_total,
-        "sales_cube": q_sales_cube,
-        "priority_distinct": q_priority_distinct,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "event_props": q_event_props,
-        # --- new in round 6 (never checked) ---
-        "bcb_e2e": q_bcb_e2e,
-        "bcb_e2e_detailed": q_bcb_e2e_detailed,
-        "poj_e2e": q_poj_e2e,
-        "ivf_knn_quantized": q_ivf_knn_quantized,
-        "dup_groups_converged": q_dup_groups_converged,
-        "history_rejects": q_history_rejects,
-        # --- r5-new / r5-changed: second in-window round ---
-        "knn_join_guarded": q_knn_join_guarded,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "shard_stats": q_shard_stats,
-        "packed_sequences": q_packed_sequences,
-        "dataset_split": q_dataset_split,
-        "quality_cutoff": q_quality_cutoff,
-        "leakage_split": q_leakage_split,
-        "zorder_keys": q_zorder_keys,
-        "knn_join_pruned": q_knn_join_pruned,
-        "ivf_knn": q_ivf_knn,
-        "doc_knn": q_doc_knn,
-        "ann_recall": q_ann_recall,
-        "knn_join": q_knn_join,
-        "srp_verified_dups": q_srp_verified_dups,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r05; due back in r7) ---
+        # --- due back in the window (the 36-entry r6 tail) ---
         "bm25_topk": q_bm25_topk,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
@@ -1900,6 +1842,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
+        # --- new in round 7 (never checked) go here ---
+        # --- r6-window stayers filling the window to 50 ---
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
+        "sales_rollup": q_sales_rollup,
+        "price_percentiles": q_price_percentiles,
+        "order_priority_check": q_order_priority_check,
+        "dormant_customers": q_dormant_customers,
+        "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "topk_per_group": q_topk_per_group,
+        "cust_running_total": q_cust_running_total,
+        "sales_cube": q_sales_cube,
+        "priority_distinct": q_priority_distinct,
+        "latest_events": q_latest_events,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r06; due back in r8) ---
+        "mixture_sample": q_mixture_sample,
+        "cms_token_counts": q_cms_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "redacted_docs": q_redacted_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_docs": q_stratified_docs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "event_props": q_event_props,
+        "bcb_e2e": q_bcb_e2e,
+        "bcb_e2e_detailed": q_bcb_e2e_detailed,
+        "poj_e2e": q_poj_e2e,
+        "ivf_knn_quantized": q_ivf_knn_quantized,
+        "dup_groups_converged": q_dup_groups_converged,
+        "history_rejects": q_history_rejects,
+        "knn_join_guarded": q_knn_join_guarded,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
+        "knn_join_pruned": q_knn_join_pruned,
+        "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
+        "ann_recall": q_ann_recall,
+        "knn_join": q_knn_join,
+        "srp_verified_dups": q_srp_verified_dups,
     }
 
 
