@@ -875,9 +875,18 @@ def build_ivf_index(
         "cell"
     ).parquet(path)
     spark = index.sparkSession
+    # footer-metadata count of what was just written (no data scan): stored
+    # with the bank so later sessions' occupancy-scaled overfetch never runs
+    # a per-search count job (round-6 advice)
+    n_rows = spark.read.parquet(path).count()
+    _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows, mode)
+    _INDEX_ROWCOUNT_CACHE[path] = n_rows
+
+
+def _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows, mode="overwrite"):
     spark.createDataFrame(
-        [(cid, cv) for cid, cv in zip(cent_ids, cent_vecs)],
-        "cent_id long, cent_vec array<double>",
+        [(cid, cv, n_rows) for cid, cv in zip(cent_ids, cent_vecs)],
+        "cent_id long, cent_vec array<double>, n_rows long",
     ).coalesce(1).write.mode(mode).parquet(path + "_centroids")
 
 
@@ -894,6 +903,29 @@ def _load_centroid_bank(spark, path: str) -> tuple[list[list[float]], list[int]]
 # public name: a long-lived query service loads the bank once at startup
 # and passes it to ivf_knn_persisted(centroids=...) on every search
 load_centroid_bank = _load_centroid_bank
+
+# per-session index row counts for occupancy-scaled overfetch — resolved at
+# most once per path and refreshed by build/upsert, so a long-lived query
+# service never re-counts (or even re-lists) the index per search
+_INDEX_ROWCOUNT_CACHE: dict = {}
+
+
+def _index_row_count(spark, path: str) -> int:
+    """Row count of a persisted IVF index, for ``suggest_overfetch``.
+    Resolution order: session cache -> the ``n_rows`` column stored with
+    the centroid bank at build/upsert time -> (legacy banks only) ONE
+    footer-metadata count, memoized. Never a per-search count job
+    (round-6 advice: the overfetch=None default must not undercut the
+    centroids fast-path of a long-lived query service)."""
+    n = _INDEX_ROWCOUNT_CACHE.get(path)
+    if n is None:
+        bank = spark.read.parquet(path + "_centroids")
+        if "n_rows" in bank.columns:
+            n = int(bank.agg(F.max("n_rows")).first()[0])
+        else:
+            n = spark.read.parquet(path).count()
+        _INDEX_ROWCOUNT_CACHE[path] = n
+    return n
 
 
 def upsert_ivf_index(
@@ -1026,6 +1058,12 @@ def upsert_ivf_index(
         for c in drained:
             part = Path(f"{path}/cell={int(c)}")
             part.getFileSystem(hconf).delete(part, True)
+    # refresh the row count stored with the bank (footer-metadata count,
+    # paid once per upsert) so overfetch occupancy stays accurate without
+    # any per-search counting; centroids themselves are unchanged
+    n_rows = spark.read.parquet(path).count()
+    _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows)
+    _INDEX_ROWCOUNT_CACHE[path] = n_rows
     return affected
 
 
@@ -1163,8 +1201,8 @@ def ivf_knn_persisted(
     # exact-rescore only the candidates against the full-precision table,
     # pruned to the same routed cells
     if overfetch is None:
-        # footer-metadata count (no data scan) -> occupancy-scaled pool
-        n_rows = spark.read.parquet(path).count()
+        # stored/cached count (no per-search job) -> occupancy-scaled pool
+        n_rows = _index_row_count(spark, path)
         overfetch = suggest_overfetch(n_rows, max(len(cent_ids), 1))
     cand = _score_with_closure(
         assigned, routed_pdf, k * overfetch, exclude_self, id_dt, qid_dt, spark

@@ -102,8 +102,15 @@ def prepare_and_ship(
         leakage_max_bucket = 4 * prep_kwargs["max_bucket"]
     # band the survivors ONCE: the same table serves candidate generation
     # and the occupancy audit (the signature pipeline is the expensive
-    # stage — see lsh_candidate_pairs(banded=...))
-    surv_banded = minhash_bands(survivors, bands=leakage_bands)
+    # stage — see lsh_candidate_pairs(banded=...)). localCheckpoint —
+    # lazy, so the analyze-only gate holds — makes "once" true at RUNTIME
+    # too: without it, collecting the returned leakage_bucket_stats is a
+    # separate action that re-derives the whole shingle->minhash->band
+    # pipeline (round-6 advice). First action materializes the bands;
+    # every later consumer reads the checkpoint blocks.
+    surv_banded = minhash_bands(survivors, bands=leakage_bands).localCheckpoint(
+        eager=False
+    )
     surv_pairs = ngram_jaccard_pairs(
         survivors,
         lsh_candidate_pairs(

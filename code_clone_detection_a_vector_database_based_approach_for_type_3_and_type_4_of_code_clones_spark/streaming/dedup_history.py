@@ -107,16 +107,41 @@ def history_rejections(
         history_docs.select("doc_id", "text")
         .join(cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id")
     )
-    verify_pool = new_docs.select("doc_id", "text").unionByName(old_docs)
+    # the verify pool holds BOTH sides; if an increment re-crawls an id
+    # that is already in the accepted corpus, keying the pool by raw
+    # doc_id would silently merge the two texts' shingle sets under one
+    # id and corrupt the jaccard (round-6 advice). Tag the sides into
+    # disjoint id spaces for the verification join, then strip the tag —
+    # a colliding id then verifies its new text against its old text,
+    # which is exactly the intended semantics.
+    new_dt = dict(new_docs.dtypes)["doc_id"]
+    old_dt = dict(history_docs.dtypes)["doc_id"]
+    verify_pool = (
+        new_docs.select(
+            F.concat(F.lit("n:"), F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+        )
+        .unionByName(
+            old_docs.select(
+                F.concat(F.lit("h:"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+        )
+    )
+    tagged = cand.select(
+        F.concat(F.lit("n:"), F.col("doc_a").cast("string")).alias("doc_a"),
+        F.concat(F.lit("h:"), F.col("doc_b").cast("string")).alias("doc_b"),
+    )
     return (
-        ngram_jaccard_pairs(verify_pool, cand, shingle_n, eager_persist=False)
+        ngram_jaccard_pairs(verify_pool, tagged, shingle_n, eager_persist=False)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(
-            "doc_a",
-            "doc_b",
+            F.expr("substring(doc_a, 3)").cast(new_dt).alias("doc_id"),
+            F.expr("substring(doc_b, 3)").cast(old_dt).alias("history_doc_id"),
             "jaccard",
         )
-        .withColumnsRenamed({"doc_a": "doc_id", "doc_b": "history_doc_id"})
     )
 
 
@@ -192,16 +217,25 @@ def process_increment(
     # the LSH/verify pipeline, and the accepted frame is increment-sized
     accepted = accepted.localCheckpoint(eager=True)
 
+    # write parallelism scales with the increment (round-6 advice: a
+    # hard-coded coalesce(1) serialized every increment through one task,
+    # at odds with the 100-TB ingest shape). The count is free here —
+    # accepted is already materialized as checkpoint blocks. ~50k docs
+    # per output file keeps small increments at one compact file while a
+    # bulk backfill fans out to the full core count.
+    n_acc = accepted.count()
+    width = max(1, min(spark.sparkContext.defaultParallelism, -(-n_acc // 50_000)))
+
     conf = spark.conf
     prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        accepted.withColumn("batch", F.lit(batch_id)).coalesce(1).write.mode(
+        accepted.withColumn("batch", F.lit(batch_id)).repartition(width).write.mode(
             "overwrite"
         ).partitionBy("batch").parquet(out_dir)
         new_bands.join(accepted.select("doc_id"), "doc_id").withColumn(
             "batch", F.lit(batch_id)
-        ).coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(
+        ).repartition(width).write.mode("overwrite").partitionBy("batch").parquet(
             f"{state_dir}/bands"
         )
     finally:

@@ -141,3 +141,38 @@ def test_single_increment_matches_batch_funnel(spark, tmp_path):
     }
     want = {d for d, _ in rows} - losers
     assert got == want
+
+
+def test_colliding_doc_id_does_not_merge_shingle_sets(spark, tmp_path):
+    """An increment that re-crawls an id already in the accepted corpus
+    must verify the NEW text against the OLD text — not silently merge
+    both texts' shingle sets under one pool key (round-6 advice). The
+    colliding id carries a below-threshold rewrite, so a correct gate
+    accepts it; the set-merge bug inflates the intersection and would
+    reject it (or corrupt the reported jaccard)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.dedup_history import (
+        history_rejections,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        minhash_bands,
+    )
+
+    old = spark.createDataFrame(
+        [(1, _doc(0)), (2, _doc(40))], "doc_id long, text string"
+    )
+    history_bands = minhash_bands(old).withColumn("batch", F.lit(0))
+    new = spark.createDataFrame(
+        # id 1 re-used: ~0.47-jaccard sibling of history doc 1 (below 0.8);
+        # id 3: exact copy of history doc 2 (must still be rejected)
+        [(1, _doc(10)), (3, _doc(40))], "doc_id long, text string"
+    )
+    got = history_rejections(new, history_bands, old).collect()
+    assert {(r.doc_id, r.history_doc_id) for r in got} == {(3, 2)}
+    # same pair set as the collision-free baseline with a fresh id
+    fresh = new.withColumn(
+        "doc_id", F.when(F.col("doc_id") == 1, F.lit(99)).otherwise(F.col("doc_id"))
+    )
+    base = history_rejections(fresh, history_bands, old).collect()
+    assert {(r.doc_id, r.history_doc_id, round(r.jaccard, 6)) for r in base} == {
+        (r.doc_id, r.history_doc_id, round(r.jaccard, 6)) for r in got
+    }

@@ -720,3 +720,45 @@ def test_suggest_overfetch_tracks_cell_occupancy():
         cur = suggest_overfetch(n, 64)
         assert cur >= prev
         prev = cur
+
+
+def test_index_row_count_stored_and_cached(spark, tmp_path):
+    """build_ivf_index stores the row count with the centroid bank and
+    the overfetch default resolves it WITHOUT a per-search count job
+    (round-6 advice): after the first resolution the count comes from the
+    session cache — proven by deleting the bank files and resolving
+    again — and upsert refreshes the stored value."""
+    import shutil
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _INDEX_ROWCOUNT_CACHE,
+        _index_row_count,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vecs, path, n_centroids=4)
+
+    bank = spark.read.parquet(path + "_centroids")
+    assert "n_rows" in bank.columns
+    assert bank.agg(F.max("n_rows")).first()[0] == 200
+
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 200
+    shutil.rmtree(path + "_centroids")  # cache hit needs no files at all
+    assert _index_row_count(spark, path) == 200
+
+    # restore the bank (upsert routes against it), then grow the index
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    build_ivf_index(vecs, path, n_centroids=4)
+    newer = spark.createDataFrame(
+        [(1000 + i, [9.0, 9.0, float(i)]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    upsert_ivf_index(newer, path, assume_new_ids=True)
+    assert _index_row_count(spark, path) == 225
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 225  # stored value, not cache
