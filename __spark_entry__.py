@@ -1532,6 +1532,73 @@ def q_packed_sequences(spark, sf_dir):
     return ops.pack_sequences(docs, budget=PACK_BUDGET, n_shards=SHARD_N)
 
 
+ASOF_BATCHES = 4    # shards_asof: documents arrive as 4 increments
+ASOF_MAX_BATCH = 2  # snapshot "as of" the third increment (0-based id 2)
+
+_ASOF_SHARDS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _asof_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped streaming shard layout, built once per (application,
+    sf_dir): documents split into ASOF_BATCHES increments by doc_id and
+    landed increment-by-increment through the SAME ``write_sharded``
+    kernel the streaming sink calls per micro-batch
+    (streaming/export_stream.py: ``export_stream``'s foreachBatch) —
+    dynamic partition overwrite under ``batch=<id>/shard=<k>``
+    directories. The stream wrapper around this kernel (source wiring,
+    replay idempotence, commit-log reads) is pytest-pinned in
+    tests/test_export_stream.py; the layout + snapshot semantics are
+    graded by ``q_shards_asof``."""
+    import tempfile
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
+        write_sharded,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ASOF_SHARDS_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_asof_"), "shards")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for b in range(ASOF_BATCHES):
+            write_sharded(
+                docs.filter(F.col("doc_id") % ASOF_BATCHES == b).withColumn(
+                    "batch", F.lit(b)
+                ),
+                path,
+                SHARD_N,
+                partition_cols=("batch", "shard"),
+                dynamic=True,
+            )
+        _ASOF_SHARDS_CACHE[key] = path
+    return path
+
+
+def q_shards_asof(spark, sf_dir):
+    """As-of snapshot over the streaming shard layout, graded end to end:
+    increments land under ``batch=<id>/shard=<k>`` via the shared
+    dynamic-overwrite kernel, and ``read_shards_as_of`` reconstructs the
+    exact corpus a consumer of batches 0..ASOF_MAX_BATCH saw — partition
+    discovery recovers batch+shard from the DIRECTORY names, and the
+    ``batch <= N`` snapshot filter is planning-time partition pruning, so
+    a snapshot read never scans later batches' files
+    (streaming/export_stream.py:102; poor-man's time travel with zero
+    manifest machinery). Oracle: the layout round-trips, so the snapshot
+    equals the deterministic shard assignment of the first N+1
+    increments, replayed in pure SQL."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        read_shards_as_of,
+    )
+
+    out = _asof_shard_dir(spark, sf_dir)
+    snap = read_shards_as_of(spark, out, max_batch=ASOF_MAX_BATCH)
+    return snap.select(
+        "doc_id",
+        F.col("batch").cast("bigint").alias("batch"),
+        F.col("shard").cast("bigint").alias("shard"),
+    )
+
+
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1842,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quantized_embeddings": q_quantized_embeddings,
         "contamination": q_contamination,
+        # --- new in r7 ---
+        "shards_asof": q_shards_asof,
         # --- new in round 7 (never checked) go here ---
         # --- r6-window stayers filling the window to 50 ---
         "pricing_summary": q_pricing_summary,
@@ -1857,9 +1926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_running_total": q_cust_running_total,
         "sales_cube": q_sales_cube,
         "priority_distinct": q_priority_distinct,
-        "latest_events": q_latest_events,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r06; due back in r8) ---
+        "latest_events": q_latest_events,
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
@@ -2798,6 +2867,11 @@ SELECT ({_shard})::BIGINT AS shard,
        sum(strlen(text))::BIGINT AS n_bytes
 FROM documents
 GROUP BY 1"""
+
+    sql["shards_asof"] = f"""
+SELECT doc_id, (doc_id % {ASOF_BATCHES})::BIGINT AS batch,
+       ({_shard})::BIGINT AS shard
+FROM documents WHERE doc_id % {ASOF_BATCHES} <= {ASOF_MAX_BATCH}"""
 
     _split_h = _HASH60("doc_id::VARCHAR", salt="split:")
     _split_case = " ".join(
