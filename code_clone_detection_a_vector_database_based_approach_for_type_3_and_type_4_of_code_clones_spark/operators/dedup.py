@@ -443,6 +443,7 @@ def duplicate_groups(
     until_converged: bool = False,
     max_iterations: int = 50,
     eager_checkpoint: bool = True,
+    report: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS with an elected keeper:
     min-label propagation over the undirected pair graph, the final step of
@@ -465,6 +466,13 @@ def duplicate_groups(
       large-star/small-star formulation would cut rounds to O(log n);
       min-propagation keeps the per-round plan identical to the
       SQL-replayable form.)
+
+    ``report``: optional dict the ``until_converged`` loop fills with
+    ``rounds`` (propagation rounds executed, INCLUDING the final
+    no-change round that proves the fixpoint) and ``converged`` — the
+    observability hook for scale receipts (tools/funnel_scale_sweep.py);
+    a fixed-``iterations`` call reports rounds=iterations,
+    converged=None (not checked).
 
     Output: ``doc_id, group_id, is_keeper`` for every doc in some pair.
     """
@@ -493,7 +501,12 @@ def duplicate_groups(
         "label", F.col("doc_id")
     )
     rounds = max_iterations if until_converged else iterations
+    if report is not None:
+        report["rounds"] = 0
+        report["converged"] = None if not until_converged else False
     for _ in range(rounds):
+        if report is not None:
+            report["rounds"] += 1
         neigh = (
             sym.join(
                 labels.select(
@@ -511,6 +524,8 @@ def duplicate_groups(
         ).localCheckpoint(eager=eager)
         labels = staged.select("doc_id", "label")
         if until_converged and staged.filter("changed").limit(1).count() == 0:
+            if report is not None:
+                report["converged"] = True
             break
     return labels.select(
         "doc_id",

@@ -598,6 +598,7 @@ def ivf_knn_join(
     refine_sample: int = 2048,
     index_block: int = 8192,
     max_cell: int | None = None,
+    max_cell_probes: int | None = None,
 ) -> DataFrame:
     """Probe-DISTRIBUTED IVF kNN: row-identical to ``ivf_knn`` at the same
     parameters, with NO driver round-trip for the probes.
@@ -632,6 +633,19 @@ def ivf_knn_join(
     cells. Costs one extra column-pruned pass over the index for the
     per-cell counts (driver-small: <= n_centroids rows). ``ivf_cell_stats``
     is the observability side-channel.
+
+    ``max_cell`` keys off INDEX occupancy only — the converse hot spot is
+    a hot-QUERY workload where most PROBES route to one normal-sized cell
+    (every query chasing the same popular document): still one cogroup
+    group, one task. ``max_cell_probes`` is the symmetric guard — a cell
+    whose routed-probe count exceeds it gets ``ceil(n_probes/
+    max_cell_probes)`` hash sub-buckets on the query id; probes land in
+    one bucket, the cell's members replicate to all of them, every
+    (probe, member) pair still scored exactly once, row-identical output
+    (pinned by test + the ``skew_stress.py --mode ivf-probe`` identity
+    witness). Composable with ``max_cell``: a task is then bounded by
+    max_cell members x max_cell_probes probes regardless of either
+    flood's size.
     """
     # routing is a map-side expression and inherits the PROBE frame's
     # parallelism — a degenerate input (one small parquet file, a
@@ -655,7 +669,7 @@ def ivf_knn_join(
     qid_dt = dict(probes.dtypes)[query_id]
     return _score_with_cogroup(
         routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
-        max_cell=max_cell,
+        max_cell=max_cell, max_cell_probes=max_cell_probes,
     )
 
 
@@ -743,6 +757,56 @@ def _split_oversized_cells(
     return routed, assigned
 
 
+def _split_hot_probe_cells(
+    routed: DataFrame,
+    assigned: DataFrame,
+    max_cell_probes: int,
+    count_from: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The PROBE-side twin of ``_split_oversized_cells``: a hot-QUERY
+    workload (90% of probes routing to one cell — e.g. every query
+    near-duplicates one popular document) lands one giant cogroup group
+    even when the index cell itself is within ``max_cell``, because that
+    guard keys off index occupancy only. Here each cell whose ROUTED PROBE
+    count exceeds ``max_cell_probes`` gets ``pfactor =
+    ceil(n_probes/max_cell_probes)`` hash sub-buckets: probes land in
+    exactly one bucket (pmod of the query-id hash), that cell's index
+    members replicate to all of them. A (probe, member) pair therefore
+    still meets exactly once, so results stay row-identical (pinned by
+    test); replication cost is bounded because the replicated side is an
+    index CELL (itself bounded by ``max_cell`` when both guards compose).
+
+    ``count_from`` is the pre-split routed frame — when the index-side
+    guard ran first, ``routed`` already carries explode-replicated rows
+    (factor per oversized cell) and counting those would overestimate the
+    probe flood. The occupancy is a lazy broadcast-joined frame, never a
+    driver collect (analyze-gate contract), persisted so both consumers
+    materialize it once per action."""
+    from .dedup import persist_bounded
+
+    pfactors = persist_bounded(
+        count_from.groupBy("cell").agg(
+            F.greatest(
+                F.ceil(F.count("*") / F.lit(max_cell_probes)).cast("int"),
+                F.lit(1),
+            ).alias("__pfactor")
+        ),
+        eager=False,
+    )
+    f = F.coalesce(F.col("__pfactor"), F.lit(1))
+    routed = (
+        routed.join(F.broadcast(pfactors), "cell", "left")
+        .withColumn("__p", F.pmod(F.hash(F.col("query_id")), f).cast("int"))
+        .drop("__pfactor")
+    )
+    assigned = (
+        assigned.join(F.broadcast(pfactors), "cell", "left")
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), f - F.lit(1))))
+        .drop("__pfactor")
+    )
+    return routed, assigned
+
+
 def _score_with_cogroup(
     routed: DataFrame,
     assigned: DataFrame,
@@ -752,11 +816,14 @@ def _score_with_cogroup(
     qid_dt: str,
     index_block: int,
     max_cell: int | None = None,
+    max_cell_probes: int | None = None,
 ) -> DataFrame:
     """Cogroup-form IVF scoring: ``routed cogroup assigned ON cell``, one
     blocked matmul per cell — both sides shuffle once, nothing touches the
     driver. ``max_cell`` swaps the key to (cell, hash sub-bucket) for
-    oversized cells — see ``ivf_knn_join``."""
+    index-oversized cells; ``max_cell_probes`` adds the probe-side bucket
+    for probe-flooded cells — see ``ivf_knn_join``. Composed, a task is
+    bounded by max_cell members x max_cell_probes probes."""
     id_np = np.int64 if id_dt in ("bigint", "int", "smallint", "tinyint") else object
     qid_np = (
         np.int64 if qid_dt in ("bigint", "int", "smallint", "tinyint") else object
@@ -812,17 +879,25 @@ def _score_with_cogroup(
         )
 
     keys = ["cell"]
+    routed_pre_split = routed
     if max_cell is not None:
         routed, assigned = _split_oversized_cells(routed, assigned, max_cell)
-        keys = ["cell", "__b"]
+        keys.append("__b")
+    if max_cell_probes is not None:
+        routed, assigned = _split_hot_probe_cells(
+            routed, assigned, max_cell_probes, count_from=routed_pre_split
+        )
+        keys.append("__p")
     candidates = (
         routed.select("query_id", "query_vec", *keys)
         .groupby(*keys)
         .cogroup(assigned.select("result_id", "vec", *keys).groupby(*keys))
         .applyInPandas(score_cell, schema=out_schema)
     )
-    # (cell, bucket) groups partition the index, so a probe sees each index
-    # row at most once and the global window below is the exact top-k
+    # each probe lives in exactly one (__b-replicated, __p-assigned) group
+    # per cell and the index rows it meets there are disjoint across __b —
+    # so every (probe, member) pair is scored at most once and the global
+    # window below is the exact top-k
     return _ranked_topk(candidates, k)
 
 
@@ -1243,6 +1318,7 @@ def ivf_knn_join_persisted(
     quantized: bool = False,
     index_block: int = 8192,
     max_cell: int | None = None,
+    max_cell_probes: int | None = None,
 ) -> DataFrame:
     """Table-sized probes x persisted IVF index: the full-scale composition.
 
@@ -1281,5 +1357,5 @@ def ivf_knn_join_persisted(
     id_dt = dict(assigned.dtypes)["result_id"]
     return _score_with_cogroup(
         routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
-        max_cell=max_cell,
+        max_cell=max_cell, max_cell_probes=max_cell_probes,
     )

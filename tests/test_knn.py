@@ -762,3 +762,54 @@ def test_index_row_count_stored_and_cached(spark, tmp_path):
     assert _index_row_count(spark, path) == 225
     _INDEX_ROWCOUNT_CACHE.pop(path, None)
     assert _index_row_count(spark, path) == 225  # stored value, not cache
+
+
+def test_ivf_join_max_cell_probes_split_identical(spark, embeddings):
+    """The PROBE-side skew guard (hot-query workload: every probe routes
+    to the same few cells): max_cell_probes sub-buckets a cell's probes
+    on the query-id hash and replicates that cell's members across the
+    buckets — each (probe, member) pair still meets exactly once, so
+    results are row-identical to the unguarded form, alone AND composed
+    with the index-side max_cell guard."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 60)
+    kw = dict(k=8, n_centroids=2, nprobe=2)
+    a = _collect_sorted(ivf_knn_join(probes, embeddings, **kw))
+    b = _collect_sorted(
+        ivf_knn_join(probes, embeddings, max_cell_probes=7, **kw)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert not any(r.query_id == r.result_id for _, r in b.iterrows())
+    # composed with the index-side guard: task bound = max_cell members x
+    # max_cell_probes probes; rows must still be identical
+    c = _collect_sorted(
+        ivf_knn_join(
+            probes, embeddings, max_cell=25, max_cell_probes=7, **kw
+        )
+    )
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_ivf_join_max_cell_probes_noop_below_bound(spark, embeddings):
+    """max_cell_probes above every cell's routed-probe count is a no-op
+    (single bucket 0 — the guard costs only the counting pass)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_knn_join,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 30)
+    a = _collect_sorted(ivf_knn_join(probes, embeddings, k=5, n_centroids=8, nprobe=3))
+    b = _collect_sorted(
+        ivf_knn_join(
+            probes, embeddings, k=5, n_centroids=8, nprobe=3,
+            max_cell_probes=10**6,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -118,6 +118,13 @@ def main() -> None:
         action="store_true",
         help="skip the (already-measured-losing) unpartitioned inline IVF",
     )
+    ap.add_argument(
+        "--sweep-nprobe",
+        default="",
+        help="comma list (e.g. 4,8,16): additionally time the persisted "
+        "f32 search at each nprobe, pinning the recall/latency frontier "
+        "a user tunes (r6 verdict ask #7 — the 10M receipt fixed 64/4)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ann-scale-bench")
@@ -217,6 +224,23 @@ def main() -> None:
             ),
         ),
     }
+
+    for np_s in filter(None, args.sweep_nprobe.split(",")):
+        np_ = int(np_s)
+        t, _ = timed(
+            lambda: ivf_knn_persisted(spark, f32_path, probes, k=args.k,
+                                      nprobe=np_)
+        )
+        results[f"ivf_persisted_nprobe{np_}"] = {
+            "sec": t,
+            "recall": recall(
+                exact_sets,
+                topk_sets(
+                    ivf_knn_persisted(spark, f32_path, probes, k=args.k,
+                                      nprobe=np_)
+                ),
+            ),
+        }
 
     # incremental maintenance: upsert a 1%-of-corpus batch (half new ids,
     # half replacements) into the persisted f32 index and compare against
