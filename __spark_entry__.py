@@ -64,6 +64,7 @@ EMB_NEARDUP_THRESHOLD = 0.30
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_MAX_CELL = 64  # skew guard: sub-bucket cells larger than this
+IVF_MAX_CELL_PROBES = 100  # probe-side guard: sub-bucket probe floods
 SAMPLE_N = 500
 E2E_SAMPLES = 40  # probe sample for the graded end-to-end pipeline entries
 IVF_RERANK_OVERFETCH = 4  # quantized candidate over-fetch before f32 rerank
@@ -562,6 +563,26 @@ def q_knn_join_guarded(spark, sf_dir):
     return ops.ivf_knn_join(
         probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
         max_cell=IVF_MAX_CELL,
+    )
+
+
+def q_knn_join_probe_guarded(spark, sf_dir):
+    """q_knn_join under BOTH skew guards composed: max_cell sub-buckets
+    index-flooded cells, max_cell_probes sub-buckets probe-flooded ones
+    (r7 — the hot-QUERY workload guard: probes of a flooded cell land in
+    one query-id-hash bucket each, the cell's members replicate across
+    buckets, every pair scored exactly once; task work bounded by
+    max_cell x max_cell_probes). Row-identical to the unguarded form, so
+    the oracle SQL is knn_join's verbatim; the 22.5x receipt on a
+    90%-probe-flooded cell is in BASELINE.md (skew_stress --mode
+    ivf-probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.ivf_knn_join(
+        probes, emb, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        max_cell=IVF_MAX_CELL, max_cell_probes=IVF_MAX_CELL_PROBES,
     )
 
 
@@ -1911,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         # --- new in r7 ---
         "shards_asof": q_shards_asof,
+        "knn_join_probe_guarded": q_knn_join_probe_guarded,
         # --- new in round 7 (never checked) go here ---
         # --- r6-window stayers filling the window to 50 ---
         "pricing_summary": q_pricing_summary,
@@ -1925,9 +1947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "cust_running_total": q_cust_running_total,
         "sales_cube": q_sales_cube,
-        "priority_distinct": q_priority_distinct,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r06; due back in r8) ---
+        "priority_distinct": q_priority_distinct,
         "latest_events": q_latest_events,
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
@@ -2661,6 +2683,9 @@ SELECT query_id, result_id, score, rank, is_clone FROM edetailed"""
     # the skew guard is a physical strategy, not a semantics change: the
     # sub-bucketed form must produce knn_join's exact rows
     sql["knn_join_guarded"] = _ivf_sql(probe_pred="TRUE")
+    # both skew guards compose row-identically (each (probe, member) pair
+    # scored exactly once), so the oracle is again knn_join's verbatim
+    sql["knn_join_probe_guarded"] = _ivf_sql(probe_pred="TRUE")
     # the persisted cogroup composition shares knn_join's routing contract
     sql["knn_join_pruned"] = _ivf_sql(probe_pred="TRUE")
 
