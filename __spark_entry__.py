@@ -586,6 +586,63 @@ def q_knn_join_probe_guarded(spark, sf_dir):
     )
 
 
+INGEST_B0_MAX = 250   # index_ingest: bootstrap batch = vec_id < 250
+INGEST_B1_LO = 200    # increment batch = [200, 300) with REVERSED vectors
+INGEST_B1_HI = 300    # -> [200,250) replaces, [250,300) inserts
+
+_INGEST_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ingest_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped ingest-composition index, built once per
+    (application, sf_dir): batch 0 (vec_id < 250) bootstraps the index +
+    centroid bank through ``ingest_batch`` (create-if-absent, SURVEY S7);
+    batch 1 ([200, 300) with REVERSED vectors) goes through the SAME
+    function and must dispatch to ``upsert_ivf_index`` — replacing the
+    overlap [200, 250) and inserting [250, 300), each routed against the
+    STORED bank. ``ingest_batch`` is the exact body the streaming sink's
+    foreachBatch runs (streaming/index_ingest.py); the stream wiring and
+    crash-replay idempotence are pytest-pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.index_ingest import (
+        ingest_batch,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _INGEST_INDEX_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_ingest_"), "index")
+        emb = _t(spark, sf_dir, "embeddings")
+        b0 = emb.filter(F.col("vec_id") < INGEST_B0_MAX)
+        b1 = emb.filter(
+            (F.col("vec_id") >= INGEST_B1_LO) & (F.col("vec_id") < INGEST_B1_HI)
+        ).select("vec_id", F.reverse(F.col("embedding")).alias("embedding"))
+        ingest_batch(b0, path, n_centroids=IVF_CENTROIDS)
+        ingest_batch(b1, path)
+        _INGEST_INDEX_CACHE[key] = path
+    return path
+
+
+def q_index_ingest(spark, sf_dir):
+    """The continuous-ingest composition graded end to end: after
+    bootstrap + one replace/insert increment (see ``_ingest_index_path``),
+    the persisted index must hold exactly — per (vec_id, cell, first
+    vector component) — the union of the untouched batch-0 rows and the
+    increment's reversed vectors, every row assigned to the cell the
+    STORED centroid bank routes it to (cells never move under live
+    readers). The oracle replays bank init (lowest-16-id vectors),
+    replace-union semantics, and cosine cell assignment in SQL. ``cell``
+    comes back from the DIRECTORY names (partition discovery) — the
+    layout round-trips like the shard export's."""
+    path = _ingest_index_path(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("dim0"),
+    )
+
+
 def q_knn_join_pruned(spark, sf_dir):
     """The full-scale ANN composition: table-sized probes x the PERSISTED
     cell-partitioned index (operators.knn.ivf_knn_join_persisted). No
@@ -1933,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7 ---
         "shards_asof": q_shards_asof,
         "knn_join_probe_guarded": q_knn_join_probe_guarded,
+        "index_ingest": q_index_ingest,
         # --- new in round 7 (never checked) go here ---
         # --- r6-window stayers filling the window to 50 ---
         "pricing_summary": q_pricing_summary,
@@ -1946,9 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "topk_per_group": q_topk_per_group,
         "cust_running_total": q_cust_running_total,
-        "sales_cube": q_sales_cube,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r06; due back in r8) ---
+        "sales_cube": q_sales_cube,
         "priority_distinct": q_priority_distinct,
         "latest_events": q_latest_events,
         "mixture_sample": q_mixture_sample,
@@ -2686,6 +2744,33 @@ SELECT query_id, result_id, score, rank, is_clone FROM edetailed"""
     # both skew guards compose row-identically (each (probe, member) pair
     # scored exactly once), so the oracle is again knn_join's verbatim
     sql["knn_join_probe_guarded"] = _ivf_sql(probe_pred="TRUE")
+
+    # index_ingest: bootstrap(b0) + replace/insert upsert(b1 = [200,300)
+    # REVERSED) against the STORED bank (= lowest-16-id vectors of b0,
+    # which equals the global bank since 16 <= 200): final contents are
+    # the replace-union, each row cell-assigned by rounded cosine vs the
+    # bank (score DESC, cent_id ASC, rank 1 — the engine's contract)
+    sql["index_ingest"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+contents AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {INGEST_B1_LO}
+  UNION ALL
+  SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id >= {INGEST_B1_LO} AND vec_id < {INGEST_B1_HI}
+)
+SELECT vec_id, cell, round(v[1], 6) AS dim0 FROM (
+  SELECT x.vec_id, x.v, c.cent_id AS cell,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY round(list_dot_product(x.v, c.cent_vec) /
+                    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6) DESC,
+                    c.cent_id ASC) AS rnk
+  FROM contents x CROSS JOIN cents c
+) WHERE rnk = 1"""
     # the persisted cogroup composition shares knn_join's routing contract
     sql["knn_join_pruned"] = _ivf_sql(probe_pred="TRUE")
 
