@@ -599,6 +599,7 @@ def ivf_knn_join(
     index_block: int = 8192,
     max_cell: int | None = None,
     max_cell_probes: int | None = None,
+    eager_guards: bool = True,
 ) -> DataFrame:
     """Probe-DISTRIBUTED IVF kNN: row-identical to ``ivf_knn`` at the same
     parameters, with NO driver round-trip for the probes.
@@ -646,6 +647,12 @@ def ivf_knn_join(
     witness). Composable with ``max_cell``: a task is then bounded by
     max_cell members x max_cell_probes probes regardless of either
     flood's size.
+
+    ``eager_guards`` (default) materializes each guard's tiny occupancy
+    aggregate at construction, because its two broadcast consumers race a
+    lazy persist at action time and would each re-run the counting pass
+    (the ngram_jaccard_pairs lesson, 3-5x there). Pass ``False`` from
+    pure plan builders that must not execute jobs while composing.
     """
     # routing is a map-side expression and inherits the PROBE frame's
     # parallelism — a degenerate input (one small parquet file, a
@@ -670,6 +677,7 @@ def ivf_knn_join(
     return _score_with_cogroup(
         routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
         max_cell=max_cell, max_cell_probes=max_cell_probes,
+        eager_guards=eager_guards,
     )
 
 
@@ -717,7 +725,8 @@ def ivf_cell_stats(
 
 
 def _split_oversized_cells(
-    routed: DataFrame, assigned: DataFrame, max_cell: int
+    routed: DataFrame, assigned: DataFrame, max_cell: int,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The ``max_cell`` sub-bucketing step: count cell occupancy (one
     column-pruned aggregation, <= n_centroids result rows), then give each
@@ -726,11 +735,14 @@ def _split_oversized_cells(
     that cell replicate to all of them. Cells within bound get factor 1 —
     single bucket 0, plan unchanged up to the constant grouping key.
 
-    The occupancy is a LAZY broadcast-joined frame, not a driver collect:
-    constructing the plan must not execute a corpus pass (the repo-wide
-    analyze-gate contract — a review finding against the first, collect-
-    based form). The tiny aggregate is lazily persisted so the two
-    consumers (probe side, index side) materialize it once per action."""
+    The occupancy is a broadcast-joined frame, not a driver collect (a
+    review finding against the first, collect-based form). ``eager``
+    (default) materializes the tiny aggregate NOW: the two consumers
+    (probe side, index side) become concurrent AQE broadcast jobs at
+    action time, and a lazy persist loses that race — each job re-derives
+    the full counting pass (the ngram_jaccard_pairs finding, measured
+    3-5x there). Pass ``eager=False`` only from pure plan builders that
+    must not execute anything at construction."""
     from .dedup import persist_bounded
 
     factors = persist_bounded(
@@ -739,7 +751,7 @@ def _split_oversized_cells(
                 F.ceil(F.count("*") / F.lit(max_cell)).cast("int"), F.lit(1)
             ).alias("__factor")
         ),
-        eager=False,
+        eager=eager,
     )
     f = F.coalesce(F.col("__factor"), F.lit(1))
     assigned = (
@@ -762,6 +774,7 @@ def _split_hot_probe_cells(
     assigned: DataFrame,
     max_cell_probes: int,
     count_from: DataFrame,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The PROBE-side twin of ``_split_oversized_cells``: a hot-QUERY
     workload (90% of probes routing to one cell — e.g. every query
@@ -779,9 +792,10 @@ def _split_hot_probe_cells(
     ``count_from`` is the pre-split routed frame — when the index-side
     guard ran first, ``routed`` already carries explode-replicated rows
     (factor per oversized cell) and counting those would overestimate the
-    probe flood. The occupancy is a lazy broadcast-joined frame, never a
-    driver collect (analyze-gate contract), persisted so both consumers
-    materialize it once per action."""
+    probe flood. The occupancy is a broadcast-joined frame, never a
+    driver collect; ``eager`` (default) materializes it before the two
+    consumers' concurrent broadcast jobs can race a lazy persist and each
+    re-derive the table-sized counting pass — see _split_oversized_cells."""
     from .dedup import persist_bounded
 
     pfactors = persist_bounded(
@@ -791,7 +805,7 @@ def _split_hot_probe_cells(
                 F.lit(1),
             ).alias("__pfactor")
         ),
-        eager=False,
+        eager=eager,
     )
     f = F.coalesce(F.col("__pfactor"), F.lit(1))
     routed = (
@@ -817,6 +831,7 @@ def _score_with_cogroup(
     index_block: int,
     max_cell: int | None = None,
     max_cell_probes: int | None = None,
+    eager_guards: bool = True,
 ) -> DataFrame:
     """Cogroup-form IVF scoring: ``routed cogroup assigned ON cell``, one
     blocked matmul per cell — both sides shuffle once, nothing touches the
@@ -881,11 +896,14 @@ def _score_with_cogroup(
     keys = ["cell"]
     routed_pre_split = routed
     if max_cell is not None:
-        routed, assigned = _split_oversized_cells(routed, assigned, max_cell)
+        routed, assigned = _split_oversized_cells(
+            routed, assigned, max_cell, eager=eager_guards
+        )
         keys.append("__b")
     if max_cell_probes is not None:
         routed, assigned = _split_hot_probe_cells(
-            routed, assigned, max_cell_probes, count_from=routed_pre_split
+            routed, assigned, max_cell_probes, count_from=routed_pre_split,
+            eager=eager_guards,
         )
         keys.append("__p")
     candidates = (
@@ -955,6 +973,11 @@ def build_ivf_index(
     # a per-search count job (round-6 advice)
     n_rows = spark.read.parquet(path).count()
     _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows, mode)
+    # the sidecar always OVERWRITES (even for mode="append" builds, whose
+    # n_rows above is already the full post-append count): a stale sidecar
+    # left by a previous index generation's upserts must never shadow the
+    # rebuilt bank's count
+    _write_rowcount_sidecar(spark, path, n_rows)
     _INDEX_ROWCOUNT_CACHE[path] = n_rows
 
 
@@ -963,6 +986,22 @@ def _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows, mode="overwri
         [(cid, cv, n_rows) for cid, cv in zip(cent_ids, cent_vecs)],
         "cent_id long, cent_vec array<double>, n_rows long",
     ).coalesce(1).write.mode(mode).parquet(path + "_centroids")
+
+
+def _write_rowcount_sidecar(spark, path, n_rows):
+    """The mutable half of the index metadata: a 1-row ``{path}_nrows``
+    parquet holding the occupancy count ``suggest_overfetch`` reads.
+
+    Split out of the centroid bank deliberately — the bank must stay
+    IMMUTABLE after build because ``ingest_batch`` keys its bootstrap-vs-
+    upsert replay decision on the bank's existence (a non-atomic bank
+    rewrite during upsert would open a crash window where a replayed batch
+    re-bootstraps and overwrites the whole index). Losing THIS file in a
+    crash window only degrades the overfetch hint (readers fall back to
+    the bank's build-time count), never correctness or data."""
+    spark.createDataFrame(
+        [(int(n_rows),)], "n_rows long"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_nrows")
 
 
 def _load_centroid_bank(spark, path: str) -> tuple[list[list[float]], list[int]]:
@@ -987,18 +1026,24 @@ _INDEX_ROWCOUNT_CACHE: dict = {}
 
 def _index_row_count(spark, path: str) -> int:
     """Row count of a persisted IVF index, for ``suggest_overfetch``.
-    Resolution order: session cache -> the ``n_rows`` column stored with
-    the centroid bank at build/upsert time -> (legacy banks only) ONE
-    footer-metadata count, memoized. Never a per-search count job
-    (round-6 advice: the overfetch=None default must not undercut the
-    centroids fast-path of a long-lived query service)."""
+    Resolution order: session cache -> the ``{path}_nrows`` sidecar
+    (refreshed by every upsert; the bank itself is immutable after build)
+    -> the ``n_rows`` column stored with the centroid bank at build time
+    -> (legacy banks only) ONE footer-metadata count, memoized. Never a
+    per-search count job (round-6 advice: the overfetch=None default must
+    not undercut the centroids fast-path of a long-lived query service)."""
     n = _INDEX_ROWCOUNT_CACHE.get(path)
     if n is None:
-        bank = spark.read.parquet(path + "_centroids")
-        if "n_rows" in bank.columns:
-            n = int(bank.agg(F.max("n_rows")).first()[0])
+        from ..sources.index import index_exists
+
+        if index_exists(spark, path + "_nrows"):
+            n = int(spark.read.parquet(path + "_nrows").first()[0])
         else:
-            n = spark.read.parquet(path).count()
+            bank = spark.read.parquet(path + "_centroids")
+            if "n_rows" in bank.columns:
+                n = int(bank.agg(F.max("n_rows")).first()[0])
+            else:
+                n = spark.read.parquet(path).count()
         _INDEX_ROWCOUNT_CACHE[path] = n
     return n
 
@@ -1095,6 +1140,14 @@ def upsert_ivf_index(
     affected = sorted(affected)
 
     existing = spark.read.parquet(path).filter(F.col("cell").isin(affected))
+    # both inputs of the arithmetic row-count update below are read BEFORE
+    # the overwrite mutates the affected cells: the stored pre-upsert total
+    # (sidecar/bank — no data scan) and a partition-PRUNED footer count of
+    # just the affected cells. Untouched cells stay unlisted/unread, so the
+    # documented O(|batch| + |affected cells|) bound holds (a full-index
+    # count here would relist every cell directory per micro-batch).
+    prev_rows = _index_row_count(spark, path)
+    existing_cnt = existing.count()
     survivors = existing.join(
         F.broadcast(assigned.select(F.col(id_col).alias("__rid"))),
         F.col(id_col) == F.col("__rid"),
@@ -1133,11 +1186,15 @@ def upsert_ivf_index(
         for c in drained:
             part = Path(f"{path}/cell={int(c)}")
             part.getFileSystem(hconf).delete(part, True)
-    # refresh the row count stored with the bank (footer-metadata count,
-    # paid once per upsert) so overfetch occupancy stays accurate without
-    # any per-search counting; centroids themselves are unchanged
-    n_rows = spark.read.parquet(path).count()
-    _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows)
+    # refresh the occupancy count ARITHMETICALLY (total - old affected-cell
+    # rows + rewritten affected-cell rows; merged is checkpointed so its
+    # count is a materialized-block count, no recompute) and land it in the
+    # {path}_nrows sidecar. The centroid bank is NOT rewritten: it must
+    # stay immutable after build so ingest_batch's bootstrap-vs-upsert
+    # replay decision (keyed on bank existence) has no crash window in
+    # which a replayed batch could re-bootstrap over the whole index.
+    n_rows = prev_rows - existing_cnt + merged.count()
+    _write_rowcount_sidecar(spark, path, n_rows)
     _INDEX_ROWCOUNT_CACHE[path] = n_rows
     return affected
 
@@ -1319,6 +1376,7 @@ def ivf_knn_join_persisted(
     index_block: int = 8192,
     max_cell: int | None = None,
     max_cell_probes: int | None = None,
+    eager_guards: bool = True,
 ) -> DataFrame:
     """Table-sized probes x persisted IVF index: the full-scale composition.
 
@@ -1358,4 +1416,5 @@ def ivf_knn_join_persisted(
     return _score_with_cogroup(
         routed, assigned, k, exclude_self, id_dt, qid_dt, index_block,
         max_cell=max_cell, max_cell_probes=max_cell_probes,
+        eager_guards=eager_guards,
     )
