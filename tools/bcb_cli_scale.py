@@ -59,10 +59,16 @@ def generate(root: str, n: int) -> tuple[str, str, str]:
     clones_csv = os.path.join(root, "CLONES.csv")
     with open(clones_csv, "w") as f:
         f.write("FUNCTION_ID_ONE,FUNCTION_ID_TWO\n")
+        # ALL C(CLUSTER,2) within-cluster pairs, not just the adjacent
+        # chain: build_clone_map is symmetric but does NO transitive
+        # closure, so a chain-only ground truth would mark 7 of 9 correct
+        # sibling retrievals non-clones and cap precision near 0.2
+        # regardless of retrieval quality (r7 review finding)
         for c in range(n // CLUSTER):
             base = c * CLUSTER
             for j in range(CLUSTER - 1):
-                f.write(f"{base + j},{base + j + 1}\n")
+                for m in range(j + 1, CLUSTER):
+                    f.write(f"{base + j},{base + m}\n")
 
     funcs_csv = os.path.join(root, "FUNCTIONS.csv")
     with open(funcs_csv, "w") as f:
