@@ -764,6 +764,56 @@ def test_index_row_count_stored_and_cached(spark, tmp_path):
     assert _index_row_count(spark, path) == 225  # stored value, not cache
 
 
+def test_upsert_leaves_centroid_bank_immutable(spark, tmp_path):
+    """The crash invariant behind streaming ingest's replay decision:
+    ``ingest_batch`` dispatches bootstrap-vs-upsert on the BANK's
+    existence, so upsert must never rewrite ``{path}_centroids`` (a
+    non-atomic overwrite would open a window where a replayed batch
+    re-bootstraps over the whole index — r7 review finding). The mutable
+    occupancy count lives in the ``{path}_nrows`` sidecar instead, and
+    losing THAT file only degrades the overfetch hint: the resolver falls
+    back to the bank's immutable build-time count."""
+    import os
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _INDEX_ROWCOUNT_CACHE,
+        _index_row_count,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_imm")
+    build_ivf_index(vecs, path, n_centroids=4)
+
+    def bank_state():
+        d = path + "_centroids"
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+        }
+
+    before = bank_state()
+    batch = spark.createDataFrame(
+        [(1000 + i, [9.0, 9.0, float(i)]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    upsert_ivf_index(batch, path, assume_new_ids=True)
+    assert bank_state() == before, "upsert rewrote the centroid bank"
+
+    # sidecar carries the post-upsert count; losing it falls back to the
+    # bank's build-time count (stale but safe), never a crash or a scan
+    # of a mutated bank
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 225
+    import shutil
+
+    shutil.rmtree(path + "_nrows")
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 200
+
+
 def test_ivf_join_max_cell_probes_split_identical(spark, embeddings):
     """The PROBE-side skew guard (hot-query workload: every probe routes
     to the same few cells): max_cell_probes sub-buckets a cell's probes
