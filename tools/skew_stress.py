@@ -103,11 +103,23 @@ def timed(fn, reps: int = 2) -> float:
     return round(best, 3)
 
 
-def synthesize_vectors(spark, n: int, hot_frac: float, dim: int = 16):
+def synthesize_vectors(
+    spark, n: int, hot_frac: float, dim: int = 16, spread_seeds: int = 0
+):
     """Deterministic embedding table with a planted degenerate IVF cell:
     ``hot_frac`` of vectors hug one direction (pairwise cosine ~1 — the
     near-duplicate-flood shape), the rest spread over the unit circle in
-    the first two dims. No RNG — sin/cos of the id, batch-invariant."""
+    the first two dims. No RNG — sin/cos of the id, batch-invariant.
+
+    ``spread_seeds``: the IVF centroid bank is the ``n_centroids``
+    LOWEST-id vectors, so a table used as an INDEX must pin ids
+    ``0..spread_seeds-1`` to evenly-spaced directions — otherwise the
+    centroids span a ~0.044 rad arc of the 997-angle wheel and argmax-
+    cosine routing collapses the "balanced" index into two half-size
+    mega-cells (r7 review finding against the first form of the
+    ivf-probe receipt). With seeds spread, the uniform angles bucket
+    into ~equal 2*pi/spread_seeds sectors. Leave 0 for probe tables
+    (probes are never centroid sources)."""
     hot_n = int(n * hot_frac)
 
     def gen(batches):
@@ -115,6 +127,11 @@ def synthesize_vectors(spark, n: int, hot_frac: float, dim: int = 16):
             ids = pdf["id"].to_numpy(dtype=np.int64)
             hot = ids < hot_n
             theta = np.where(hot, 0.0, (ids % 997) * (2 * np.pi / 997))
+            if spread_seeds:
+                seed = ids < spread_seeds
+                theta = np.where(
+                    seed, ids * (2 * np.pi / spread_seeds), theta
+                )
             mat = np.zeros((len(ids), dim))
             mat[:, 0] = np.cos(theta)
             mat[:, 1] = np.sin(theta)
@@ -135,7 +152,9 @@ def run_ivf(spark, args) -> None:
         ivf_knn_join,
     )
 
-    emb = synthesize_vectors(spark, args.vectors, args.hot_frac)
+    # spread_seeds pins the 8 centroid-source ids to even directions so
+    # the planted flood is the ONLY degenerate cell (the rest balanced)
+    emb = synthesize_vectors(spark, args.vectors, args.hot_frac, spread_seeds=8)
     emb.write.mode("overwrite").parquet(f"{args.workdir}/emb")
     emb = spark.read.parquet(f"{args.workdir}/emb")
     probes = emb.select(
@@ -191,11 +210,16 @@ def run_ivf_probe(spark, args) -> None:
     guard: plain vs guarded wall time plus the row-checksum identity
     witness (the guard must not change a single row)."""
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        ivf_cell_stats,
         ivf_knn_join,
     )
 
-    # balanced index: hot_frac=0 spreads members over 997 directions
-    emb = synthesize_vectors(spark, args.vectors, 0.0)
+    # balanced index: hot_frac=0 spreads members over 997 directions, and
+    # spread_seeds pins the 8 centroid-source ids to even directions so
+    # the members actually bucket into ~equal eighths (without it the
+    # centroids huddle in a 0.044 rad arc and the "balanced" index
+    # collapses into two half-size mega-cells — r7 review finding)
+    emb = synthesize_vectors(spark, args.vectors, 0.0, spread_seeds=8)
     emb.write.mode("overwrite").parquet(f"{args.workdir}/emb")
     emb = spark.read.parquet(f"{args.workdir}/emb")
     # probe flood: hot_frac of probes hug direction 0 -> one routed cell
@@ -210,6 +234,12 @@ def run_ivf_probe(spark, args) -> None:
     # same block size runs on both sides for a fair comparison
     kw = dict(k=10, n_centroids=8, nprobe=2, exclude_self=False, index_block=2048)
     max_probes = args.probes // 64
+
+    # balance witness for the premise: with spread seeds the biggest cell
+    # must hold ~1/8 of the index, so the measured effect is attributable
+    # to the PROBE flood alone, not residual index skew
+    stats = ivf_cell_stats(emb, n_centroids=8).collect()
+    occupancy = sorted((r.n_members for r in stats), reverse=True)
 
     plain = timed(lambda: ivf_knn_join(probes, emb, **kw), reps=args.reps)
     guarded = timed(
@@ -235,6 +265,7 @@ def run_ivf_probe(spark, args) -> None:
                 "probes": args.probes,
                 "hot_frac": args.hot_frac,
                 "max_cell_probes": max_probes,
+                "index_cell_occupancy": occupancy,
                 "plain_sec": plain,
                 "guarded_sec": guarded,
                 "guarded_vs_plain": round(guarded / plain, 2),
