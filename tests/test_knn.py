@@ -615,12 +615,25 @@ def test_upsert_ivf_index_cross_cell_replacement(spark, embeddings, tmp_path):
     assert len(rows) == 1, "stale duplicate row survived the cell migration"
     assert rows[0].cell == cells[donor]
 
+    # the arithmetic sidecar count must track REPLACE semantics (prev -
+    # old affected rows + rewritten rows = unchanged total here, since a
+    # replace neither adds nor removes an id)
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _INDEX_ROWCOUNT_CACHE,
+        _index_row_count,
+    )
+
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 400
+
     # append-only batches may skip the old-row scan and stay correct
     batch2 = spark.createDataFrame(
         [(9000, donor_vec)], "vec_id long, embedding array<float>"
     )
     upsert_ivf_index(batch2, path, assume_new_ids=True)
     assert spark.read.parquet(path).filter(F.col("vec_id") == 9000).count() == 1
+    _INDEX_ROWCOUNT_CACHE.pop(path, None)
+    assert _index_row_count(spark, path) == 401
 
 
 def test_upsert_ivf_index_drained_cell_deleted(spark, tmp_path):
