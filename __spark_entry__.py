@@ -1763,8 +1763,9 @@ def q_dup_groups_converged(spark, sf_dir):
     ARBITRARY diameter (retires the r5 fixed-3-round caveat): the pair set
     is a deterministic family of 20-edge chains over documents (doc d ~
     d+1 within each CHAIN_STRIDE block), so every component has diameter
-    20 — the fixed-3-round form provably mislabels it, and the fixpoint
-    loop must walk the full diameter. The oracle computes the same
+    20 — the fixed-3-round form provably mislabels it; the fixpoint loop
+    (pointer-jumping default: O(log d) rounds, operators/dedup.py) must
+    reach the exact component minimum. The oracle computes the same
     connected-component minimum with a WITH RECURSIVE transitive closure —
     an independent fixpoint formulation, not an unrolled copy."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")

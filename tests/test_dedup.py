@@ -278,6 +278,68 @@ def test_duplicate_groups_converges_on_long_chain(spark):
     assert conv == {i: (0, i == 0) for i in range(8)}
 
 
+def test_duplicate_groups_shortcut_matches_plain_in_log_rounds(spark):
+    """Pointer-jumping contract on a diameter-64 path (0-1-...-64): the
+    shortcut fixpoint must (1) produce EXACTLY the plain min-propagation
+    labeling — one component, min id 0, single keeper — and (2) get there
+    in O(log d) rounds where plain needs d+1 (64 propagation rounds + the
+    no-change proof round). Also pins that plain mode remains available
+    (``shortcut=False``) and that a branchy component (star + chain mix)
+    agrees between modes."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    rep_plain: dict = {}
+    plain = {
+        r.doc_id: (r.group_id, r.is_keeper)
+        for r in duplicate_groups(
+            chain,
+            until_converged=True,
+            max_iterations=100,
+            shortcut=False,
+            report=rep_plain,
+        ).collect()
+    }
+    rep_fast: dict = {}
+    fast = {
+        r.doc_id: (r.group_id, r.is_keeper)
+        for r in duplicate_groups(
+            chain, until_converged=True, report=rep_fast
+        ).collect()
+    }
+    want = {i: (0, i == 0) for i in range(65)}
+    assert plain == want and fast == want
+    assert rep_plain["converged"] and rep_fast["converged"]
+    assert rep_plain["rounds"] == 65  # diameter + the no-change round
+    assert rep_fast["rounds"] <= 10  # ~log2(64) + no-change round
+    assert rep_fast["shortcut"] and not rep_plain["shortcut"]
+
+    # two components with different shapes: a 3-star around 100 and a
+    # 5-chain from 200, plus the chain above — labels must agree exactly
+    mixed = chain.unionByName(
+        spark.createDataFrame(
+            [(100, 101), (100, 102), (100, 103), (200, 201), (201, 202),
+             (202, 203), (203, 204)],
+            "doc_a long, doc_b long",
+        )
+    )
+    a = {
+        r.doc_id: r.group_id
+        for r in duplicate_groups(
+            mixed, until_converged=True, max_iterations=100, shortcut=False
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.group_id
+        for r in duplicate_groups(mixed, until_converged=True).collect()
+    }
+    assert a == b
+
+
 def test_semantic_duplicates_subset_and_planted_recall(spark, embeddings):
     """SemDeDup contract: (1) every returned pair is a true >= threshold
     pair with the exact twin's cosine (precision 1.0); (2) planted TRUE

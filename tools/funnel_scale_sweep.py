@@ -30,6 +30,12 @@ sharded write) at each size.
 Usage: python tools/funnel_scale_sweep.py [sizes...]   (default 100000
 500000 1000000; the 1M row takes minutes). Prints a markdown table for
 BASELINE.md plus one JSON line per size.
+
+``--compare``: additionally run the SAME verified pair set through the
+fixpoint WITHOUT pointer-jumping (``shortcut=False``, the pre-r7 plain
+min-propagation) and report both modes' rounds + wall-clock side by side
+— the O(log d)-vs-O(d) receipt. Both labelings are checked against the
+union-find witness.
 """
 
 from __future__ import annotations
@@ -139,7 +145,9 @@ def main() -> int:
         get_spark,
     )
 
-    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 500_000, 1_000_000]
+    argv = [a for a in sys.argv[1:] if a != "--compare"]
+    compare = "--compare" in sys.argv[1:]
+    sizes = [int(a) for a in argv] or [100_000, 500_000, 1_000_000]
     spark = get_spark("funnel-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     work = "/tmp/funnel_scale_sweep"
@@ -173,6 +181,34 @@ def main() -> int:
         labels_ok = got == want
         n_groups = len({g for g in got.values()})
 
+        plain_report: dict = {}
+        fast_report: dict = {}
+        t_plain = t_fast = None
+        if compare:
+            # both modes over the SAME pre-materialized edge frame, so the
+            # timing isolates the fixpoint loop (the full-pipeline t_fix
+            # above already includes LSH + verification).
+            pe = pairs.select("doc_a", "doc_b").localCheckpoint()
+            pe.count()
+            for rep, sc in ((plain_report, False), (fast_report, True)):
+                t0 = time.monotonic()
+                labs = {
+                    r.doc_id: r.group_id
+                    for r in duplicate_groups(
+                        pe,
+                        until_converged=True,
+                        max_iterations=200,
+                        shortcut=sc,
+                        report=rep,
+                    ).collect()
+                }
+                dt = round(time.monotonic() - t0, 1)
+                if sc:
+                    t_fast = dt
+                else:
+                    t_plain = dt
+                labels_ok = labels_ok and labs == want
+
         # --- B: the full lifecycle at the same size
         shutil.rmtree(f"{work}/out", ignore_errors=True)
         t0 = time.monotonic()
@@ -191,7 +227,12 @@ def main() -> int:
                     "verified_pairs": len(edges),
                     "fixpoint_rounds": report.get("rounds"),
                     "converged": report.get("converged"),
+                    "shortcut": report.get("shortcut"),
                     "fixpoint_sec": t_fix,
+                    "plain_rounds": plain_report.get("rounds"),
+                    "plain_fixpoint_sec": t_plain,
+                    "shortcut_rounds": fast_report.get("rounds"),
+                    "shortcut_fixpoint_sec": t_fast,
                     "n_groups": n_groups,
                     "labels_match_union_find": labels_ok,
                     "prepare_and_ship_sec": t_ship,
