@@ -47,6 +47,11 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
     SIMHASH_BITS,
     minhash_params,
 )
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M,
+    BLOOM_WORD_BITS,
+)
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (  # noqa: E402
     load_events_micros,
 )
@@ -1935,6 +1940,132 @@ def q_ivf_knn_quantized(spark, sf_dir):
     )
 
 
+TFIDF_DF_MIN = 2
+TFIDF_DF_CAP = 20  # fixture shingle df <= 7 at sf0.01, median 9 at sf0.1
+TFIDF_COSINE = 0.5
+CONTAINMENT_MIN = 0.5
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine pair mining — the exact-cosine complement to
+    MinHash-LSH: posting-list self-join over df-capped shingle terms
+    (Bayardo-style pruning bounds join work at df_cap * |postings|, linear
+    in corpus size), fixed-point BIGINT dot/norm sums so the oracle
+    replays bit-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.tfidf_cosine_pairs(
+        docs, MINHASH_SHINGLE, TFIDF_DF_MIN, TFIDF_DF_CAP, TFIDF_COSINE
+    )
+
+
+def q_containment_dups(spark, sf_dir):
+    """Asymmetric containment verification over LSH candidates — the
+    subset/quote duplicate measure Jaccard structurally misses. Pairs
+    where either direction's containment >= threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = ops.lsh_candidate_pairs(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE)
+    return ops.containment_pairs(docs, cand, MINHASH_SHINGLE).filter(
+        F.col("containment") >= CONTAINMENT_MIN
+    )
+
+
+def q_canonical_docs(spark, sf_dir):
+    """Quality-aware canonical election per duplicate group: the dup_groups
+    pipeline (LSH -> Jaccard >= threshold -> 3-round min-label propagation)
+    re-elected by quality_score instead of min-id — the doc the dedup pass
+    should KEEP. Composes three graded operators end to end."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs,
+        ops.lsh_candidate_pairs(docs, MINHASH_N, LSH_BANDS, MINHASH_SHINGLE),
+        MINHASH_SHINGLE,
+    ).filter(F.col("jaccard") >= NEARDUP_JACCARD)
+    pairs = ops.persist_bounded(pairs)
+    groups = ops.duplicate_groups(pairs, iterations=DUP_GROUP_ITERS)
+    scores = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return ops.elect_canonical(groups, scores)
+
+
+BLOOM_PROBE_MOD = 5  # docs with doc_id % 5 == 0 are the probe side
+SEM_EVAL_MOD = 17    # embeddings with vec_id % 17 == 0 act as the eval set
+
+
+def q_bloom_tokens(spark, sf_dir):
+    """Relational Bloom filter (the third mergeable sketch, after CMS and
+    KMV): build over the corpus side's shingles (docs outside the probe
+    slice), probe the probe slice's distinct shingles, and report
+    bloom_hit vs exact membership side by side — false positives are the
+    sketch's documented error; false negatives are impossible and the
+    oracle would catch one."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), MINHASH_SHINGLE))
+        ).alias("shingle"),
+    )
+    corpus_keys = (
+        sh.filter(F.col("doc_id") % BLOOM_PROBE_MOD != 0).select("shingle").distinct()
+    )
+    probes = (
+        sh.filter(F.col("doc_id") % BLOOM_PROBE_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = ops.bloom_build(corpus_keys, "shingle")
+    hits = ops.bloom_probe(bloom, probes, "shingle")
+    exact = corpus_keys.select(F.col("shingle").alias("probe_key")).withColumn(
+        "exact", F.lit(True)
+    )
+    return hits.join(exact, "probe_key", "left").select(
+        "probe_key",
+        "bloom_hit",
+        F.coalesce(F.col("exact"), F.lit(False)).alias("exact"),
+    )
+
+
+def q_novelty_scores(spark, sf_dir):
+    """First-occurrence novelty per doc: fraction of its distinct shingles
+    first seen (by ingest order = doc_id) in that doc — the curation
+    signal between exact dedup and diversity sampling. Two map-side-
+    combinable shuffles; BIGINT/BIGINT ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.novelty_scores(docs, MINHASH_SHINGLE)
+
+
+def q_semantic_contamination(spark, sf_dir):
+    """Cross-table SemDeDup: corpus embeddings vs an eval slice, candidate
+    pairs bounded to shared IVF cells from the CORPUS-derived centroid
+    bank — the embedding-space complement of the lexical 8-gram
+    contamination gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % SEM_EVAL_MOD != 0)
+    ev = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0)
+    return ops.semantic_contamination(
+        corpus, ev, threshold=EMB_NEARDUP_THRESHOLD, n_centroids=IVF_CENTROIDS
+    )
+
+
+def q_bigram_lm_scores(spark, sf_dir):
+    """Corpus-trained bigram LM quality scoring (the KenLM-perplexity-filter
+    analog): train add-one-smoothed bigram counts over the corpus (one
+    map-side-combined shuffle), score every doc by mean smoothed bigram
+    probability via a hash join on the bigram key — fixed-point BIGINT
+    aggregation, no broadcast assumption on the model table."""
+    docs = _t(spark, sf_dir, "documents")
+    model, vocab = ops.train_bigram_lm(docs)
+    return ops.bigram_lm_scores(docs, model, vocab)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -1992,12 +2123,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shards_asof": q_shards_asof,
         "knn_join_probe_guarded": q_knn_join_probe_guarded,
         "index_ingest": q_index_ingest,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "containment_dups": q_containment_dups,
+        "canonical_docs": q_canonical_docs,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "bloom_tokens": q_bloom_tokens,
+        "novelty_scores": q_novelty_scores,
+        "semantic_contamination": q_semantic_contamination,
         # --- new in round 7 (never checked) go here ---
         # --- r6-window stayers filling the window to 50 ---
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
         "sales_rollup": q_sales_rollup,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r06; due back in r8) ---
         "price_percentiles": q_price_percentiles,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
@@ -2005,8 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "topk_per_group": q_topk_per_group,
         "cust_running_total": q_cust_running_total,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r06; due back in r8) ---
         "sales_cube": q_sales_cube,
         "priority_distinct": q_priority_distinct,
         "latest_events": q_latest_events,
@@ -2637,6 +2775,188 @@ FROM l{DUP_GROUP_ITERS}"""
 WITH g AS ({dup_groups_sql})
 SELECT d.doc_id, CASE {_lk_case} END AS split
 FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id"""
+
+    # canonical_docs: the dup_groups CTE re-elected by quality (ties ->
+    # min doc_id), exactly elect_canonical's window
+    sql["canonical_docs"] = f"""
+WITH g AS ({dup_groups_sql}), q AS ({_quality_sql()})
+SELECT doc_id, group_id, quality,
+       row_number() OVER (PARTITION BY group_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS is_canonical
+FROM (SELECT g.doc_id, g.group_id, q.quality
+      FROM g JOIN q ON q.doc_id = g.doc_id)"""
+
+    # tfidf_cosine_pairs: df-capped posting self-join, BIGINT fixed-point
+    # dot/norm sums (order-independent), one double division at the end —
+    # the exact plan tfidf_cosine_pairs builds
+    sql["tfidf_cosine_pairs"] = f"""
+WITH postings AS (
+  SELECT doc_id, h AS term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(list_transform({sh3}, s -> {_HASH60('s')})) AS h
+    FROM documents
+  ) GROUP BY doc_id, h
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+weighted AS (
+  SELECT p.doc_id, p.term, d.df,
+         round(1000000.0 * p.tf / (d.df + 1.0))::BIGINT AS w6
+  FROM postings p JOIN dfreq d USING (term)
+  WHERE d.df <= {TFIDF_DF_CAP}
+),
+norms AS (SELECT doc_id, sum(w6 * w6)::BIGINT AS norm2 FROM weighted GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w6 * b.w6)::BIGINT AS dot
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.df >= {TFIDF_DF_MIN}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT doc_a, doc_b,
+         round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+  FROM dots JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+) WHERE cosine >= {TFIDF_COSINE}"""
+
+    # containment_dups: LSH candidates verified with asymmetric shingle
+    # containment in both directions
+    sql["containment_dups"] = f"""WITH {_minhash_sig_sql()}, {_lsh_pairs_sql()},
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
+  FROM documents
+)
+SELECT doc_a, doc_b, containment_a, containment_b,
+       greatest(containment_a, containment_b) AS containment
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(a.sh) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+               ELSE 0.0 END, 6) AS containment_a,
+         round(CASE WHEN len(b.sh) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)
+               ELSE 0.0 END, 6) AS containment_b
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.doc_a
+  JOIN shingled b ON b.doc_id = c.doc_b
+) WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_MIN}"""
+
+    # bigram_lm_scores: add-one-smoothed bigram LM trained on the corpus,
+    # mean smoothed probability per doc in p6 fixed-point
+    sql["bigram_lm_scores"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+bigrams AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM toks WHERE len(toks) >= 2
+  )
+),
+cbig AS (SELECT w1, w2, count(*)::BIGINT AS c_big FROM bigrams GROUP BY 1, 2),
+cuni AS (SELECT w1, sum(c_big)::BIGINT AS c_uni FROM cbig GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(toks) AS t FROM toks)
+),
+scored AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(round(1000000.0 * ((coalesce(m.c_big, 0) + 1.0)
+                                / (coalesce(u.c_uni, 0) + v.v)))::BIGINT)::BIGINT AS sum_p6
+  FROM bigrams b
+  LEFT JOIN cbig m ON m.w1 = b.w1 AND m.w2 = b.w2
+  LEFT JOIN cuni u ON u.w1 = b.w1
+  CROSS JOIN vocab v
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(CASE WHEN s.n_bigrams > 0
+             THEN s.sum_p6 / (s.n_bigrams * 1000000.0)
+             ELSE 0.0 END, 6) AS lm_score
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+    # bloom_tokens: the relational Bloom filter replayed end to end —
+    # build (3 salted positions per corpus shingle, 60-bit words, bit_or)
+    # and probe (all-positions-set conjunction) plus exact membership
+    _bpos = " UNION ALL ".join(
+        f"SELECT shingle, ({_HASH60('shingle', salt=f'bloom{i}:')}) % {BLOOM_M} AS pos "
+        "FROM {side}"
+        for i in range(BLOOM_K)
+    )
+    sql["bloom_tokens"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh3})) AS shingle FROM documents
+),
+corpus_keys AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BLOOM_PROBE_MOD} <> 0
+),
+probe_keys AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BLOOM_PROBE_MOD} = 0
+),
+cpos AS ({_bpos.replace('{side}', 'corpus_keys')}),
+bloom AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS bits
+  FROM cpos GROUP BY 1
+),
+ppos AS ({_bpos.replace('{side}', 'probe_keys')})
+SELECT p.shingle AS probe_key,
+       (count(*) FILTER (WHERE coalesce(b.bits, 0) & (1::BIGINT << (p.pos % {BLOOM_WORD_BITS})::INT) <> 0)
+        = count(*)) AS bloom_hit,
+       coalesce(max(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END), 0) = 1 AS exact
+FROM ppos p
+LEFT JOIN bloom b ON b.word_idx = p.pos // {BLOOM_WORD_BITS}
+LEFT JOIN corpus_keys c ON c.shingle = p.shingle
+GROUP BY p.shingle"""
+
+    # novelty_scores: shingle -> first doc attribution, per-doc ratio
+    sql["novelty_scores"] = f"""
+WITH e AS (
+  SELECT doc_id, unnest(list_distinct(list_transform({sh3}, s -> {_HASH60('s')}))) AS h
+  FROM documents
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY h)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM e JOIN first USING (h) GROUP BY doc_id"""
+
+    # semantic_contamination: corpus-derived centroid bank, both sides
+    # cell-assigned, within-cell cross join at the threshold
+    _sc_cos = (
+        "round(list_dot_product(a.vc, e.ve) / "
+        "(sqrt(list_dot_product(a.vc, a.vc)) * sqrt(list_dot_product(e.ve, e.ve))), 6)"
+    )
+    _sc_assign = (
+        "SELECT result_id, {v} AS {vout}, cell FROM ("
+        "  SELECT x.result_id, x.{v}, c.cent_id AS cell,"
+        "         row_number() OVER ("
+        "           PARTITION BY x.result_id"
+        "           ORDER BY round(list_dot_product(x.{v}, c.cent_vec) /"
+        "                    (sqrt(list_dot_product(x.{v}, x.{v})) * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6) DESC,"
+        "                    c.cent_id ASC) AS rnk"
+        "  FROM {src} x CROSS JOIN cents c"
+        ") WHERE rnk = 1"
+    )
+    sql["semantic_contamination"] = f"""
+WITH corpus AS (
+  SELECT vec_id AS result_id, embedding::DOUBLE[] AS vc
+  FROM embeddings WHERE vec_id % {SEM_EVAL_MOD} <> 0
+),
+ev AS (
+  SELECT vec_id AS result_id, embedding::DOUBLE[] AS ve
+  FROM embeddings WHERE vec_id % {SEM_EVAL_MOD} = 0
+),
+cents AS (
+  SELECT result_id AS cent_id, vc AS cent_vec
+  FROM corpus ORDER BY result_id LIMIT {IVF_CENTROIDS}
+),
+ca AS ({_sc_assign.format(v='vc', vout='vc', src='corpus')}),
+ea AS ({_sc_assign.format(v='ve', vout='ve', src='ev')})
+SELECT a.result_id AS doc_id, e.result_id AS eval_id, a.cell AS cell,
+       {_sc_cos} AS cosine
+FROM ca a JOIN ea e ON e.cell = a.cell
+WHERE {_sc_cos} >= {EMB_NEARDUP_THRESHOLD}"""
 
     sql["simhash"] = _simhash_sql()
 

@@ -34,6 +34,8 @@ from .relational import (  # noqa: F401
     stratified_sample_deterministic,
 )
 from .sketch import (  # noqa: F401
+    bloom_build,
+    bloom_probe,
     count_min_build,
     count_min_estimate,
     kmv_build,
@@ -65,17 +67,26 @@ from .cleanse import (  # noqa: F401
     line_document_frequency,
     remove_boilerplate_lines,
 )
+from .lm import (  # noqa: F401
+    bigram_lm_scores,
+    train_bigram_lm,
+)
 from .dedup import (  # noqa: F401
     bucket_stats,
     cluster_top_terms,
+    containment_pairs,
     persist_bounded,
     duplicate_groups,
+    elect_canonical,
+    tfidf_cosine_pairs,
     embedding_near_duplicates,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
+    novelty_scores,
+    semantic_contamination,
     semantic_duplicates,
     simhash,
     simhash_chunks,

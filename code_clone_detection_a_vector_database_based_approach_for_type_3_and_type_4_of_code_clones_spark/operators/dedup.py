@@ -936,3 +936,285 @@ def cluster_top_terms(embeddings: DataFrame, docs: DataFrame,
         .filter(F.col("rank") <= top_n)
         .select("cell", "token", "n", "rank")
     )
+
+
+def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
+                       df_min: int = 2, df_cap: int = 20,
+                       threshold: float = 0.5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF cosine pair mining over df-capped shingle postings —
+    the EXACT-cosine complement to MinHash-LSH (which is probabilistic and
+    Jaccard-shaped): document-pair candidate generation by self-joining the
+    inverted index, restricted to discriminative terms.
+
+    The pruning rule is the classic all-pairs similarity bound (Bayardo et
+    al., WWW'07): a term with document frequency df contributes df^2 pair
+    rows to the self-join, so dropping terms with ``df > df_cap`` bounds
+    total join work by ``df_cap * |postings|`` — LINEAR in corpus size with
+    a constant knob, never N^2. Terms with ``df < df_min`` (hapax shingles)
+    cannot co-occur, so they are skipped in the join but still counted in
+    the norms: the cosine is exact over the ``df <= df_cap`` vector space.
+
+    Everything stays fixed-point so the oracle replays bit-identically:
+    weights are ``w6 = round(1e6 * tf/(df+1))`` BIGINTs (the engine's
+    ln-free idf surrogate, see tfidf_top_terms), dot products and norms are
+    BIGINT sums (order-independent — a double sum would depend on Spark's
+    partition order), and the final cosine divides once in doubles.
+    Max |w6| ~ 5e6, per-term product ~ 2.5e13, row sums << 2^62: no
+    overflow in either engine.
+
+    One shuffle for tf, one for df, one for the bounded pair groupBy.
+    Output: ``doc_a, doc_b, cosine`` (cosine >= threshold).
+    """
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(F.col("toks"), shingle_n),
+                            lambda s: stable_hash64(s))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = (
+        postings.join(dfreq, "term")
+        .filter(F.col("df") <= F.lit(int(df_cap)))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.round(F.lit(1000000.0) * F.col("tf") / (F.col("df") + F.lit(1.0)))
+            .cast("bigint")
+            .alias("w6"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w6") * F.col("w6")).alias("norm2")
+    )
+    joinable = weighted.filter(F.col("df") >= F.lit(int(df_min)))
+    dots = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w6") * F.col("b.w6")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    cosine = F.round(
+        F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def containment_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      eager_persist: bool = True) -> DataFrame:
+    """Verify candidate pairs with ASYMMETRIC shingle containment
+    ``|A n B| / |A|`` (both directions) — the measure that catches
+    quote/extraction/subset duplicates Jaccard structurally misses: a
+    200-token doc fully embedded in a 10k-token doc has Jaccard ~ 0.02 but
+    containment_a = 1.0.
+
+    Same set-relational shape as ngram_jaccard_pairs (the intersection is a
+    hash-join count through the broadcast candidate set; SHA-256 once per
+    shingle), so verification cost is bounded by the candidate set, not
+    N^2. Candidates from MinHash-LSH under-recall extreme-size-ratio pairs
+    (MinHash collision probability tracks Jaccard); for a containment-heavy
+    workload, band bottom-k sketches of the SMALLER side instead — the
+    verification below is measure-agnostic either way.
+
+    Output: ``doc_a, doc_b, containment_a, containment_b, containment``
+    (containment = max of the two directions).
+    """
+    pairs = persist_bounded(pairs, eager=eager_persist)
+    e = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles(F.col("toks"), shingle_n),
+                                lambda s: stable_hash64(s))
+                )
+            ).alias("h"),
+        )
+    )
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        e.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    inter = (
+        F.broadcast(pairs)
+        .join(e.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(e.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    c_a = F.round(
+        F.when(F.coalesce(F.col("n_a"), F.lit(0)) > 0,
+               n_inter.cast("double") / F.col("n_a")).otherwise(0.0), 6
+    )
+    c_b = F.round(
+        F.when(F.coalesce(F.col("n_b"), F.lit(0)) > 0,
+               n_inter.cast("double") / F.col("n_b")).otherwise(0.0), 6
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sz_a), "doc_a", "left")
+        .join(F.broadcast(sz_b), "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+    )
+
+
+def elect_canonical(groups: DataFrame, scores: DataFrame) -> DataFrame:
+    """Quality-aware canonical election per duplicate group: where
+    duplicate_groups keeps the MINIMUM id (deterministic but arbitrary),
+    this re-elects each group's best-quality member as the canonical doc —
+    the document the dedup pass should KEEP when members differ in quality
+    (truncation, boilerplate, OCR noise).
+
+    ``groups``: ``doc_id, group_id`` (duplicate_groups output).
+    ``scores``: ``doc_id, quality`` (any deterministic score column).
+    Ties break by ascending doc_id, so election is total and replayable.
+
+    One window shuffle partitioned by group_id over the grouped docs only
+    (a tiny fraction of the corpus); scores join is a plain equi-join
+    pruned to grouped docs first, so the score table never shuffles more
+    than the group membership.
+
+    Output: ``doc_id, group_id, quality, is_canonical``.
+    """
+    from pyspark.sql import Window
+
+    member_scores = groups.select("doc_id", "group_id").join(scores, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        member_scores.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "quality",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+def novelty_scores(docs: DataFrame, shingle_n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    distinct shingles whose FIRST appearance (by ascending doc_id — the
+    crawl/ingest order) is in that doc. A high-novelty doc contributes new
+    n-gram mass to the corpus; a low-novelty doc is re-treading earlier
+    content even when no single pair crosses a near-dup threshold — the
+    curation signal between exact dedup and diversity sampling.
+
+    Two shuffles, both map-side-combinable: (shingle -> min doc_id)
+    attribution, then the per-doc ratio join back on the shingle hash. The
+    ratio is one BIGINT/BIGINT division — deterministic across engines.
+
+    Output: ``doc_id, n_shingles, n_novel, novelty`` for every doc with at
+    least one shingle (shorter docs have no shingle evidence and are
+    omitted rather than scored 0 — absence of evidence, not evidence of
+    staleness).
+    """
+    e = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles(F.col("toks"), shingle_n),
+                                lambda s: stable_hash64(s))
+                )
+            ).alias("h"),
+        )
+    )
+    first = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        e.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count_if(F.col("first_doc") == F.col("doc_id"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def semantic_contamination(corpus_emb: DataFrame, eval_emb: DataFrame,
+                           threshold: float = 0.95, n_centroids: int = 16,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Cross-table SemDeDup: flag CORPUS documents semantically too close
+    to an EVAL-set document — the embedding-space complement of the
+    lexical 8-gram ``ngram_contamination`` gate (paraphrased eval leakage
+    that n-gram matching misses).
+
+    Both sides are assigned to the SAME centroid bank — derived from the
+    corpus, so the (small) eval side rides the corpus's existing IVF
+    layout — and candidate pairs form only within shared cells:
+    sum(|corpus_cell| x |eval_cell|) work, never |corpus| x |eval|.
+    Cross-cell matches are missed BY DESIGN (same boundary trade as
+    semantic_duplicates; more centroids sharpen cells, fewer widen them).
+    Assignment is a map-side projection against the broadcast bank; the
+    only shuffle is the join on ``cell``, and the eval side is broadcast
+    when small (the normal case — eval suites are thousands of rows).
+
+    Output: ``doc_id, eval_id, cell, cosine`` — every corpus/eval pair at
+    or above the threshold (a corpus doc near two eval docs appears
+    twice; downstream drops on distinct doc_id).
+    """
+    from ..functions.vector import cosine_similarity
+    from .knn import _assign_cells, _centroid_bank
+
+    cent_vecs, cent_ids = _centroid_bank(
+        corpus_emb, n_centroids, id_col, vec_col, 0, 2048
+    )
+    corpus = _assign_cells(corpus_emb, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias("doc_id"), F.col("vec").alias("vc"), "cell"
+    )
+    ev = _assign_cells(eval_emb, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias("eval_id"), F.col("vec").alias("ve"), "cell"
+    )
+    return (
+        corpus.join(F.broadcast(ev), "cell")
+        .withColumn("cosine", F.round(cosine_similarity(F.col("vc"), F.col("ve")), 6))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("doc_id", "eval_id", "cell", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Corpus-trained bigram language-model scoring (beyond-reference
+extension; BASELINE.json north star: "quality scoring" at pipeline scale).
+
+The KenLM-style perplexity filter every pretraining pipeline runs (CCNet,
+Gopher, RefinedWeb all gate on an n-gram LM score), re-expressed as two
+relational passes that Catalyst fully optimizes:
+
+1. TRAIN — one groupBy over exploded token bigrams (map-side partial
+   aggregation, a single shuffle on the bigram key) producing
+   ``c(w1,w2)``; the unigram denominator ``c(w1) = sum_w2 c(w1,w2)`` is a
+   second map-side-combined groupBy OVER THE COUNTS table (already
+   vocab^2-bounded, not corpus-bounded); vocabulary size V is one scalar
+   aggregate, carried as a broadcast 1-row frame so the plan stays lazy.
+2. SCORE — the scored docs' bigrams hash-join the model on (w1, w2). At
+   100 TB the model table is billions of rows: the join shuffles on the
+   bigram key, hot bigrams are 1-row build-side keys (probe-side skew
+   only, which AQE skew-split absorbs). No broadcast assumption.
+
+Determinism contract (the engine-wide fixed-point convention): the
+smoothed probability ``p = (c(w1,w2)+1) / (c(w1)+V)`` is one double
+division — bit-identical across engines — then quantized to
+``p6 = round(1e6 * p)`` BIGINT, and per-doc aggregation sums BIGINTs
+(order-independent where a double sum is not). The doc score is the mean
+smoothed bigram probability — the ln-free surrogate of mean log-prob (see
+tfidf_top_terms for the same trade): ln() parity across libms is not
+guaranteed, the MEAN-PROB ranking is, and at real scale the identical
+plan runs with ln() at zero structural change.
+
+Add-one smoothing means held-out docs (score_docs != train_docs) get a
+well-defined nonzero probability for unseen bigrams via the left join's
+``c=0`` default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode each doc's token stream into (doc_id, w1, w2) bigram rows —
+    pure array expressions until the single explode."""
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Train the add-one-smoothed bigram model.
+
+    Returns ``(model, vocab)``: ``model`` is ``w1, w2, c_big, c_uni``
+    (the unigram count denormalized onto each bigram row so scoring joins
+    ONCE), ``vocab`` is a 1-row frame with column ``v`` = distinct-token
+    vocabulary size (broadcast-joined by the scorer — never collected, so
+    train+score compose into one lazy plan the analyze-only gate can
+    build without executing).
+    """
+    bigrams = _doc_bigrams(train_docs, text_col, id_col)
+    c_big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    c_uni = c_big.groupBy("w1").agg(F.sum("c_big").alias("c_uni"))
+    model = c_big.join(c_uni, "w1")
+    vocab = (
+        train_docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return model, vocab
+
+
+def bigram_lm_scores(score_docs: DataFrame, model: DataFrame, vocab: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a trained bigram model: mean add-one-smoothed
+    bigram probability per doc (the deterministic surrogate of mean
+    log-prob — see module docstring). Unseen bigrams fall back to
+    ``(0+1)/(c_uni+V)`` (or ``1/V`` for an unseen w1), so held-out docs
+    score without special-casing.
+
+    Output: ``doc_id, n_bigrams, lm_score`` for EVERY input doc
+    (``n_bigrams = 0`` docs score 0.0, kept so the downstream quality gate
+    sees them rather than silently dropping them).
+    """
+    bigrams = _doc_bigrams(score_docs, text_col, id_col)
+    # unseen-w1 fallback needs c_uni for the observed w1 even when the
+    # exact bigram is absent: join the model on both keys, then the
+    # unigram margins on w1 alone.
+    margins = model.select("w1", "c_uni").distinct()
+    p = (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
+    )
+    p6 = F.round(F.lit(1000000.0) * p).cast("bigint")
+    scored = (
+        bigrams.join(model.select("w1", "w2", "c_big"), ["w1", "w2"], "left")
+        .join(margins, "w1", "left")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(p6).alias("sum_p6"),
+        )
+    )
+    return (
+        score_docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.col("sum_p6") / (F.col("n_bigrams") * F.lit(1000000.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("lm_score"),
+        )
+    )

@@ -164,3 +164,87 @@ def kmv_estimate(
     return grouped.select(
         *group_cols, "n_obs", est.cast("bigint").alias("est_distinct")
     )
+
+
+# --- Bloom filter -----------------------------------------------------------
+# Same design brief as CMS/KMV: Spark has F.bloom_filter_agg-style opaque
+# blobs (and DataFrameStatFunctions), but an opaque binary sketch cannot be
+# verified cross-engine or merged relationally. This Bloom filter is a
+# (word_idx, bits) TABLE: k salted stable_hash64 positions per key, packed
+# 60 bits per BIGINT word (bit 59 max keeps every word positive — no
+# signed-overflow divergence between engines), OR-aggregated per word.
+
+BLOOM_K = 3            # hash functions
+BLOOM_M = 1 << 14      # filter size in bits
+BLOOM_WORD_BITS = 60   # bits packed per BIGINT word (positive-safe)
+
+
+def _bloom_positions(key: Column, k: int, m: int) -> Column:
+    return F.array(
+        *[(stable_hash64(key, salt=f"bloom{i}:") % m) for i in range(k)]
+    )
+
+
+def _word_mask(pos: Column) -> Column:
+    """``1 << (pos % 60)`` with a COLUMN shift amount (F.shiftleft only
+    takes a literal count): index a 60-entry power-of-two array literal —
+    constant-folded, stays in whole-stage codegen. Bit 59 max keeps every
+    word positive (no signed-overflow divergence between engines)."""
+    masks = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(BLOOM_WORD_BITS)]
+    )
+    return F.element_at(masks, (pos % BLOOM_WORD_BITS).cast("int") + 1)
+
+
+def bloom_build(df: DataFrame, key: Column | str, k: int = BLOOM_K,
+                m: int = BLOOM_M) -> DataFrame:
+    """Build the relational Bloom filter over a key column.
+
+    Output: ``word_idx BIGINT, bits BIGINT`` — only touched words
+    materialize (absent words are implicitly 0). Mergeable across
+    corpora/increments with a further ``groupBy(word_idx).agg(bit_or)``;
+    the shuffle carries at most ``m / 60`` words per map partition
+    regardless of corpus size (map-side partial bit_or).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.explode(_bloom_positions(kc, k, m)).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("bigint").alias("word_idx"),
+            _word_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, key: Column | str,
+                k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """Probe membership: a key is a HIT iff all k of its bit positions are
+    set. Never a false negative; false-positive rate ~ (1 - e^{-kn/m})^k.
+
+    The filter table is at most ``m/60`` rows — broadcast onto the probe
+    stream, so probing is map-side (no shuffle of the probe side beyond
+    the per-key groupBy counting satisfied positions).
+
+    Output: one row per input probe row with ``bloom_hit BOOLEAN``.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    exploded = probes.select(
+        kc.alias("probe_key"), F.explode(_bloom_positions(kc, k, m)).alias("pos")
+    ).select(
+        "probe_key",
+        "pos",
+        (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("bigint").alias("word_idx"),
+        _word_mask(F.col("pos")).alias("mask"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "set_",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0),
+        )
+        .groupBy("probe_key")
+        .agg((F.count_if(F.col("set_")) == F.count("*")).alias("bloom_hit"))
+    )
+    return hits

@@ -456,3 +456,182 @@ def test_semantic_duplicates_plan_shape(spark, embeddings):
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1  # the one shuffle on cell
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+            (4, "totally different words here now indeed"),
+        ],
+    )
+    out = {(r.doc_a, r.doc_b): r.cosine for r in tfidf_cosine_pairs(d, threshold=0.5).collect()}
+    # identical docs share every shingle with equal weights -> cosine 1.0
+    assert out == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_df_cap_prunes_hot_terms(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    # every doc shares the same hot shingle; with df_cap below the corpus
+    # size that term is pruned from the space, so no pair survives
+    rows = [(i, f"common common common tail{i} tail{i} tail{i}") for i in range(5)]
+    d = _docs(spark, rows)
+    out = tfidf_cosine_pairs(d, df_cap=3, threshold=0.0).collect()
+    assert out == []
+
+
+def test_tfidf_cosine_matches_numpy(spark):
+    import math
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    texts = {
+        1: "a b c d e f g",
+        2: "a b c d e f x",
+        3: "a b c q r s t",
+    }
+    d = _docs(spark, list(texts.items()))
+    got = {(r.doc_a, r.doc_b): r.cosine for r in tfidf_cosine_pairs(d, threshold=0.0).collect()}
+
+    # reference computation in plain python (same fixed-point contract)
+    def sh(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    from collections import Counter
+
+    tf = {i: Counter(sh(t)) for i, t in texts.items()}
+    df = Counter(term for c in tf.values() for term in c)
+    w6 = {
+        i: {t: round(1000000.0 * n / (df[t] + 1.0)) for t, n in c.items() if df[t] <= 20}
+        for i, c in tf.items()
+    }
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                shared = [t for t in w6[a] if t in w6[b] and df[t] >= 2]
+                if not shared:
+                    continue
+                dot = sum(w6[a][t] * w6[b][t] for t in shared)
+                na = sum(v * v for v in w6[a].values())
+                nb = sum(v * v for v in w6[b].values())
+                want[(a, b)] = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+    assert got == want
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # doc 1 is a strict prefix of doc 2 (every shingle of 1 appears in 2)
+    small = "w1 w2 w3 w4 w5 w6"
+    big = small + " " + " ".join(f"x{i}" for i in range(40))
+    d = _docs(spark, [(1, small), (2, big)])
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = containment_pairs(d, pairs).first()
+    assert row.containment_a == 1.0  # fully contained
+    assert row.containment == 1.0
+    assert row.containment_b < 0.2  # the Jaccard-shaped direction is tiny
+
+
+def test_containment_empty_side_zero(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = _docs(spark, [(1, "too short"), (2, "w1 w2 w3 w4 w5")])
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = containment_pairs(d, pairs).first()
+    assert row.containment_a == 0.0 and row.containment_b == 0.0
+    assert row.containment == 0.0
+
+
+def test_elect_canonical_prefers_quality_then_min_id(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        elect_canonical,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, group_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {r.doc_id: r.is_canonical for r in elect_canonical(groups, scores).collect()}
+    # group 1: quality tie 2 vs 3 -> min id 2; keeper-by-id would be 1
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+def test_novelty_first_doc_owns_everything(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e"),          # 3 shingles, all first here
+            (2, "a b c d e"),          # exact copy -> novelty 0
+            (3, "a b c x y z"),        # shares 'a b c' with doc 1
+        ],
+    )
+    out = {r.doc_id: r for r in novelty_scores(d).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_shingles == 3
+    assert out[2].novelty == 0.0
+    # doc 3: shingles = [a b c, b c x, c x y, x y z]; only 'a b c' is old
+    assert out[3].n_shingles == 4 and out[3].n_novel == 3
+    assert out[3].novelty == 0.75
+
+
+def test_novelty_short_docs_omitted(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    d = _docs(spark, [(1, "a b c d"), (2, "too short")])
+    ids = {r.doc_id for r in novelty_scores(d).collect()}
+    assert ids == {1}
+
+
+def test_semantic_contamination_flags_planted_match(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        semantic_contamination,
+    )
+
+    # corpus: 40 near-orthogonal unit-ish vectors; eval vec 1000 copies
+    # corpus vec 7 exactly -> must be flagged with cosine 1.0
+    import math
+
+    def unit(i, dim=8):
+        v = [((i * 31 + j * 17) % 97) / 97.0 + 0.01 for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, unit(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(1000, unit(7)), (1001, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_contamination(corpus, ev, threshold=0.999, n_centroids=4)
+    rows = out.collect()
+    assert any(r.doc_id == 7 and r.eval_id == 1000 and r.cosine >= 0.999 for r in rows)
+    # the orthogonal eval vector must not flag anything at this threshold
+    assert all(r.eval_id != 1001 for r in rows)

@@ -101,3 +101,62 @@ def test_kmv_groups_are_independent(spark):
     }
     assert est["small"] == 3
     assert 250 <= est["big"] <= 750
+
+
+# --- Bloom -----------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(200)], "k string")
+    bloom = bloom_build(keys, "k")
+    out = {r.probe_key: r.bloom_hit for r in bloom_probe(bloom, keys, "k").collect()}
+    assert len(out) == 200 and all(out.values())  # every member must hit
+
+
+def test_bloom_rejects_most_non_members(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(f"in{i}",) for i in range(500)], "k string")
+    others = spark.createDataFrame([(f"out{i}",) for i in range(500)], "k string")
+    bloom = bloom_build(members, "k")
+    hits = [r.bloom_hit for r in bloom_probe(bloom, others, "k").collect()]
+    # m=2^14, k=3, n=500 -> fp ~ (1-e^{-3*500/16384})^3 ~ 6e-4; allow slack
+    assert sum(hits) <= 5
+
+
+def test_bloom_merge_is_bitor(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+    b = spark.createDataFrame([("b1",), ("b2",)], "k string")
+    merged = (
+        bloom_build(a, "k")
+        .unionByName(bloom_build(b, "k"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), "k")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_bloom_words_stay_positive(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(2000)], "k string")
+    row = bloom_build(keys, "k").agg(F.min("bits")).collect()[0]
+    assert row[0] > 0  # 60-bit packing: no sign-bit divergence possible
