@@ -279,6 +279,16 @@ def bench_queries(spark, sf_dir):
             quantized=True, rerank_path=ivf_dir, centroids=ivf_centroids,
         )
 
+    def q_tfidf_cosine():
+        return ops.tfidf_cosine_pairs(docs, threshold=0.5)
+
+    def q_bigram_lm():
+        model, vocab = ops.train_bigram_lm(docs)
+        return ops.bigram_lm_scores(docs, model, vocab)
+
+    def q_novelty():
+        return ops.novelty_scores(docs)
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
         "quantized_rerank": q_quantized_rerank,
@@ -286,6 +296,9 @@ def bench_queries(spark, sf_dir):
         "semantic_dedup": q_semantic_dedup,
         "corpus_prep_funnel": q_corpus_prep,
         "shard_export": q_shard_export,
+        "tfidf_cosine_pairs": q_tfidf_cosine,
+        "bigram_lm": q_bigram_lm,
+        "novelty": q_novelty,
     }
 
     return {

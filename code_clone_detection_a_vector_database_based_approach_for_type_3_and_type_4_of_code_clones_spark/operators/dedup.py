@@ -942,7 +942,8 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
                        df_min: int = 2, df_cap: int = 20,
                        threshold: float = 0.5,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       persist_weighted: bool = True) -> DataFrame:
     """Sparse TF-IDF cosine pair mining over df-capped shingle postings —
     the EXACT-cosine complement to MinHash-LSH (which is probabilistic and
     Jaccard-shaped): document-pair candidate generation by self-joining the
@@ -966,6 +967,16 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
 
     One shuffle for tf, one for df, one for the bounded pair groupBy.
     Output: ``doc_a, doc_b, cosine`` (cosine >= threshold).
+
+    ``persist_weighted`` (default): the weighted-postings frame feeds
+    THREE consumers (norms, and both sides of the term self-join), and
+    Spark does not dedupe common subplans — unpersisted, the SHA-256
+    shingle explode re-runs per consumer (measured 1.7x wall-clock at
+    50k docs). The persist is corpus-sized (MEMORY_AND_DISK via
+    ``.persist()``), which is the right trade at any scale where
+    re-hashing the corpus three times costs more than spilling the
+    postings once; pass False from plan builders that must not execute
+    at construction, or where the postings exceed cluster storage.
     """
     postings = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
@@ -992,6 +1003,14 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
             .alias("w6"),
         )
     )
+    if persist_weighted:
+        # lazy (not eager): plan BUILDERS must not execute (analyze-only
+        # gate), and no consumer broadcasts `weighted` itself, so the
+        # eager-persist race ngram_jaccard_pairs guards against can at
+        # worst re-derive once here, not corrupt. Bounded registry
+        # evicts+unpersists, so sessions can't pin corpus-sized blocks
+        # without limit.
+        weighted = persist_bounded(weighted, eager=False)
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w6") * F.col("w6")).alias("norm2")
     )
@@ -1180,7 +1199,8 @@ def novelty_scores(docs: DataFrame, shingle_n: int = 3,
 def semantic_contamination(corpus_emb: DataFrame, eval_emb: DataFrame,
                            threshold: float = 0.95, n_centroids: int = 16,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           broadcast_eval: bool = True) -> DataFrame:
     """Cross-table SemDeDup: flag CORPUS documents semantically too close
     to an EVAL-set document — the embedding-space complement of the
     lexical 8-gram ``ngram_contamination`` gate (paraphrased eval leakage
@@ -1193,8 +1213,11 @@ def semantic_contamination(corpus_emb: DataFrame, eval_emb: DataFrame,
     Cross-cell matches are missed BY DESIGN (same boundary trade as
     semantic_duplicates; more centroids sharpen cells, fewer widen them).
     Assignment is a map-side projection against the broadcast bank; the
-    only shuffle is the join on ``cell``, and the eval side is broadcast
-    when small (the normal case — eval suites are thousands of rows).
+    only shuffle is the join on ``cell``. ``broadcast_eval`` (default)
+    broadcasts the eval side so the corpus NEVER shuffles — right
+    whenever the eval suite is driver-broadcastable (the normal case,
+    thousands of rows); pass False for an eval set too large to
+    broadcast and the join falls back to a shuffle on ``cell``.
 
     Output: ``doc_id, eval_id, cell, cosine`` — every corpus/eval pair at
     or above the threshold (a corpus doc near two eval docs appears
@@ -1212,8 +1235,10 @@ def semantic_contamination(corpus_emb: DataFrame, eval_emb: DataFrame,
     ev = _assign_cells(eval_emb, cent_vecs, cent_ids, id_col, vec_col).select(
         F.col("result_id").alias("eval_id"), F.col("vec").alias("ve"), "cell"
     )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     return (
-        corpus.join(F.broadcast(ev), "cell")
+        corpus.join(ev, "cell")
         .withColumn("cosine", F.round(cosine_similarity(F.col("vc"), F.col("ve")), 6))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("doc_id", "eval_id", "cell", "cosine")

@@ -1,0 +1,155 @@
+"""Scale receipts for the r7 text-pipeline operators — tfidf_cosine_pairs,
+bigram_lm_scores, novelty_scores, bloom build+probe — at 50k-500k docs
+(beyond the 5k-row fixtures).
+
+The question each row answers:
+
+- tfidf_cosine_pairs: does the df-cap ACTUALLY bound the posting
+  self-join when the corpus carries hot terms? Two corpora per size —
+  "clean" token soup (5% planted one-token-substitution near-dups, like
+  dedup_scale_sweep) and "hot" (the same corpus with a 6-token boilerplate
+  prefix stamped on 30%% of docs, so its shingles' df is ~0.3*N — five
+  orders of magnitude over the cap at 500k). Uncapped, the hot shingles
+  alone would contribute ~(0.3N)^2 = 2.25e10 join rows at 500k; with the
+  cap they are pruned from the pair space entirely, so hot wall-clock must
+  track clean wall-clock and found pairs must track the planted dups.
+- bigram_lm_scores: train+score wall-clock per doc must stay ~flat (model
+  table is vocab^2-bounded, scoring is one hash join per doc-bigram).
+- novelty_scores / bloom: both are two-shuffle map-side-combinable plans;
+  per-doc cost must stay flat.
+
+All text is seeded NumPy (no fixture mutation); every measurement is
+wall-clock of a count() over the full plan.
+
+Usage: python tools/text_ops_scale.py [sizes...]   (default 50000 200000;
+pass 500000 for the big row). Prints a markdown table + one JSON line per
+size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+import code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators as ops  # noqa: E402
+
+SEED = 7
+VOCAB = 1000
+DOC_TOKENS = 120
+NEAR_DUP_FRAC = 0.05
+HOT_FRAC = 0.3
+HOT_PREFIX = "hdr0 hdr1 hdr2 hdr3 hdr4 hdr5"
+
+
+def synth_docs(spark, n: int, hot: bool):
+    rng = np.random.default_rng(SEED)
+    vocab = [f"w{i:04d}" for i in range(VOCAB)]
+    rows = []
+    for i in range(n):
+        toks = rng.integers(0, VOCAB, size=DOC_TOKENS)
+        text = " ".join(vocab[t] for t in toks)
+        if hot and i % int(1 / HOT_FRAC) == 0:
+            text = HOT_PREFIX + " " + text
+        rows.append((i, text))
+    n_dup = int(n * NEAR_DUP_FRAC)
+    for j in range(n_dup):
+        base = rows[j][1].split()
+        base[7] = "zsub"
+        rows.append((n + j, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+
+def timed(fn) -> tuple[float, int]:
+    """Best-of-2 (the bench.py protocol): the first pass pays codegen
+    compile, Python-worker spin-up, and any lazy-persist materialization;
+    the min is the steady-state number a warmed pipeline delivers."""
+    best, out = float("inf"), None
+    for _ in range(2):
+        t0 = time.monotonic()
+        out = fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 2), out
+
+
+def main() -> int:
+    sizes = [int(a) for a in sys.argv[1:]] or [50_000, 200_000]
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("text_ops_scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("| docs | planted | tfidf clean (s) | pairs | tfidf hot (s) | "
+          "pairs | bigram LM (s) | novelty (s) | bloom build+probe (s) |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for n in sizes:
+        planted = int(n * NEAR_DUP_FRAC)
+        clean = synth_docs(spark, n, hot=False).persist()
+        clean.count()
+        t_clean, n_clean = timed(
+            lambda: ops.tfidf_cosine_pairs(clean, threshold=0.5).count()
+        )
+        hotd = synth_docs(spark, n, hot=True).persist()
+        hotd.count()
+        t_hot, n_hot = timed(
+            lambda: ops.tfidf_cosine_pairs(hotd, threshold=0.5).count()
+        )
+
+        def lm():
+            model, vocab_df = ops.train_bigram_lm(clean)
+            return ops.bigram_lm_scores(clean, model, vocab_df).count()
+
+        t_lm, n_lm = timed(lm)
+        t_nov, _ = timed(lambda: ops.novelty_scores(clean).count())
+
+        def bloom():
+            from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+                tokens,
+                word_shingles,
+            )
+
+            sh = clean.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+                ).alias("shingle"),
+            )
+            corpus_keys = (
+                sh.filter(F.col("doc_id") % 5 != 0).select("shingle").distinct()
+            )
+            probes = sh.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+            b = ops.bloom_build(corpus_keys, "shingle", m=1 << 22)
+            return ops.bloom_probe(b, probes, "shingle", m=1 << 22).count()
+
+        t_bloom, _ = timed(bloom)
+        print(
+            f"| {n + planted} | {planted} | {t_clean} | {n_clean} | {t_hot} | "
+            f"{n_hot} | {t_lm} | {t_nov} | {t_bloom} |"
+        )
+        print(json.dumps({
+            "docs": n + planted, "planted": planted,
+            "tfidf_clean_s": t_clean, "tfidf_clean_pairs": n_clean,
+            "tfidf_hot_s": t_hot, "tfidf_hot_pairs": n_hot,
+            "bigram_lm_s": t_lm, "lm_rows": n_lm,
+            "novelty_s": t_nov, "bloom_s": t_bloom,
+        }))
+        clean.unpersist()
+        hotd.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
