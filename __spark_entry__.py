@@ -45,6 +45,8 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (  # noqa: E402
     MINHASH_P,
     SIMHASH_BITS,
+    TFIDF_TF_CLAMP,
+    TFIDF_W_SCALE,
     minhash_params,
 )
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (  # noqa: E402
@@ -2782,9 +2784,9 @@ FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id"""
 WITH g AS ({dup_groups_sql}), q AS ({_quality_sql()})
 SELECT doc_id, group_id, quality,
        row_number() OVER (PARTITION BY group_id
-                          ORDER BY quality DESC, doc_id ASC) = 1 AS is_canonical
+                          ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1 AS is_canonical
 FROM (SELECT g.doc_id, g.group_id, q.quality
-      FROM g JOIN q ON q.doc_id = g.doc_id)"""
+      FROM g LEFT JOIN q ON q.doc_id = g.doc_id)"""
 
     # tfidf_cosine_pairs: df-capped posting self-join, BIGINT fixed-point
     # dot/norm sums (order-independent), one double division at the end —
@@ -2799,7 +2801,7 @@ WITH postings AS (
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
 weighted AS (
   SELECT p.doc_id, p.term, d.df,
-         round(1000000.0 * p.tf / (d.df + 1.0))::BIGINT AS w6
+         round({float(TFIDF_W_SCALE)} * least(p.tf, {TFIDF_TF_CLAMP}) / (d.df + 1.0))::BIGINT AS w6
   FROM postings p JOIN dfreq d USING (term)
   WHERE d.df <= {TFIDF_DF_CAP}
 ),

@@ -28,6 +28,8 @@ from ..functions.text import tokens, word_shingles
 
 MINHASH_P = 1_000_000_007
 SIMHASH_BITS = 60  # stable_hash64 yields 60 bits
+TFIDF_W_SCALE = 1000  # fixed-point weight scale (see tfidf_cosine_pairs)
+TFIDF_TF_CLAMP = 255  # Lucene-style impact saturation for spammy tf
 
 # Bounded registry of persisted candidate-pair DataFrames (see
 # ngram_jaccard_pairs): persisting via the CacheManager lets every
@@ -240,20 +242,37 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        eager_persist: bool = True) -> DataFrame:
-    """Verify candidate pairs with exact n-gram Jaccard similarity.
+def _shingle_hash_explode(docs: DataFrame, shingle_n: int, text_col: str,
+                          id_col: str, distinct: bool = True) -> DataFrame:
+    """``(doc_id, h)`` rows — one per (doc, shingle-hash), deduped per doc
+    when ``distinct`` (set semantics for Jaccard/containment/novelty;
+    non-distinct keeps multiplicity for tf-weighted postings). SHA-256 runs
+    exactly once per shingle; shared by every shingle-set operator so the
+    explode shape cannot drift between them."""
+    arr = F.transform(
+        word_shingles(tokens(F.col(text_col)), shingle_n),
+        lambda s: stable_hash64(s),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("h"))
 
-    Only candidates are verified (the LSH output, a tiny fraction of N^2).
-    Sets are compared by their 60-bit shingle hashes (collision probability
-    within a pair's union is ~|union|^2 / 2^60), set-relationally: the
-    distinct (doc, hash) table joins itself through the candidate pairs, so
-    the intersection is a hash-join count, not a per-row array intersect —
-    SHA-256 runs once per shingle and the plan is shuffle-bounded by the
-    candidate set. ``pairs`` is broadcast (LSH output is small by design).
 
-    Output: ``doc_a, doc_b, jaccard``.
+def _pair_overlap_counts(docs: DataFrame, pairs: DataFrame, shingle_n: int,
+                         text_col: str, id_col: str,
+                         eager_persist: bool) -> DataFrame:
+    """The shared set-relational verification core: for each candidate pair,
+    the shingle-set intersection size and both set sizes — the sufficient
+    statistics for ANY overlap measure (Jaccard, containment, Dice).
+
+    The distinct (doc, hash) table joins itself through the candidate
+    pairs, so the intersection is a hash-join count, not a per-row array
+    intersect — SHA-256 runs once per shingle and the plan is
+    shuffle-bounded by the candidate set. ``pairs`` is broadcast (LSH
+    output is small by design).
+
+    Returns ``doc_a, doc_b, n_inter, n_a, n_b`` (counts NULL where a side
+    has no shingles — callers coalesce inside their ratio).
     """
     # the candidate list is referenced three times (intersection join,
     # pair-doc semi-join, final assembly), two of them behind broadcast
@@ -266,20 +285,7 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     # The bounded registry evicts+unpersists so a long-lived session cannot
     # accumulate cached blocks without limit.
     pairs = persist_bounded(pairs, eager=eager_persist)
-    e = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_shingles(F.col("toks"), shingle_n),
-                        lambda s: stable_hash64(s),
-                    )
-                )
-            ).alias("h"),
-        )
-    )
+    e = _shingle_hash_explode(docs, shingle_n, text_col, id_col)
     # shingle-set sizes only for docs that appear in a candidate pair
     # (left-semi against the small pair-doc set keeps this broadcastable)
     pair_docs = (
@@ -301,19 +307,37 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
-    union = F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)) - n_inter
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .join(F.broadcast(sz_a), "doc_a", "left")
         .join(F.broadcast(sz_b), "doc_b", "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.when(union > 0, n_inter.cast("double") / union).otherwise(0.0), 6
-            ).alias("jaccard"),
-        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eager_persist: bool = True) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Only candidates are verified (the LSH output, a tiny fraction of N^2).
+    Sets are compared by their 60-bit shingle hashes (collision probability
+    within a pair's union is ~|union|^2 / 2^60) via the shared
+    ``_pair_overlap_counts`` core (one definition for Jaccard AND
+    containment, so the verification machinery cannot drift).
+
+    Output: ``doc_a, doc_b, jaccard``.
+    """
+    counted = _pair_overlap_counts(
+        docs, pairs, shingle_n, text_col, id_col, eager_persist
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    union = F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)) - n_inter
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.when(union > 0, n_inter.cast("double") / union).otherwise(0.0), 6
+        ).alias("jaccard"),
     )
 
 
@@ -958,12 +982,18 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
     the norms: the cosine is exact over the ``df <= df_cap`` vector space.
 
     Everything stays fixed-point so the oracle replays bit-identically:
-    weights are ``w6 = round(1e6 * tf/(df+1))`` BIGINTs (the engine's
-    ln-free idf surrogate, see tfidf_top_terms), dot products and norms are
-    BIGINT sums (order-independent — a double sum would depend on Spark's
-    partition order), and the final cosine divides once in doubles.
-    Max |w6| ~ 5e6, per-term product ~ 2.5e13, row sums << 2^62: no
-    overflow in either engine.
+    weights are ``w = round(1e3 * least(tf, 255)/(df+1))`` BIGINTs (the
+    engine's ln-free idf surrogate, see tfidf_top_terms; the tf clamp is
+    Lucene-style impact saturation — a shingle repeated 10k times is spam
+    evidence, not 40x more signal), dot products and norms are BIGINT sums
+    (order-independent — a double sum would depend on Spark's partition
+    order), and the final cosine divides once in doubles.
+    Overflow contract (ENFORCED by the clamp, not assumed): max |w| =
+    round(1e3*255/2) = 127500, per-term product < 1.63e10, so norm/dot
+    sums stay inside BIGINT for any document with fewer than ~2.8e8
+    distinct shingles (a gigabyte-scale single doc) — spammy high-tf docs
+    saturate instead of silently wrapping negative (Spark) or erroring
+    (the oracle engine).
 
     One shuffle for tf, one for df, one for the bounded pair groupBy.
     Output: ``doc_a, doc_b, cosine`` (cosine >= threshold).
@@ -979,14 +1009,8 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
     at construction, or where the postings exceed cluster storage.
     """
     postings = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(word_shingles(F.col("toks"), shingle_n),
-                            lambda s: stable_hash64(s))
-            ).alias("term"),
-        )
+        _shingle_hash_explode(docs, shingle_n, text_col, id_col, distinct=False)
+        .withColumnRenamed("h", "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -998,7 +1022,11 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
             "doc_id",
             "term",
             "df",
-            F.round(F.lit(1000000.0) * F.col("tf") / (F.col("df") + F.lit(1.0)))
+            F.round(
+                F.lit(float(TFIDF_W_SCALE))
+                * F.least(F.col("tf"), F.lit(TFIDF_TF_CLAMP))
+                / (F.col("df") + F.lit(1.0))
+            )
             .cast("bigint")
             .alias("w6"),
         )
@@ -1046,49 +1074,20 @@ def containment_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
     200-token doc fully embedded in a 10k-token doc has Jaccard ~ 0.02 but
     containment_a = 1.0.
 
-    Same set-relational shape as ngram_jaccard_pairs (the intersection is a
-    hash-join count through the broadcast candidate set; SHA-256 once per
-    shingle), so verification cost is bounded by the candidate set, not
-    N^2. Candidates from MinHash-LSH under-recall extreme-size-ratio pairs
-    (MinHash collision probability tracks Jaccard); for a containment-heavy
-    workload, band bottom-k sketches of the SMALLER side instead — the
-    verification below is measure-agnostic either way.
+    Shares ``_pair_overlap_counts`` with ngram_jaccard_pairs (one
+    verification core, two ratios), so cost is bounded by the candidate
+    set, not N^2. Candidates from MinHash-LSH under-recall
+    extreme-size-ratio pairs (MinHash collision probability tracks
+    Jaccard); for a containment-heavy workload, band bottom-k sketches of
+    the SMALLER side instead — the verification below is measure-agnostic
+    either way.
 
     Output: ``doc_a, doc_b, containment_a, containment_b, containment``
     (containment = max of the two directions).
     """
-    pairs = persist_bounded(pairs, eager=eager_persist)
-    e = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(word_shingles(F.col("toks"), shingle_n),
-                                lambda s: stable_hash64(s))
-                )
-            ).alias("h"),
-        )
+    counted = _pair_overlap_counts(
+        docs, pairs, shingle_n, text_col, id_col, eager_persist
     )
-    pair_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sizes = (
-        e.join(F.broadcast(pair_docs), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
-    )
-    inter = (
-        F.broadcast(pairs)
-        .join(e.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(e.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
     c_a = F.round(
         F.when(F.coalesce(F.col("n_a"), F.lit(0)) > 0,
@@ -1098,17 +1097,12 @@ def containment_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
         F.when(F.coalesce(F.col("n_b"), F.lit(0)) > 0,
                n_inter.cast("double") / F.col("n_b")).otherwise(0.0), 6
     )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sz_a), "doc_a", "left")
-        .join(F.broadcast(sz_b), "doc_b", "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            c_a.alias("containment_a"),
-            c_b.alias("containment_b"),
-            F.greatest(c_a, c_b).alias("containment"),
-        )
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        c_a.alias("containment_a"),
+        c_b.alias("containment_b"),
+        F.greatest(c_a, c_b).alias("containment"),
     )
 
 
@@ -1121,7 +1115,11 @@ def elect_canonical(groups: DataFrame, scores: DataFrame) -> DataFrame:
 
     ``groups``: ``doc_id, group_id`` (duplicate_groups output).
     ``scores``: ``doc_id, quality`` (any deterministic score column).
-    Ties break by ascending doc_id, so election is total and replayable.
+    The join is LEFT and unscored members order NULLS LAST, so election
+    is TOTAL: every grouped doc gets a verdict, a member missing from
+    ``scores`` simply cannot win against any scored sibling (and an
+    all-unscored group still elects its min id).
+    Ties break by ascending doc_id, so election is replayable.
 
     One window shuffle partitioned by group_id over the grouped docs only
     (a tiny fraction of the corpus); scores join is a plain equi-join
@@ -1132,8 +1130,12 @@ def elect_canonical(groups: DataFrame, scores: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    member_scores = groups.select("doc_id", "group_id").join(scores, "doc_id")
-    w = Window.partitionBy("group_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    member_scores = groups.select("doc_id", "group_id").join(
+        scores, "doc_id", "left"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc_nulls_last("quality"), F.asc("doc_id")
+    )
     return (
         member_scores.withColumn("rn", F.row_number().over(w))
         .select(
@@ -1163,18 +1165,7 @@ def novelty_scores(docs: DataFrame, shingle_n: int = 3,
     omitted rather than scored 0 — absence of evidence, not evidence of
     staleness).
     """
-    e = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(word_shingles(F.col("toks"), shingle_n),
-                                lambda s: stable_hash64(s))
-                )
-            ).alias("h"),
-        )
-    )
+    e = _shingle_hash_explode(docs, shingle_n, text_col, id_col)
     first = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         e.join(first, "h")

@@ -227,7 +227,8 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, key: Column | str,
     stream, so probing is map-side (no shuffle of the probe side beyond
     the per-key groupBy counting satisfied positions).
 
-    Output: one row per input probe row with ``bloom_hit BOOLEAN``.
+    Output: one row per DISTINCT probe key (the per-key groupBy that
+    checks all k positions also dedupes), ``probe_key, bloom_hit``.
     """
     kc = F.col(key) if isinstance(key, str) else key
     exploded = probes.select(

@@ -515,7 +515,11 @@ def test_tfidf_cosine_matches_numpy(spark):
     tf = {i: Counter(sh(t)) for i, t in texts.items()}
     df = Counter(term for c in tf.values() for term in c)
     w6 = {
-        i: {t: round(1000000.0 * n / (df[t] + 1.0)) for t, n in c.items() if df[t] <= 20}
+        i: {
+            t: round(1000.0 * min(n, 255) / (df[t] + 1.0))
+            for t, n in c.items()
+            if df[t] <= 20
+        }
         for i, c in tf.items()
     }
     want = {}
@@ -530,6 +534,23 @@ def test_tfidf_cosine_matches_numpy(spark):
                 nb = sum(v * v for v in w6[b].values())
                 want[(a, b)] = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
     assert got == want
+
+
+def test_tfidf_spammy_doc_saturates_not_overflows(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    # a single token repeated 8000 times yields one shingle with tf~7998;
+    # unclamped 1e6-scale weights would overflow BIGINT in the norm sum
+    # (w^2 ~ 1.6e19 > 2^63) and wrap negative -> NaN cosine -> pair lost.
+    # The tf clamp saturates the weight, so the identical spam twin still
+    # scores cosine 1.0.
+    spam = "lorem " * 8000
+    d = _docs(spark, [(1, spam), (2, spam), (3, "a b c d e")])
+    out = {(r.doc_a, r.doc_b): r.cosine for r in
+           tfidf_cosine_pairs(d, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}
 
 
 def test_containment_catches_subset_jaccard_misses(spark):
@@ -576,6 +597,21 @@ def test_elect_canonical_prefers_quality_then_min_id(spark):
     out = {r.doc_id: r.is_canonical for r in elect_canonical(groups, scores).collect()}
     # group 1: quality tie 2 vs 3 -> min id 2; keeper-by-id would be 1
     assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+def test_elect_canonical_total_with_missing_scores(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        elect_canonical,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id long, group_id long"
+    )
+    # doc 2 unscored: must still get a verdict and must lose to scored 1;
+    # group 5 entirely unscored: min id elected
+    scores = spark.createDataFrame([(1, 0.1)], "doc_id long, quality double")
+    out = {r.doc_id: r.is_canonical for r in elect_canonical(groups, scores).collect()}
+    assert out == {1: True, 2: False, 5: True, 6: False}
 
 
 def test_novelty_first_doc_owns_everything(spark):

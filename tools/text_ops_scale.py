@@ -8,9 +8,9 @@ The question each row answers:
   self-join when the corpus carries hot terms? Two corpora per size —
   "clean" token soup (5% planted one-token-substitution near-dups, like
   dedup_scale_sweep) and "hot" (the same corpus with a 6-token boilerplate
-  prefix stamped on 30%% of docs, so its shingles' df is ~0.3*N — five
+  prefix stamped on every 3rd doc, so its shingles' df is ~N/3 — five
   orders of magnitude over the cap at 500k). Uncapped, the hot shingles
-  alone would contribute ~(0.3N)^2 = 2.25e10 join rows at 500k; with the
+  alone would contribute ~(N/3)^2 = 2.8e10 join rows at 500k; with the
   cap they are pruned from the pair space entirely, so hot wall-clock must
   track clean wall-clock and found pairs must track the planted dups.
 - bigram_lm_scores: train+score wall-clock per doc must stay ~flat (model
@@ -45,7 +45,7 @@ SEED = 7
 VOCAB = 1000
 DOC_TOKENS = 120
 NEAR_DUP_FRAC = 0.05
-HOT_FRAC = 0.3
+HOT_EVERY = 3  # boilerplate prefix stamped on every 3rd doc (~N/3 df)
 HOT_PREFIX = "hdr0 hdr1 hdr2 hdr3 hdr4 hdr5"
 
 
@@ -56,7 +56,7 @@ def synth_docs(spark, n: int, hot: bool):
     for i in range(n):
         toks = rng.integers(0, VOCAB, size=DOC_TOKENS)
         text = " ".join(vocab[t] for t in toks)
-        if hot and i % int(1 / HOT_FRAC) == 0:
+        if hot and i % HOT_EVERY == 0:
             text = HOT_PREFIX + " " + text
         rows.append((i, text))
     n_dup = int(n * NEAR_DUP_FRAC)
