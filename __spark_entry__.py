@@ -2871,9 +2871,9 @@ scored AS (
   GROUP BY 1
 )
 SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
-       round(CASE WHEN s.n_bigrams > 0
-             THEN s.sum_p6 / (s.n_bigrams * 1000000.0)
-             ELSE 0.0 END, 6) AS lm_score
+       CASE WHEN s.n_bigrams > 0
+            THEN ((2 * s.sum_p6 + s.n_bigrams) // (2 * s.n_bigrams)) / 1000000.0
+            ELSE 0.0 END AS lm_score
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
 
     # bloom_tokens: the relational Bloom filter replayed end to end —

@@ -30,8 +30,9 @@ def test_scores_match_hand_computation(spark):
     p_ba = (1 + 1.0) / (2 + V)
     p_bc = (1 + 1.0) / (2 + V)
     p6 = lambda p: round(1000000.0 * p)
-    want1 = round((p6(p_ab) * 2 + p6(p_ba) + p6(p_bc)) / (4 * 1000000.0), 6)
-    want2 = round(p6(p_ab) / 1000000.0, 6)
+    s1 = p6(p_ab) * 2 + p6(p_ba) + p6(p_bc)
+    want1 = ((2 * s1 + 4) // 8) / 1000000.0  # integer half-up mean
+    want2 = ((2 * p6(p_ab) + 1) // 2) / 1000000.0
     assert out[1].n_bigrams == 4 and out[1].lm_score == want1
     assert out[2].n_bigrams == 1 and out[2].lm_score == want2
 
@@ -45,8 +46,10 @@ def test_held_out_unseen_bigrams_smoothed(spark):
     V = 3
     # unseen bigram with unseen-start c? c never starts a bigram in train
     # -> c_uni missing -> (0+1)/(0+V)
-    assert out[10].lm_score == round(round(1000000.0 / V) / 1000000.0, 6)
-    assert out[11].lm_score == round(round(1000000.0 / V) / 1000000.0, 6)
+    p6 = round(1000000.0 / V)
+    want = ((2 * p6 + 1) // 2) / 1000000.0
+    assert out[10].lm_score == want
+    assert out[11].lm_score == want
 
 
 def test_short_docs_score_zero_but_kept(spark):

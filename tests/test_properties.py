@@ -506,3 +506,159 @@ def test_zorder_key_matches_bruteforce(spark, rows, bits):
 
     for i, (a, b) in enumerate(rows):
         assert got[i] == morton(scale(a, m1, x1), scale(b, m2, x2)), (a, b)
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_overlap_measures_laws_random(spark, texts):
+    """Containment and Jaccard over the SAME shared verification core obey
+    the set laws on any input: jaccard <= containment <= 1, jaccard == 1
+    iff both directions fully contained, and both match a brute-force
+    shingle-set computation."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(a, b) for a in range(len(rows)) for b in range(a + 1, len(rows))]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(d, pdf).collect()}
+    con = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b, r.containment)
+        for r in containment_pairs(d, pdf).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))}
+
+    for (a, b) in pairs:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        want_j = round(inter / union, 6) if union else 0.0
+        want_ca = round(inter / len(sa), 6) if sa else 0.0
+        want_cb = round(inter / len(sb), 6) if sb else 0.0
+        assert jac[(a, b)] == want_j, (a, b, texts[a], texts[b])
+        ca, cb, c = con[(a, b)]
+        assert (ca, cb) == (want_ca, want_cb)
+        assert c == max(ca, cb)
+        assert jac[(a, b)] <= c + 1e-9  # jaccard never exceeds containment
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    member=st.lists(st.text(alphabet="xyz", min_size=1, max_size=4),
+                    min_size=1, max_size=30, unique=True),
+    other=st.lists(st.text(alphabet="uvw", min_size=1, max_size=4),
+                   max_size=30, unique=True),
+)
+def test_bloom_never_false_negative_random(spark, member, other):
+    """A Bloom filter may false-positive but NEVER false-negative — on any
+    random member/non-member split, every member probe must hit."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m = spark.createDataFrame([(k,) for k in member], "k string")
+    bloom = bloom_build(m, "k")
+    probes = spark.createDataFrame([(k,) for k in member + other], "k string")
+    hits = {r.probe_key: r.bloom_hit for r in bloom_probe(bloom, probes, "k").collect()}
+    assert all(hits[k] for k in member)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=3, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_novelty_matches_bruteforce_random(spark, texts):
+    """novelty == fraction of a doc's distinct shingles first seen (by
+    ascending doc_id) in that doc, vs a brute-force first-occurrence scan;
+    an exact copy of an earlier doc always scores 0."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+           for r in novelty_scores(d).collect()}
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))}
+
+    first = {}
+    for i, t in rows:
+        for s in shingles(t):
+            first.setdefault(s, i)
+    for i, t in rows:
+        sh = shingles(t)
+        if not sh:
+            assert i not in got
+            continue
+        novel = sum(1 for s in sh if first[s] == i)
+        assert got[i] == (len(sh), novel, round(novel / len(sh), 6)), (i, t)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    train=st.lists(
+        st.lists(_word, min_size=2, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bigram_lm_matches_bruteforce_random(spark, train):
+    """Train + self-score equals a brute-force add-one bigram LM in p6
+    fixed point on any random corpus."""
+    from collections import Counter
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+
+    rows = [(i, t) for i, t in enumerate(train)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    model, vocab = train_bigram_lm(d)
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in bigram_lm_scores(d, model, vocab).collect()}
+
+    cbig, cuni, toks_all = Counter(), Counter(), set()
+    doc_bgs = {}
+    for i, t in rows:
+        toks = t.split()
+        toks_all.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        doc_bgs[i] = bgs
+        cbig.update(bgs)
+    for (w1, _), n in cbig.items():
+        cuni[w1] += n
+    V = len(toks_all)
+    for i, bgs in doc_bgs.items():
+        if not bgs:
+            assert got[i] == (0, 0.0)
+            continue
+        p6s = [round(1000000.0 * (cbig[bg] + 1.0) / (cuni[bg[0]] + V)) for bg in bgs]
+        # integer half-up mean, exactly the operator's (2a+b) div (2b)
+        want6 = (2 * sum(p6s) + len(bgs)) // (2 * len(bgs))
+        assert got[i] == (len(bgs), want6 / 1000000.0), (i, train[i])
