@@ -3,6 +3,7 @@ reference is strictly batch, SURVEY SS2.10)."""
 
 from .export_stream import (  # noqa: F401
     export_stream,
+    lm_score_stream,
     quality_annotate_stream,
     read_shards_as_of,
 )

@@ -201,3 +201,50 @@ def quality_annotate_stream(
         stats["n_tokens"].cast("bigint").alias("n_tokens"),
         gate["quality_ok"].alias("quality_ok"),
     )
+
+
+def lm_score_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    model: DataFrame,
+    vocab: DataFrame,
+    out_dir: str,
+    schema: str = DOCUMENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+):
+    """Score document increments under a FROZEN bigram LM as they arrive —
+    the ingest-time twin of ``operators.lm.bigram_lm_scores``, the same
+    split as the quality gates: train the model in batch per corpus
+    snapshot, score every new document in-stream against the static model.
+
+    Each micro-batch runs the IDENTICAL batch scorer (one definition —
+    the parity test pins stream == batch) with the model/vocab as static
+    join sides, and lands under ``batch=<batch_id>`` via dynamic
+    partition overwrite, so a crashed batch's replay rewrites exactly its
+    own partition (the module-docstring idempotence argument). Scoring is
+    per-document — no cross-batch state, no watermark — so a doc's score
+    never depends on which increment carried it.
+
+    Returns the (unstarted) writer: call ``.option("checkpointLocation",
+    ...)`` / ``.trigger(...)`` / ``.start()`` on it.
+    """
+    from ..operators.lm import bigram_lm_scores
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        (
+            bigram_lm_scores(batch, model, vocab)
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(sink)

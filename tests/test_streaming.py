@@ -758,3 +758,47 @@ def test_read_shards_as_of_commit_log(spark, tmp_path, documents):
     )
     assert ghost.count() == 0
     assert set(ghost.columns) == {"doc_id", "text", "batch"}
+
+
+def test_lm_score_stream_matches_batch(spark, tmp_path, documents):
+    """Streaming LM scoring against a FROZEN model == the batch scorer
+    over the union of increments: same n_bigrams and lm_score per doc,
+    every doc exactly once, regardless of which increment carried it."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.export_stream import (
+        lm_score_stream,
+    )
+
+    docs = documents.select("doc_id", "text")
+    # freeze the model on the even docs (the "training snapshot"); score
+    # ALL docs as two stream increments
+    model, vocab = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    drops = str(tmp_path / "drops")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{drops}/d{i}"
+        )
+    out = str(tmp_path / "scored")
+    q = (
+        lm_score_stream(spark, drops + "/*", model, vocab, out,
+                        max_files_per_trigger=1)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in bigram_lm_scores(docs, model, vocab).collect()
+    }
+    assert got == want
