@@ -92,6 +92,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_frac", type=float, default=0.9)
     p.add_argument("--val_frac", type=float, default=0.05)
     p.add_argument("--test_frac", type=float, default=0.05)
+    p.add_argument("--near_keeper", choices=("min_id", "quality"),
+                   default="min_id",
+                   help="corpus: near-dup keeper election — 'min_id' "
+                        "(deterministic default) or 'quality' (keep each "
+                        "group's best-quality member)")
     return p
 
 
@@ -184,6 +189,7 @@ def run(argv: list[str] | None = None) -> dict:
                 "test": args.test_frac,
             },
             n_shards=args.n_shards,
+            near_keeper=args.near_keeper,
         )
         acc = res["accounting"].first().asDict()
         per_split: dict[str, int] = {}
