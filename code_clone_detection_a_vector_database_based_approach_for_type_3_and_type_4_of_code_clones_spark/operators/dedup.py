@@ -248,14 +248,28 @@ def _shingle_hash_explode(docs: DataFrame, shingle_n: int, text_col: str,
     when ``distinct`` (set semantics for Jaccard/containment/novelty;
     non-distinct keeps multiplicity for tf-weighted postings). SHA-256 runs
     exactly once per shingle; shared by every shingle-set operator so the
-    explode shape cannot drift between them."""
+    explode shape cannot drift between them.
+
+    ``toks`` MUST be projected in its own select before word_shingles
+    consumes it: word_shingles references its argument several times
+    inside higher-order lambdas, where codegen falls back to interpreted
+    eval with no common-subexpression elimination — inlining tokens(text)
+    there re-tokenizes the document PER SHINGLE (the engine's documented
+    re-inlining hazard; an inlined first cut of this helper cost 6x on
+    novelty_scores and +50% on the prep funnel before the closing bench
+    caught it). The separate projection keeps tokenization once-per-row
+    because CollapseProject declines to duplicate a non-cheap expression
+    referenced more than once."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
     arr = F.transform(
-        word_shingles(tokens(F.col(text_col)), shingle_n),
+        word_shingles(F.col("toks"), shingle_n),
         lambda s: stable_hash64(s),
     )
     if distinct:
         arr = F.array_distinct(arr)
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("h"))
+    return base.select("doc_id", F.explode(arr).alias("h"))
 
 
 def _pair_overlap_counts(docs: DataFrame, pairs: DataFrame, shingle_n: int,
