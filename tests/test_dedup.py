@@ -671,3 +671,23 @@ def test_semantic_contamination_flags_planted_match(spark):
     assert any(r.doc_id == 7 and r.eval_id == 1000 and r.cosine >= 0.999 for r in rows)
     # the orthogonal eval vector must not flag anything at this threshold
     assert all(r.eval_id != 1001 for r in rows)
+
+
+def test_shingle_explode_keeps_tokenize_projected(spark):
+    """Plan-shape tripwire for the r7 interpreted-expression regression:
+    the shingle explode's Generate must consume a PROJECTED ``toks``
+    attribute, never an inlined split(text) — word_shingles references
+    its argument several times inside higher-order lambdas (interpreted
+    eval, no CSE), so an inlined tokenize re-runs per shingle (measured
+    6x on novelty, +50% on the funnel). The value oracles cannot see
+    this: results are identical, only the expression shape differs."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    d = _docs(spark, [(1, "a b c d e")])
+    plan = novelty_scores(d)._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen_lines, plan
+    bad = [l for l in gen_lines if "split(" in l]
+    assert not bad, f"tokenize inlined into the shingle Generate: {bad[0][:300]}"
