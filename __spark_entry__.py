@@ -218,66 +218,26 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
-def q_pricing_summary(spark, sf_dir):
-    """SURVEY A2/A3/A6: TPC-H Q1-shaped grouped aggregate over lineitem."""
-    li = _t(spark, sf_dir, "lineitem")
+def q_tpch_kpi(spark, sf_dir):
+    """Composed TPC-H KPI panel — the r8 fold of the four r1-era fillers
+    ``pricing_summary`` / ``sales_rollup`` / ``shipping_priority`` /
+    ``regional_revenue`` into ONE graded entry (registry headroom; see
+    COVERAGE.md rotation note). Every folded shape stays individually
+    proven inside one result frame:
 
-    def cents(c):
-        return F.round(c * 100).cast("bigint")
+    - section ``pricing``: TPC-H Q1 predicate + grouped aggregates, with
+      ROLLUP subtotals (returnflag -> linestatus -> grand total, 'ALL'
+      labels) — SURVEY A2/A3/A6 plus the multi-dimensional agg.
+    - section ``top_orders``: Q3-shaped selective 3-way join (customer x
+      orders x lineitem) + deterministic global top-10
+      (TakeOrderedAndProject — no full sort at scale).
+    - section ``regional``: Q5-shaped 6-table join with the
+      local-supplier predicate c_nationkey = s_nationkey; dims
+      broadcast, facts shuffle on their join keys.
 
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(cents(F.col("l_quantity"))) / 100.0, 2).alias("sum_qty"),
-            F.round(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2).alias("sum_base_price"),
-            F.round(
-                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.round(F.col("l_discount") * 1_000_000).cast("bigint"))
-                / (F.count("*") * 1_000_000.0),
-                6,
-            ).alias("avg_disc"),
-            F.count("*").cast("bigint").alias("count_order"),
-        )
-    )
-
-
-def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective 3-way join (customer x orders x lineitem)
-    + grouped revenue + deterministic global top-10
-    (TakeOrderedAndProject — no full sort at scale). Revenue summed
-    fixed-point (per-row round to cents, BIGINT sum) so the value-hash is
+    Unified long format ``section, k1, k2, n_rows, amount``; all money is
+    fixed-point (per-row round to cents, BIGINT sum) so value hashes are
     exact cross-engine."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "bigint"
-    )
-    return (
-        cust.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
-        .groupBy(
-            "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .agg(F.round(F.sum(rev_cents) / 100.0, 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-def q_regional_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: 6-table join (lineitem x orders x customer x
-    supplier x nation x region) with the local-supplier predicate
-    c_nationkey = s_nationkey; dims broadcast, facts shuffle on their
-    join keys, revenue per nation fixed-point."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -287,7 +247,43 @@ def q_regional_revenue(spark, sf_dir):
     rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
         "bigint"
     )
-    return (
+    pricing = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(rev_cents) / 100.0, 2).alias("amount"),
+        )
+        .select(
+            F.lit("pricing").alias("section"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
+            "n_rows",
+            "amount",
+        )
+    )
+    top_orders = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(rev_cents) / 100.0, 2).alias("amount"),
+        )
+        .orderBy(F.desc("amount"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("top_orders").alias("section"),
+            F.col("l_orderkey").cast("string").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n_rows",
+            "amount",
+        )
+    )
+    regional = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -303,8 +299,19 @@ def q_regional_revenue(spark, sf_dir):
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev_cents) / 100.0, 2).alias("revenue"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(rev_cents) / 100.0, 2).alias("amount"),
+        )
+        .select(
+            F.lit("regional").alias("section"),
+            F.lit("ASIA").alias("k1"),
+            F.col("n_name").alias("k2"),
+            "n_rows",
+            "amount",
+        )
     )
+    return pricing.unionByName(top_orders).unionByName(regional)
 
 
 def q_top_tokens(spark, sf_dir):
@@ -320,28 +327,6 @@ def q_top_tokens(spark, sf_dir):
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     out = ops.heavy_hitters(toks, "token", n=20)
     return out.select(F.col("key").alias("token"), "n_rows", F.col("rank").cast("bigint").alias("rank"))
-
-
-def q_sales_rollup(spark, sf_dir):
-    """Hierarchical ROLLUP aggregate (returnflag -> linestatus -> grand
-    total) — multi-dimensional agg coverage beyond the reference's flat
-    groupBys; subtotal rows labeled 'ALL' on both engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").cast("bigint").alias("n_items"),
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0, 2
-            ).alias("total_price"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_items",
-            "total_price",
-        )
-    )
 
 
 def q_price_percentiles(spark, sf_dir):
@@ -2077,69 +2062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-7 rotation: the full 36-entry r6 tail is back in the window
-    # (front — its r5-green rows age out of the union this round, so
-    # in-window is mandatory), then new r7 queries (never checked), then
-    # cheap r6-window stayers filling the remaining slots. Rotated out
-    # (all green in CORRECTNESS_r06; due back in r8): the r5-tail block,
-    # the 6 r6-new queries, and the r5-new/r5-changed kNN/export block.
+    # Round-8 rotation: the full 46-entry r7 tail is back in the window
+    # (front — its r6-green rows age out of the union this round, so
+    # in-window is mandatory), then new r8 queries (never checked), then
+    # cheap r7-window stayers filling the remaining slots. Rotated out
+    # (all green in CORRECTNESS_r07; due back in r9): the rest of the r7
+    # window. The four TPC-H fillers (pricing_summary, shipping_priority,
+    # regional_revenue, sales_rollup — all green in r07) were RETIRED and
+    # folded into the composed `tpch_kpi` entry this round (registry
+    # headroom; see COVERAGE.md rotation note).
     return {
-        # --- due back in the window (the 36-entry r6 tail) ---
-        "bm25_topk": q_bm25_topk,
-        "normalized_embeddings": q_normalized_embeddings,
-        "source_overlap": q_source_overlap,
-        "sliding_events": q_sliding_events,
-        "srp_near_dups": q_srp_near_dups,
-        "frame_samples": q_frame_samples,
-        "media_features": q_media_features,
-        "status_pivot": q_status_pivot,
-        "knn_topk": q_knn_topk,
-        "knn_detailed": q_knn_detailed,
-        "query_stats": q_query_stats,
-        "ir_metrics_poj": q_ir_metrics_poj,
-        "ir_metrics_bcb": q_ir_metrics_bcb,
-        "clone_map": q_clone_map,
-        "lookup_join": q_lookup_join,
-        "snippet_extract": q_snippet_extract,
-        "uuid5_ids": q_uuid5_ids,
-        "deterministic_sample": q_deterministic_sample,
-        "top_tokens": q_top_tokens,
-        "asof_click": q_asof_click,
-        "exact_dups": q_exact_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "hybrid_rrf": q_hybrid_rrf,
-        "boilerplate_clean": q_boilerplate_clean,
-        "kmv_tokens": q_kmv_tokens,
-        "semantic_dups": q_semantic_dups,
-        "corpus_prep_funnel": q_corpus_prep_funnel,
-        "cluster_top_terms": q_cluster_top_terms,
-        "dup_groups": q_dup_groups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "click_attribution": q_click_attribution,
-        "repetition_stats": q_repetition_stats,
-        "quantized_embeddings": q_quantized_embeddings,
-        "contamination": q_contamination,
-        # --- new in r7 ---
-        "shards_asof": q_shards_asof,
-        "knn_join_probe_guarded": q_knn_join_probe_guarded,
-        "index_ingest": q_index_ingest,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "containment_dups": q_containment_dups,
-        "canonical_docs": q_canonical_docs,
-        "bigram_lm_scores": q_bigram_lm_scores,
-        "bloom_tokens": q_bloom_tokens,
-        "novelty_scores": q_novelty_scores,
-        "semantic_contamination": q_semantic_contamination,
-        # --- new in round 7 (never checked) go here ---
-        # --- r6-window stayers filling the window to 50 ---
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "sales_rollup": q_sales_rollup,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r06; due back in r8) ---
+        # --- due back in the window (the 46-entry r7 tail) ---
         "price_percentiles": q_price_percentiles,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
@@ -2186,6 +2119,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "knn_join": q_knn_join,
         "srp_verified_dups": q_srp_verified_dups,
+        # --- new in r8 (never checked — must be in-window) ---
+        "tpch_kpi": q_tpch_kpi,
+        # --- r7-window stayers filling the window to 50 ---
+        "status_pivot": q_status_pivot,
+        "exact_dups": q_exact_dups,
+        "lookup_join": q_lookup_join,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r07; due back in r9) ---
+        "bm25_topk": q_bm25_topk,
+        "normalized_embeddings": q_normalized_embeddings,
+        "source_overlap": q_source_overlap,
+        "sliding_events": q_sliding_events,
+        "srp_near_dups": q_srp_near_dups,
+        "frame_samples": q_frame_samples,
+        "media_features": q_media_features,
+        "knn_topk": q_knn_topk,
+        "knn_detailed": q_knn_detailed,
+        "query_stats": q_query_stats,
+        "ir_metrics_poj": q_ir_metrics_poj,
+        "ir_metrics_bcb": q_ir_metrics_bcb,
+        "clone_map": q_clone_map,
+        "snippet_extract": q_snippet_extract,
+        "uuid5_ids": q_uuid5_ids,
+        "deterministic_sample": q_deterministic_sample,
+        "top_tokens": q_top_tokens,
+        "asof_click": q_asof_click,
+        "minhash_sigs": q_minhash_sigs,
+        "hybrid_rrf": q_hybrid_rrf,
+        "boilerplate_clean": q_boilerplate_clean,
+        "kmv_tokens": q_kmv_tokens,
+        "semantic_dups": q_semantic_dups,
+        "corpus_prep_funnel": q_corpus_prep_funnel,
+        "cluster_top_terms": q_cluster_top_terms,
+        "dup_groups": q_dup_groups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "click_attribution": q_click_attribution,
+        "repetition_stats": q_repetition_stats,
+        "quantized_embeddings": q_quantized_embeddings,
+        "contamination": q_contamination,
+        "shards_asof": q_shards_asof,
+        "knn_join_probe_guarded": q_knn_join_probe_guarded,
+        "index_ingest": q_index_ingest,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "containment_dups": q_containment_dups,
+        "canonical_docs": q_canonical_docs,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "bloom_tokens": q_bloom_tokens,
+        "novelty_scores": q_novelty_scores,
+        "semantic_contamination": q_semantic_contamination,
     }
 
 
@@ -2625,16 +2609,53 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   FROM orders
 ) WHERE rn <= 3"""
 
-    sql["pricing_summary"] = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
-       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
-       round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS sum_disc_price,
-       round(sum(round(l_discount * 1000000)::BIGINT) / (count(*) * 1000000.0), 6) AS avg_disc,
-       count(*)::BIGINT AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus"""
+    sql["tpch_kpi"] = """
+WITH pricing AS (
+  SELECT 'pricing' AS section,
+         coalesce(l_returnflag, 'ALL') AS k1,
+         coalesce(l_linestatus, 'ALL') AS k2,
+         count(*)::BIGINT AS n_rows,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS amount
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+),
+top_orders AS (
+  SELECT 'top_orders' AS section,
+         l_orderkey::VARCHAR AS k1,
+         o_orderpriority AS k2,
+         count(*)::BIGINT AS n_rows,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS amount
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderpriority
+  ORDER BY amount DESC, l_orderkey ASC
+  LIMIT 10
+),
+regional AS (
+  SELECT 'regional' AS section,
+         'ASIA' AS k1,
+         n_name AS k2,
+         count(*)::BIGINT AS n_rows,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS amount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY n_name
+)
+SELECT * FROM pricing
+UNION ALL SELECT * FROM top_orders
+UNION ALL SELECT * FROM regional"""
 
     sql["top_tokens"] = f"""
 SELECT token, n_rows, rank FROM (
@@ -2644,14 +2665,6 @@ SELECT token, n_rows, rank FROM (
   GROUP BY token
 ) WHERE rank <= 20"""
 
-    sql["sales_rollup"] = """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-       coalesce(l_linestatus, 'ALL') AS linestatus,
-       count(*)::BIGINT AS n_items,
-       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS total_price
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
-
     sql["price_percentiles"] = """
 SELECT c_mktsegment,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -2659,33 +2672,6 @@ SELECT c_mktsegment,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
-
-    sql["shipping_priority"] = """
-SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate > TIMESTAMP '1998-01-01'
-GROUP BY l_orderkey, orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10"""
-
-    sql["regional_revenue"] = """
-SELECT n_name,
-       round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY n_name"""
 
     sql["exact_dups"] = """
 WITH unioned AS (
