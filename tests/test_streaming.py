@@ -784,9 +784,14 @@ def test_lm_score_stream_matches_batch(spark, tmp_path, documents):
             f"{drops}/d{i}"
         )
     out = str(tmp_path / "scored")
+    writer = lm_score_stream(spark, drops + "/*", model, vocab, out,
+                             max_files_per_trigger=1)
+    # the frozen model must be persisted by the writer builder (r7
+    # ADVICE): otherwise every micro-batch re-runs the full bigram-count
+    # training aggregation over the train corpus
+    assert model.storageLevel.useMemory and vocab.storageLevel.useMemory
     q = (
-        lm_score_stream(spark, drops + "/*", model, vocab, out,
-                        max_files_per_trigger=1)
+        writer
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
