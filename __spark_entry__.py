@@ -43,6 +43,9 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
     STOPWORDS_EN,
 )
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (  # noqa: E402
+    ASYM_DF_CAP,
+    ASYM_MIN_MATCHES,
+    ASYM_SKETCH_K,
     MINHASH_P,
     SIMHASH_BITS,
     TFIDF_TF_CLAMP,
@@ -1956,6 +1959,53 @@ def q_containment_dups(spark, sf_dir):
     )
 
 
+def q_containment_asym(spark, sf_dir):
+    """NEW r8 — the r7 verdict's containment recall gap closed end to end:
+    size-aware candidate generation via per-doc bottom-k shingle sketches
+    (a uniform k-sample of the shingle set, so collision probability
+    tracks CONTAINMENT, not Jaccard) probing the df-capped distinct
+    postings, then exact two-directional containment verification through
+    the shared `_pair_overlap_counts` core. A 200-token doc quoted inside
+    a 10k-token doc (Jaccard ~ 0.02 — provably invisible to MinHash-LSH,
+    pinned by test_asym_containment_finds_pair_minhash_lsh_misses) is a
+    guaranteed candidate here (a true subset matches on all k sketch
+    hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.asym_containment_pairs(
+        docs, threshold=CONTAINMENT_MIN, shingle_n=MINHASH_SHINGLE
+    )
+
+
+SUBSTR_RUN_N = 8  # duplicated-run window (Lee et al. use 50; fixture docs
+#                   are 10-99 tokens, so the graded entry runs at 8)
+
+
+def q_substring_dups(spark, sf_dir):
+    """NEW r8 — exact substring-level dedup (Lee et al. 2022: remove
+    repeated >= k-token runs across documents): the corpus is documents
+    plus planted REMIX docs (two excerpts of a source doc spliced around
+    a unique separator token — the quoted-passage shape), and the
+    operator must report each remix's duplicated spans as maximal runs
+    with exact 1-based token positions and first-doc attribution.
+    Windowed token-hash run detection: explode rolling window hashes,
+    min-doc attribution per hash, gaps-and-islands merge."""
+    docs = _t(spark, sf_dir, "documents")
+    # same tokenization as the operator / the oracle's _TOKENS (lowercase,
+    # split on \s+, empties dropped) so the remix text is byte-identical
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    remix = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(toks, 1, 12), " "),
+            F.concat(F.lit("zz"), F.col("doc_id")),
+            F.array_join(F.slice(toks, 5, 12), " "),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(remix)
+    return ops.substring_duplicate_runs(corpus, run_n=SUBSTR_RUN_N)
+
+
 def q_canonical_docs(spark, sf_dir):
     """Quality-aware canonical election per duplicate group: the dup_groups
     pipeline (LSH -> Jaccard >= threshold -> 3-round min-label propagation)
@@ -2121,12 +2171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_verified_dups": q_srp_verified_dups,
         # --- new in r8 (never checked — must be in-window) ---
         "tpch_kpi": q_tpch_kpi,
+        "containment_asym": q_containment_asym,
+        "substring_dups": q_substring_dups,
         # --- r7-window stayers filling the window to 50 ---
         "status_pivot": q_status_pivot,
-        "exact_dups": q_exact_dups,
-        "lookup_join": q_lookup_join,
         # --- rotated out of the 50-query correctness window this round
         #     (all green in CORRECTNESS_r07; due back in r9) ---
+        "lookup_join": q_lookup_join,
+        "exact_dups": q_exact_dups,
         "bm25_topk": q_bm25_topk,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
@@ -2827,6 +2879,84 @@ FROM (
   JOIN shingled a ON a.doc_id = c.doc_a
   JOIN shingled b ON b.doc_id = c.doc_b
 ) WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_MIN}"""
+
+    # containment_asym: bottom-k sketch candidate generation (collision
+    # probability tracks containment, not Jaccard) + the same exact
+    # containment verify tail as containment_dups
+    sql["containment_asym"] = f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct(list_transform({sh3}, s -> {_HASH60('s')})) AS sh
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
+dfreq AS (SELECT h, count(*)::BIGINT AS df FROM e GROUP BY h),
+sk AS (SELECT doc_id, unnest(list_sort(sh)[1:{ASYM_SKETCH_K}]) AS h FROM shingled),
+cand AS (
+  SELECT sk.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM sk
+  JOIN dfreq d ON d.h = sk.h
+  JOIN e ON e.h = sk.h
+  WHERE d.df <= {ASYM_DF_CAP} AND e.doc_id <> sk.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {ASYM_MIN_MATCHES}
+),
+pairs AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+                  greatest(doc_a, doc_b) AS doc_b
+  FROM cand
+)
+SELECT doc_a, doc_b, containment_a, containment_b,
+       greatest(containment_a, containment_b) AS containment
+FROM (
+  SELECT p.doc_a, p.doc_b,
+         round(CASE WHEN len(a.sh) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+               ELSE 0.0 END, 6) AS containment_a,
+         round(CASE WHEN len(b.sh) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)
+               ELSE 0.0 END, 6) AS containment_b
+  FROM pairs p
+  JOIN shingled a ON a.doc_id = p.doc_a
+  JOIN shingled b ON b.doc_id = p.doc_b
+) WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_MIN}"""
+
+    # substring_dups: planted remix docs + windowed token-hash run
+    # detection (min-doc attribution, gaps-and-islands merge) — the exact
+    # plan substring_duplicate_runs builds, positions 1-based
+    _sd_n = SUBSTR_RUN_N
+    sql["substring_dups"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(({toks})[1:12], ' ') || ' zz' || doc_id::VARCHAR
+           || ' ' || array_to_string(({toks})[5:16], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+w AS (
+  SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - {_sd_n - 2}),
+                  i -> {{'pos': i,
+                        'h': {_HASH60("array_to_string(tk[i:i+" + str(_sd_n - 1) + "], ' ')")}}})) AS wp
+    FROM (SELECT doc_id, {toks} AS tk FROM base)
+    WHERE len(tk) >= {_sd_n}
+  )
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h),
+dup AS (
+  SELECT w.doc_id, w.pos, f.first_doc
+  FROM w JOIN first f USING (h) WHERE f.first_doc < w.doc_id
+),
+isl AS (
+  SELECT doc_id, pos, first_doc,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, min(pos)::BIGINT AS start_tok,
+       (max(pos) + {_sd_n} - 1)::BIGINT AS end_tok,
+       count(*)::BIGINT AS n_windows, min(first_doc) AS src_doc
+FROM isl GROUP BY doc_id, grp"""
 
     # bigram_lm_scores: add-one-smoothed bigram LM trained on the corpus,
     # mean smoothed probability per doc in p6 fixed-point

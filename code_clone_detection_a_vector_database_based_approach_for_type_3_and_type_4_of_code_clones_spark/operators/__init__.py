@@ -72,8 +72,11 @@ from .lm import (  # noqa: F401
     train_bigram_lm,
 )
 from .dedup import (  # noqa: F401
+    asym_containment_pairs,
+    bottomk_sketch_postings,
     bucket_stats,
     cluster_top_terms,
+    containment_candidates,
     containment_pairs,
     persist_bounded,
     duplicate_groups,
@@ -94,4 +97,5 @@ from .dedup import (  # noqa: F401
     srp_bands,
     srp_candidate_pairs,
     srp_near_duplicates,
+    substring_duplicate_runs,
 )

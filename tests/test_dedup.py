@@ -627,6 +627,86 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert row.containment_b < 0.2  # the Jaccard-shaped direction is tiny
 
 
+def test_asym_containment_finds_pair_minhash_lsh_misses(spark):
+    """The r7 verdict's recall gap, closed end-to-end: a small doc quoted
+    verbatim inside a much larger doc has Jaccard ~ 0.03, so MinHash-LSH
+    (collision probability tracks Jaccard) provably never surfaces it as
+    a candidate — while the bottom-k sketch generator MUST (a true subset
+    matches on all k sketch hashes)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        asym_containment_pairs,
+        containment_candidates,
+        lsh_candidate_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))  # 10 distinct 3-shingles
+    filler = " ".join(f"f{i}" for i in range(400))
+    rows = [
+        (1, quote),
+        (2, filler[: len(filler) // 2] + " " + quote + " " + filler),
+        # unrelated background docs so the candidate join has noise to ignore
+        (3, " ".join(f"a{i}" for i in range(50))),
+        (4, " ".join(f"b{i}" for i in range(50))),
+    ]
+    d = _docs(spark, rows)
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(d, n_hashes=16, bands=4).collect()
+    }
+    assert (1, 2) not in lsh  # the gap is real: Jaccard-shaped LSH misses it
+
+    cands = {
+        (r.doc_a, r.doc_b): r.n_matched
+        for r in containment_candidates(d).collect()
+    }
+    # doc 1's shingle set is a strict subset of doc 2's: ALL 8 sketch
+    # hashes must land (df_cap cannot drop them — df of shared shingles
+    # is 2 here), in the sketched-side orientation
+    assert cands[(1, 2)] == 8
+
+    out = {(r.doc_a, r.doc_b): r for r in asym_containment_pairs(d).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].containment_a == 1.0
+    assert out[(1, 2)].containment == 1.0
+    assert out[(1, 2)].containment_b < 0.05  # extreme size ratio
+
+
+def test_bottomk_sketch_is_k_smallest_distinct_hashes(spark):
+    import hashlib
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        bottomk_sketch_postings,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    text = " ".join(f"t{i}" for i in range(30))
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = sorted(h60(s) for s in shingles)[:8]
+    d = _docs(spark, [(1, text), (2, "too short")])
+    got = sorted(r.h for r in bottomk_sketch_postings(d, k=8).collect())
+    assert got == want  # doc 2 (< 3 tokens of shingle evidence) emits none
+
+
+def test_containment_candidates_df_cap_drops_boilerplate(spark):
+    """A corpus-hot shingle (df > df_cap) must not generate candidates —
+    the hot-key guard that keeps the probe join linear."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        containment_candidates,
+    )
+
+    boiler = "the same footer text here"
+    rows = [(i, f"u{i} v{i} w{i} " + boiler) for i in range(10)]
+    d = _docs(spark, rows)
+    # every pair shares ONLY the boilerplate shingles (df = 10 > cap 5)
+    assert containment_candidates(d, df_cap=5).count() == 0
+    # with the cap lifted the boilerplate pairs all appear
+    assert containment_candidates(d, df_cap=20).count() > 0
+
+
 def test_containment_empty_side_zero(spark):
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         containment_pairs,
@@ -749,3 +829,130 @@ def test_shingle_explode_keeps_tokenize_projected(spark):
     assert gen_lines, plan
     bad = [l for l in gen_lines if "split(" in l]
     assert not bad, f"tokenize inlined into the shingle Generate: {bad[0][:300]}"
+
+
+# --- substring-level dedup (r8) ---------------------------------------------
+
+
+def test_substring_runs_find_planted_passage(spark):
+    """A 20-token passage from doc 1 spliced into doc 2 must surface as
+    ONE maximal run with exact 1-based token span and src attribution."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        substring_duplicate_runs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(15))
+    rows = [
+        (1, "x0 x1 x2 " + passage + " x3 x4"),
+        (2, filler_a + " " + passage + " " + filler_b),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    d = _docs(spark, rows)
+    out = substring_duplicate_runs(d, run_n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc 2: passage occupies tokens 11..30 (1-based); windows of 8
+    # starting at 11..23 are duplicated (13 windows), span 11..30
+    assert (r.doc_id, r.start_tok, r.end_tok, r.n_windows, r.src_doc) == (
+        2, 11, 30, 13, 1
+    )
+
+
+def test_substring_runs_split_into_islands(spark):
+    """Two separated copies of the same passage inside one doc must emit
+    TWO runs (gaps-and-islands), both attributed to the earliest doc."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        substring_duplicate_runs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, passage),
+        (2, passage + " z0 z1 z2 " + passage),
+    ]
+    d = _docs(spark, rows)
+    out = sorted(
+        ((r.doc_id, r.start_tok, r.end_tok, r.src_doc) for r in
+         substring_duplicate_runs(d, run_n=8).collect())
+    )
+    # doc 2: tokens 1..10 and 14..23 duplicate doc 1 (the windows crossing
+    # the z-gap contain unique tokens and break the island)
+    assert out == [(2, 1, 10, 1), (2, 14, 23, 1)]
+
+
+def test_substring_runs_attribute_to_min_doc(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        substring_duplicate_runs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    d = _docs(spark, [(5, passage), (7, passage), (9, passage)])
+    out = {(r.doc_id, r.src_doc) for r in substring_duplicate_runs(d, run_n=8).collect()}
+    assert out == {(7, 5), (9, 5)}  # doc 5 is first occurrence, never flagged
+
+
+def test_substring_runs_clean_corpus_emits_nothing(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        substring_duplicate_runs,
+    )
+
+    d = _docs(spark, [(1, " ".join(f"a{i}" for i in range(30))),
+                      (2, " ".join(f"b{i}" for i in range(30))),
+                      (3, "short doc")])
+    assert substring_duplicate_runs(d, run_n=8).count() == 0
+
+
+# --- semantic_contamination vectorized forms (r8) ----------------------------
+
+
+def test_semantic_contamination_vectorized_matches_expression(spark, embeddings):
+    """Both vectorized forms (mapInPandas with the collected per-cell eval
+    bank; cogrouped applyInPandas) must be ROW-IDENTICAL to the
+    expression-cosine join twin — same rounding, same threshold filter,
+    same cell assignment (the r7 verdict's what's-wrong #2 fix)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        semantic_contamination,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") % 10 != 0)
+    ev = embeddings.filter(F.col("vec_id") % 10 == 0)
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                semantic_contamination(
+                    corpus, ev, threshold=0.30, n_centroids=16, **kw
+                ).collect(),
+            )
+        )
+
+    expr = run(vectorized=False)
+    assert expr  # the fixture must actually produce pairs at 0.30
+    assert run(vectorized=True, broadcast_eval=True) == expr
+    assert run(vectorized=True, broadcast_eval=False) == expr
+    # block smaller than any cell: the blocked matmul tiles correctly
+    assert run(vectorized=True, block=7) == expr
+
+
+def test_semantic_contamination_planted_copies_always_flagged(spark, embeddings):
+    """An eval doc that IS a corpus doc (identical vector -> identical
+    cell) must be flagged at any threshold by the vectorized default."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        semantic_contamination,
+    )
+
+    corpus = embeddings
+    ev = embeddings.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_contamination(corpus, ev, threshold=0.999999)
+    got = {(r.doc_id, r.eval_id) for r in out.collect()}
+    want = {(i, i + 1_000_000) for i in range(0, 500, 50)}
+    assert want <= got

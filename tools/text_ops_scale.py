@@ -134,9 +134,49 @@ def main() -> int:
             return ops.bloom_probe(b, probes, "shingle", m=1 << 22).count()
 
         t_bloom, _ = timed(bloom)
+
+        # r8 asym-containment receipt: plant one EXTREME-size-ratio subset
+        # pair per 20 docs (a 14-token excerpt of a 120-token doc —
+        # Jaccard ~ 0.1, so MinHash-LSH band collision ~ j^4 = 1e-4 per
+        # band: structurally invisible to the Jaccard path). The bottom-k
+        # generator must recover EVERY planted subset (a true subset
+        # matches on all k sketch hashes) at ~linear wall-clock.
+        SUBSET_BASE = 10_000_000
+        subsets = clean.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + SUBSET_BASE).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 14), " "
+            ).alias("text"),
+        )
+        n_subsets = subsets.count()
+        corpus = clean.unionByName(subsets).persist()
+        corpus.count()
+
+        def asym():
+            out = ops.asym_containment_pairs(corpus, threshold=0.9).persist()
+            total = out.count()
+            # the subset doc carries the HIGHER id, so after canonical
+            # (a < b) ordering it is doc_b and full containment is
+            # containment_b (|B n A| / |B| with B the excerpt)
+            found = out.filter(
+                (F.col("doc_b") >= SUBSET_BASE)
+                & (F.col("doc_a") == F.col("doc_b") - SUBSET_BASE)
+                & (F.col("containment_b") == 1.0)
+            ).count()
+            out.unpersist()
+            return total, found
+
+        t_asym, (n_asym, n_sub_found) = timed(asym)
+        corpus.unpersist()
+
         print(
             f"| {n + planted} | {planted} | {t_clean} | {n_clean} | {t_hot} | "
             f"{n_hot} | {t_lm} | {t_nov} | {t_bloom} |"
+        )
+        print(
+            f"asym containment: {t_asym} s, {n_asym} pairs >= 0.9, planted "
+            f"subsets recovered {n_sub_found}/{n_subsets}"
+            + ("" if n_sub_found == n_subsets else "  <-- RECALL MISS")
         )
         print(json.dumps({
             "docs": n + planted, "planted": planted,
@@ -144,6 +184,9 @@ def main() -> int:
             "tfidf_hot_s": t_hot, "tfidf_hot_pairs": n_hot,
             "bigram_lm_s": t_lm, "lm_rows": n_lm,
             "novelty_s": t_nov, "bloom_s": t_bloom,
+            "asym_s": t_asym, "asym_pairs": n_asym,
+            "asym_subsets_planted": n_subsets,
+            "asym_subsets_found": n_sub_found,
         }))
         clean.unpersist()
         hotd.unpersist()
