@@ -331,8 +331,17 @@ def main() -> None:
 
     warm = spark.createDataFrame([(i,) for i in range(64)], "x long").repartition(8)
     warm.mapInPandas(lambda it: (pdf for pdf in it), "x long").groupBy("x").count().count()
-    for t in ("embeddings", "documents", "lineitem", "orders", "customer"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    for t in ("embeddings", "documents", "lineitem", "orders", "customer", "events"):
+        # raw byte read first: parquet count() can be satisfied from row-group
+        # footers alone, which leaves the DATA pages cold — the r7 driver
+        # artifact's uniform ~40% inflation signature. A sequential read of
+        # every fixture byte (~17 MB at sf0.1) pins the pages in page cache.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isfile(path):
+            with open(path, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        spark.read.parquet(path).count()
 
     # best-of-2 per query: the first pass pays whole-stage-codegen compile
     # and any transient host interference; the min is the steady-state

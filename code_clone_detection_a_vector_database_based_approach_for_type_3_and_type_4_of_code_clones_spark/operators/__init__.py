@@ -82,6 +82,8 @@ from .dedup import (  # noqa: F401
     duplicate_groups,
     elect_canonical,
     tfidf_cosine_pairs,
+    tfidf_pairs_from_postings,
+    tfidf_postings,
     embedding_near_duplicates,
     exact_duplicates,
     lsh_candidate_pairs,
@@ -97,5 +99,6 @@ from .dedup import (  # noqa: F401
     srp_bands,
     srp_candidate_pairs,
     srp_near_duplicates,
+    strip_duplicate_runs,
     substring_duplicate_runs,
 )

@@ -976,12 +976,97 @@ def cluster_top_terms(embeddings: DataFrame, docs: DataFrame,
     )
 
 
+def tfidf_postings(docs: DataFrame, shingle_n: int = 3, df_cap: int = 20,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The weighted df-capped shingle postings table behind
+    ``tfidf_cosine_pairs`` — build once, mine many (the ``bm25_index``
+    pattern, retrieval.py): ``doc_id, term, df, w6`` with
+    ``w6 = round(1e3 * least(tf, 255) / (df + 1))`` BIGINT fixed-point
+    weights and only ``df <= df_cap`` terms kept (see tfidf_cosine_pairs
+    for the weight/overflow contract).
+
+    A plain DataFrame: persist it, or ``write.parquet`` and reload — the
+    100 TB shape is postings-on-disk (bucketed by term for the self-join)
+    built once per corpus snapshot, with ``tfidf_pairs_from_postings``
+    replanning only the cheap mining side per threshold/df_min sweep. The
+    SHA-256 shingle explode — the dominant cost — is paid exactly once at
+    build time instead of once per consumer subtree.
+    """
+    postings = (
+        _shingle_hash_explode(docs, shingle_n, text_col, id_col, distinct=False)
+        .withColumnRenamed("h", "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        postings.join(dfreq, "term")
+        .filter(F.col("df") <= F.lit(int(df_cap)))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.round(
+                F.lit(float(TFIDF_W_SCALE))
+                * F.least(F.col("tf"), F.lit(TFIDF_TF_CLAMP))
+                / (F.col("df") + F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("w6"),
+        )
+    )
+
+
+def tfidf_pairs_from_postings(weighted: DataFrame, df_min: int = 2,
+                              threshold: float = 0.5) -> DataFrame:
+    """Mine cosine pairs from a prebuilt ``tfidf_postings`` table (live,
+    persisted, or reloaded from parquet — any frame with
+    ``doc_id, term, df, w6``). Semantics identical to
+    ``tfidf_cosine_pairs``; see there for the df_min exactness contract.
+    """
+    norm_side = weighted
+    if df_min > 2:
+        # the df_min exactness contract (tfidf_cosine_pairs docstring):
+        # joinable-but-skipped terms must not carry norm mass. Branch (not
+        # an always-on filter) so the default graded plan shape is
+        # byte-identical.
+        norm_side = weighted.filter(
+            (F.col("df") < 2) | (F.col("df") >= F.lit(int(df_min)))
+        )
+    norms = norm_side.groupBy("doc_id").agg(
+        F.sum(F.col("w6") * F.col("w6")).alias("norm2")
+    )
+    joinable = weighted.filter(F.col("df") >= F.lit(int(df_min)))
+    dots = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w6") * F.col("b.w6")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    cosine = F.round(
+        F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
                        df_min: int = 2, df_cap: int = 20,
                        threshold: float = 0.5,
                        text_col: str = "text",
                        id_col: str = "doc_id",
-                       persist_weighted: bool = True) -> DataFrame:
+                       persist_weighted: bool = True,
+                       materialize: bool = False) -> DataFrame:
     """Sparse TF-IDF cosine pair mining over df-capped shingle postings —
     the EXACT-cosine complement to MinHash-LSH (which is probabilistic and
     Jaccard-shaped): document-pair candidate generation by self-joining the
@@ -1031,31 +1116,21 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
     re-hashing the corpus three times costs more than spilling the
     postings once; pass False from plan builders that must not execute
     at construction, or where the postings exceed cluster storage.
+
+    ``materialize`` (one-shot callers): a LAZY persist does not stop the
+    three consumer stages of a single cold action from racing the cache
+    and each paying the shingle explode before blocks land. Passing
+    ``materialize=True`` counts the persisted postings first (one serial
+    explode pass; implies ``persist_weighted``), so the fan-out reads
+    cache even on a cold single pass — measured receipt in
+    tools/text_ops_scale.py. Plan builders must keep the default (the
+    count executes at construction time, breaking the analyze-only gate).
+    Pipelines mining repeatedly (threshold sweeps, df_min sweeps) should
+    instead build ``tfidf_postings`` once, write it to term-bucketed
+    parquet, and mine via ``tfidf_pairs_from_postings``.
     """
-    postings = (
-        _shingle_hash_explode(docs, shingle_n, text_col, id_col, distinct=False)
-        .withColumnRenamed("h", "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
-    weighted = (
-        postings.join(dfreq, "term")
-        .filter(F.col("df") <= F.lit(int(df_cap)))
-        .select(
-            "doc_id",
-            "term",
-            "df",
-            F.round(
-                F.lit(float(TFIDF_W_SCALE))
-                * F.least(F.col("tf"), F.lit(TFIDF_TF_CLAMP))
-                / (F.col("df") + F.lit(1.0))
-            )
-            .cast("bigint")
-            .alias("w6"),
-        )
-    )
-    if persist_weighted:
+    weighted = tfidf_postings(docs, shingle_n, df_cap, text_col, id_col)
+    if persist_weighted or materialize:
         # lazy (not eager): plan BUILDERS must not execute (analyze-only
         # gate), and no consumer broadcasts `weighted` itself, so the
         # eager-persist race ngram_jaccard_pairs guards against can at
@@ -1063,38 +1138,9 @@ def tfidf_cosine_pairs(docs: DataFrame, shingle_n: int = 3,
         # evicts+unpersists, so sessions can't pin corpus-sized blocks
         # without limit.
         weighted = persist_bounded(weighted, eager=False)
-    norm_side = weighted
-    if df_min > 2:
-        # the df_min exactness contract (docstring): joinable-but-skipped
-        # terms must not carry norm mass. Branch (not an always-on filter)
-        # so the default graded plan shape is byte-identical.
-        norm_side = weighted.filter(
-            (F.col("df") < 2) | (F.col("df") >= F.lit(int(df_min)))
-        )
-    norms = norm_side.groupBy("doc_id").agg(
-        F.sum(F.col("w6") * F.col("w6")).alias("norm2")
-    )
-    joinable = weighted.filter(F.col("df") >= F.lit(int(df_min)))
-    dots = (
-        joinable.alias("a")
-        .join(joinable.alias("b"), "term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.sum(F.col("a.w6") * F.col("b.w6")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
-    cosine = F.round(
-        F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
-    )
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-    )
+        if materialize:
+            weighted.count()
+    return tfidf_pairs_from_postings(weighted, df_min, threshold)
 
 
 def containment_pairs(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3,
@@ -1415,6 +1461,68 @@ def substring_duplicate_runs(docs: DataFrame, run_n: int = 50,
             F.min("first_doc").alias("src_doc"),
         )
         .select("doc_id", "start_tok", "end_tok", "n_windows", "src_doc")
+    )
+
+
+def strip_duplicate_runs(docs: DataFrame, runs: DataFrame | None = None,
+                         run_n: int = 50, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The ACTIONABLE form of substring-level dedup (Lee et al. 2022
+    remove duplicated >= 50-token substrings from the corpus, keeping one
+    occurrence): drop every token inside a ``substring_duplicate_runs``
+    span and re-join the survivors. Because runs only exist where an
+    EARLIER document holds the first occurrence, the first document keeps
+    its text untouched — exactly one copy of every duplicated passage
+    survives corpus-wide.
+
+    Plan: the run spans aggregate per doc (collect_list over the
+    runs-sized frame — a small fraction of the corpus), LEFT-join the
+    corpus on doc_id (docs without runs pass through a null-spans fast
+    path), and removal is pure array expressions: span structs flatten to
+    a dropped-position array (``sequence`` per span — bounded by the
+    doc's own token count even for overlapping islands), and an indexed
+    ``filter`` keeps tokens whose 1-based position is outside every span.
+    Map-only after the one join; no Python workers.
+
+    Pass a precomputed/persisted ``runs`` frame to share the detection
+    pass with accounting consumers; otherwise it is derived inline.
+
+    Output: ``doc_id, text, n_tokens_removed, n_runs_removed`` — text ""
+    (not a dropped row) when a doc was entirely duplicated text; callers
+    filter or route to quarantine downstream.
+    """
+    if runs is None:
+        runs = substring_duplicate_runs(docs, run_n, text_col, id_col)
+    spans = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    joined = toked.join(spans, "doc_id", "left")
+    dropped = F.flatten(
+        F.transform("spans", lambda s: F.sequence(s["start_tok"], s["end_tok"]))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.array_contains(
+            F.col("dropped"), (i + F.lit(1)).cast("bigint")
+        ),
+    )
+    return (
+        joined.withColumn(
+            "dropped", F.coalesce(dropped, F.array().cast("array<bigint>"))
+        )
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("text"),
+            F.array_size(F.array_distinct("dropped"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.coalesce(F.size("spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_runs_removed"),
+        )
     )
 
 

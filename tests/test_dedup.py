@@ -611,6 +611,53 @@ def test_tfidf_spammy_doc_saturates_not_overflows(spark):
     assert out == {(1, 2): 1.0}
 
 
+def test_tfidf_postings_entry_points_match_inline(spark, tmp_path):
+    """The build-once / mine-many split (r8, verdict item 7): live
+    postings, a parquet round-trip of the postings table, and the
+    materialize=True one-shot path must all yield the inline operator's
+    exact pair set — including at df_min > 2 (the exactness-contract
+    branch lives in the shared mining core)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_pairs_from_postings,
+        tfidf_postings,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f x"),
+        (3, "a b c q r s t"),
+        (4, "totally different words here now indeed"),
+        (5, "totally different words here now indeed"),
+    ]
+    d = _docs(spark, rows)
+
+    def pairset(df):
+        return {(r.doc_a, r.doc_b): r.cosine for r in df.collect()}
+
+    for df_min in (2, 3):
+        base = pairset(
+            tfidf_cosine_pairs(d, df_min=df_min, threshold=0.0, persist_weighted=False)
+        )
+        assert base  # non-vacuous: the fixture must produce pairs
+        live = pairset(
+            tfidf_pairs_from_postings(tfidf_postings(d), df_min=df_min, threshold=0.0)
+        )
+        assert live == base
+        path = str(tmp_path / f"postings_{df_min}")
+        tfidf_postings(d).write.parquet(path)
+        reloaded = pairset(
+            tfidf_pairs_from_postings(
+                spark.read.parquet(path), df_min=df_min, threshold=0.0
+            )
+        )
+        assert reloaded == base
+        mat = pairset(
+            tfidf_cosine_pairs(d, df_min=df_min, threshold=0.0, materialize=True)
+        )
+        assert mat == base
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         containment_pairs,
@@ -902,6 +949,65 @@ def test_substring_runs_clean_corpus_emits_nothing(spark):
                       (2, " ".join(f"b{i}" for i in range(30))),
                       (3, "short doc")])
     assert substring_duplicate_runs(d, run_n=8).count() == 0
+
+
+def test_strip_duplicate_runs_removes_exactly_the_spans(spark):
+    """The removal form: doc 2's spliced passage tokens vanish, the rest
+    of doc 2 survives in order, doc 1 (first occurrence) and the clean
+    doc 3 pass through untouched with zero accounting."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(15))
+    rows = [
+        (1, "x0 x1 x2 " + passage + " x3 x4"),
+        (2, filler_a + " " + passage + " " + filler_b),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    d = _docs(spark, rows)
+    out = {r.doc_id: r for r in strip_duplicate_runs(d, run_n=8).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 2: span 11..30 (the passage) removed, fillers survive in order
+    assert out[2].text == filler_a + " " + filler_b
+    assert out[2].n_tokens_removed == 20
+    assert out[2].n_runs_removed == 1
+    # first occurrence + clean doc untouched
+    assert out[1].text == rows[0][1]
+    assert out[3].text == rows[2][1]
+    assert out[1].n_tokens_removed == 0 and out[3].n_tokens_removed == 0
+    assert out[1].n_runs_removed == 0 and out[3].n_runs_removed == 0
+
+
+def test_strip_duplicate_runs_entirely_duplicated_doc_empties(spark):
+    """A doc that is one whole duplicated passage strips to text "" (kept
+    as a row for quarantine routing, not silently dropped); overlapping
+    islands must not double-count removed tokens."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+        substring_duplicate_runs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    d = _docs(spark, [(1, passage), (2, passage),
+                      (3, passage + " z0 z1 z2 " + passage)])
+    out = {r.doc_id: r for r in strip_duplicate_runs(d, run_n=8).collect()}
+    assert out[2].text == "" and out[2].n_tokens_removed == 10
+    # doc 3: spans 1..10 and 14..23 removed, the z-gap survives
+    assert out[3].text == "z0 z1 z2"
+    assert out[3].n_tokens_removed == 20 and out[3].n_runs_removed == 2
+    # a precomputed runs frame gives the identical result (shared
+    # detection pass)
+    runs = substring_duplicate_runs(d, run_n=8)
+    pre = {r.doc_id: r for r in strip_duplicate_runs(d, runs=runs).collect()}
+    assert {(k, v.text, v.n_tokens_removed) for k, v in out.items()} == {
+        (k, v.text, v.n_tokens_removed) for k, v in pre.items()
+    }
+    # corpus-wide invariant: exactly ONE copy of the passage survives
+    survivors = sum(v.text.count("p0") for v in out.values())
+    assert survivors == 1
 
 
 # --- semantic_contamination vectorized forms (r8) ----------------------------

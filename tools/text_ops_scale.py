@@ -107,6 +107,22 @@ def main() -> int:
             lambda: ops.tfidf_cosine_pairs(hotd, threshold=0.5).count()
         )
 
+        # r8 cold-single-pass receipt (verdict item 7): each call below
+        # builds a FRESH weighted-postings frame (new persist), so the
+        # measurement is cold by construction even though the JVM and the
+        # docs cache are warm. Default lazy persist lets the three
+        # consumer stages race the cache (each can pay the SHA-256
+        # shingle explode); materialize=True pays ONE serial explode pass
+        # then fans out over cache. Single pass, no best-of-2 — cold is
+        # the point.
+        t0 = time.monotonic()
+        n_cold = ops.tfidf_cosine_pairs(clean, threshold=0.5).count()
+        t_cold_lazy = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        n_mat = ops.tfidf_cosine_pairs(clean, threshold=0.5, materialize=True).count()
+        t_cold_mat = round(time.monotonic() - t0, 2)
+        assert n_cold == n_mat == n_clean, (n_cold, n_mat, n_clean)
+
         def lm():
             model, vocab_df = ops.train_bigram_lm(clean)
             return ops.bigram_lm_scores(clean, model, vocab_df).count()
@@ -169,6 +185,42 @@ def main() -> int:
         t_asym, (n_asym, n_sub_found) = timed(asym)
         corpus.unpersist()
 
+        # r8 substring-run receipt: stamp ONE fixed 60-token passage onto
+        # every 10th doc. With run_n=50, exactly windows 1..11 of a
+        # stamped doc are duplicated (window 12 spans the first random
+        # token), so every stamped doc EXCEPT the first must emit exactly
+        # one maximal run (start 1, end 60, 11 windows, src = first
+        # stamped id); clean docs emit nothing. ~71 windows/doc hashed —
+        # wall must stay ~linear in corpus size.
+        # base docs only (ids < n): the appended near-dup copies would
+        # legitimately emit their own base-duplicating runs and obscure
+        # the exact expected count
+        passage = " ".join(f"p{i:03d}" for i in range(60))
+        stamped = clean.filter(F.col("doc_id") < n).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit(passage + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).persist()
+        n_stamped = stamped.filter(F.col("doc_id") % 10 == 0).count()
+
+        def substr():
+            out = ops.substring_duplicate_runs(stamped, run_n=50).persist()
+            total = out.count()
+            exact = out.filter(
+                (F.col("start_tok") == 1)
+                & (F.col("end_tok") == 60)
+                & (F.col("n_windows") == 11)
+                & (F.col("src_doc") == 0)
+            ).count()
+            out.unpersist()
+            return total, exact
+
+        t_substr, (n_runs, n_exact) = timed(substr)
+        stamped.unpersist()
+        substr_ok = n_runs == n_exact == n_stamped - 1
+
         print(
             f"| {n + planted} | {planted} | {t_clean} | {n_clean} | {t_hot} | "
             f"{n_hot} | {t_lm} | {t_nov} | {t_bloom} |"
@@ -178,15 +230,27 @@ def main() -> int:
             f"subsets recovered {n_sub_found}/{n_subsets}"
             + ("" if n_sub_found == n_subsets else "  <-- RECALL MISS")
         )
+        print(
+            f"tfidf cold single pass: lazy {t_cold_lazy} s vs "
+            f"materialize=True {t_cold_mat} s (warm best-of-2 {t_clean} s)"
+        )
+        print(
+            f"substring runs: {t_substr} s, {n_runs} maximal runs "
+            f"({n_exact} exactly (1,60,11,src=0)) from {n_stamped} stamped docs"
+            + ("" if substr_ok else "  <-- SPAN/ATTRIBUTION MISS")
+        )
         print(json.dumps({
             "docs": n + planted, "planted": planted,
             "tfidf_clean_s": t_clean, "tfidf_clean_pairs": n_clean,
+            "tfidf_cold_lazy_s": t_cold_lazy, "tfidf_cold_mat_s": t_cold_mat,
             "tfidf_hot_s": t_hot, "tfidf_hot_pairs": n_hot,
             "bigram_lm_s": t_lm, "lm_rows": n_lm,
             "novelty_s": t_nov, "bloom_s": t_bloom,
             "asym_s": t_asym, "asym_pairs": n_asym,
             "asym_subsets_planted": n_subsets,
             "asym_subsets_found": n_sub_found,
+            "substr_s": t_substr, "substr_runs": n_runs,
+            "substr_exact": n_exact, "substr_stamped": n_stamped,
         }))
         clean.unpersist()
         hotd.unpersist()
