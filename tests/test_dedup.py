@@ -1010,7 +1010,113 @@ def test_strip_duplicate_runs_entirely_duplicated_doc_empties(spark):
     assert survivors == 1
 
 
-# --- semantic_contamination vectorized forms (r8) ----------------------------
+def test_strip_runs_matches_duckdb_oracle(spark, documents, sf_dir):
+    """Differential test against the full ANSI-SQL replay — the staged r9
+    graded-entry oracle (COVERAGE.md r9 budget note): the substring_dups
+    runs CTE extended with span expansion + position anti-join + ordered
+    re-join. Runs over the same documents+remix corpus as the graded
+    substring_dups entry so promotion to `oracle_sql()` is mechanical."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
+        stable_hash64_sql,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+    )
+
+    run_n = 8
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    remix = documents.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(toks, 1, 12), " "),
+            F.concat(F.lit("zz"), F.col("doc_id")),
+            F.array_join(F.slice(toks, 5, 12), " "),
+        ).alias("text"),
+    )
+    corpus = documents.select("doc_id", "text").unionByName(remix)
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed, r.n_runs_removed)
+        for r in strip_duplicate_runs(corpus, run_n=run_n).collect()
+    }
+
+    tk = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+    h = stable_hash64_sql(
+        "array_to_string(tk[i:i+" + str(run_n - 1) + "], ' ')"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = con.execute(f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(({tk})[1:12], ' ') || ' zz' || doc_id::VARCHAR
+           || ' ' || array_to_string(({tk})[5:16], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toked AS (SELECT doc_id, {tk} AS tk FROM base),
+w AS (
+  SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - {run_n - 2}),
+                  i -> {{'pos': i, 'h': {h}}})) AS wp
+    FROM toked WHERE len(tk) >= {run_n}
+  )
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h),
+dup AS (
+  SELECT w.doc_id, w.pos FROM w JOIN first f USING (h)
+  WHERE f.first_doc < w.doc_id
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runs AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + {run_n} - 1 AS end_tok
+  FROM isl GROUP BY doc_id, grp
+),
+dropped AS (
+  SELECT DISTINCT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+  FROM runs
+),
+positions AS (
+  SELECT doc_id, tp.pos AS pos, tp.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {{'pos': i, 'tok': tk[i]}})) AS tp
+    FROM toked
+  )
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  ANTI JOIN dropped d ON d.doc_id = p.doc_id AND d.pos = p.pos
+)
+SELECT b.doc_id,
+       coalesce(k.text, '') AS text,
+       coalesce(dr.n, 0)::BIGINT AS n_tokens_removed,
+       coalesce(r.n, 0)::BIGINT AS n_runs_removed
+FROM base b
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id) k ON k.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM dropped GROUP BY doc_id)
+       dr ON dr.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM runs GROUP BY doc_id)
+       r ON r.doc_id = b.doc_id
+""").fetchall()
+    con.close()
+    want = {row[0]: (row[1], row[2], row[3]) for row in oracle}
+    assert got == want
+    # non-vacuous: the remix docs must actually have had runs stripped
+    assert any(v[2] > 0 for v in got.values())
 
 
 def test_semantic_contamination_vectorized_matches_expression(spark, embeddings):

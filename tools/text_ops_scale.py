@@ -185,13 +185,17 @@ def main() -> int:
         t_asym, (n_asym, n_sub_found) = timed(asym)
         corpus.unpersist()
 
-        # r8 substring-run receipt: stamp ONE fixed 60-token passage onto
-        # every 10th doc. With run_n=50, exactly windows 1..11 of a
-        # stamped doc are duplicated (window 12 spans the first random
-        # token), so every stamped doc EXCEPT the first must emit exactly
-        # one maximal run (start 1, end 60, 11 windows, src = first
-        # stamped id); clean docs emit nothing. ~71 windows/doc hashed —
-        # wall must stay ~linear in corpus size.
+        # r8 substring-run receipt: stamp ONE fixed 60-token passage plus
+        # a DOC-UNIQUE separator token onto every 10th doc. The separator
+        # matters: without it, window 12 (passage tail + the doc's first
+        # random token) is duplicated whenever an earlier stamped doc
+        # starts with the same vocab word (~always at 1000-word vocab),
+        # legitimately extending the run past the passage. With it,
+        # exactly windows 1..11 are duplicated, so every stamped doc
+        # EXCEPT the first must emit exactly one maximal run (start 1,
+        # end 60, 11 windows, src = first stamped id); clean docs emit
+        # nothing. ~72 windows/doc hashed — wall must stay ~linear in
+        # corpus size.
         # base docs only (ids < n): the appended near-dup copies would
         # legitimately emit their own base-duplicating runs and obscure
         # the exact expected count
@@ -200,7 +204,12 @@ def main() -> int:
             "text",
             F.when(
                 F.col("doc_id") % 10 == 0,
-                F.concat(F.lit(passage + " "), F.col("text")),
+                F.concat(
+                    F.lit(passage + " u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" "),
+                    F.col("text"),
+                ),
             ).otherwise(F.col("text")),
         ).persist()
         n_stamped = stamped.filter(F.col("doc_id") % 10 == 0).count()
