@@ -100,5 +100,6 @@ from .dedup import (  # noqa: F401
     srp_candidate_pairs,
     srp_near_duplicates,
     strip_duplicate_runs,
+    strip_until_clean,
     substring_duplicate_runs,
 )

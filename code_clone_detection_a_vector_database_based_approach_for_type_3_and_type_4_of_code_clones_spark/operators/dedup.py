@@ -1526,6 +1526,74 @@ def strip_duplicate_runs(docs: DataFrame, runs: DataFrame | None = None,
     )
 
 
+def strip_until_clean(docs: DataFrame, run_n: int = 50, max_rounds: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      report: dict | None = None) -> DataFrame:
+    """Substring dedup to the FIXPOINT: alternate
+    ``substring_duplicate_runs`` / ``strip_duplicate_runs`` until a
+    detection pass finds nothing. One strip pass is NOT always enough —
+    removing a span makes the tokens on either side adjacent, and the new
+    junction sequence can itself duplicate an earlier document (pinned by
+    ``test_strip_until_clean_junction_needs_second_round``); Lee et al.
+    apply their substring dedup iteratively for the same reason.
+
+    Termination is structural, not hoped-for: every non-final round
+    removes >= run_n tokens from at least one document, so the corpus
+    token count strictly decreases and the loop ends in at most
+    total_tokens / run_n rounds; ``max_rounds`` is the practical cap
+    (2 rounds suffice on anything but adversarial corpora). Per the
+    engine's iterative-plan law (see duplicate_groups) each round's
+    corpus is ``localCheckpoint(eager=True)`` — lineage is truncated, so
+    round k never re-executes rounds 1..k-1's strip joins.
+
+    ``report``: optional dict filled with ``rounds`` (detection passes,
+    INCLUDING the final empty one that proves the fixpoint),
+    ``converged``, and ``runs_per_round``.
+
+    Output: ``doc_id, text, n_tokens_removed, n_runs_removed`` with
+    CUMULATIVE accounting across rounds.
+    """
+    cur = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.lit(0).cast("bigint").alias("n_tokens_removed"),
+        F.lit(0).cast("bigint").alias("n_runs_removed"),
+    )
+    if report is not None:
+        report["rounds"] = 0
+        report["converged"] = False
+        report["runs_per_round"] = []
+    for _ in range(int(max_rounds)):
+        cur = cur.localCheckpoint(eager=True)
+        runs = substring_duplicate_runs(cur, run_n, "text", "doc_id")
+        n_runs = runs.count()
+        if report is not None:
+            report["rounds"] += 1
+            report["runs_per_round"].append(n_runs)
+        if n_runs == 0:
+            if report is not None:
+                report["converged"] = True
+            return cur
+        stripped = strip_duplicate_runs(
+            cur.select("doc_id", "text"), runs=runs, run_n=run_n
+        )
+        cur = (
+            stripped.withColumnRenamed("n_tokens_removed", "rt")
+            .withColumnRenamed("n_runs_removed", "rr")
+            .join(
+                cur.select("doc_id", "n_tokens_removed", "n_runs_removed"),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                "text",
+                (F.col("n_tokens_removed") + F.col("rt")).alias("n_tokens_removed"),
+                (F.col("n_runs_removed") + F.col("rr")).alias("n_runs_removed"),
+            )
+        )
+    return cur.localCheckpoint(eager=True)
+
+
 def semantic_contamination(corpus_emb: DataFrame, eval_emb: DataFrame,
                            threshold: float = 0.95, n_centroids: int = 16,
                            id_col: str = "vec_id",

@@ -1010,6 +1010,67 @@ def test_strip_duplicate_runs_entirely_duplicated_doc_empties(spark):
     assert survivors == 1
 
 
+def test_strip_until_clean_junction_needs_second_round(spark):
+    """Stripping creates NEW adjacencies: doc 2's removed passage leaves
+    junction a1..a4 b1..b4, which duplicates doc 0 — invisible before the
+    strip, so ONE pass provably leaves duplicated text and the fixpoint
+    loop must take a second round (the reason Lee et al. iterate)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+        strip_until_clean,
+        substring_duplicate_runs,
+    )
+
+    junction = " ".join([f"a{i}" for i in range(4)] + [f"b{i}" for i in range(4)])
+    passage = " ".join(f"p{i}" for i in range(8))
+    rows = [
+        (0, junction),
+        (1, passage),
+        (2, " ".join([f"a{i}" for i in range(4)]) + " " + passage + " "
+            + " ".join([f"b{i}" for i in range(4)])),
+    ]
+    d = _docs(spark, rows)
+    # single pass: the passage goes, but the junction duplicate it CREATED
+    # survives — and a re-detection on the single-pass output finds it
+    once = {r.doc_id: r.text for r in strip_duplicate_runs(d, run_n=8).collect()}
+    assert once[2] == junction
+    assert substring_duplicate_runs(
+        _docs(spark, list(once.items())), run_n=8
+    ).count() == 1
+    # fixpoint: doc 2 strips to empty in round 2; rounds includes the
+    # proving empty detection pass
+    report = {}
+    out = {r.doc_id: r for r in
+           strip_until_clean(d, run_n=8, report=report).collect()}
+    assert report["converged"] is True
+    assert report["rounds"] == 3 and report["runs_per_round"] == [1, 1, 0]
+    assert out[2].text == ""
+    assert out[2].n_tokens_removed == 16 and out[2].n_runs_removed == 2
+    assert out[0].text == junction and out[1].text == passage
+    assert out[0].n_tokens_removed == 0 and out[1].n_tokens_removed == 0
+    # the fixpoint output really is clean
+    assert substring_duplicate_runs(
+        _docs(spark, [(k, v.text) for k, v in out.items()]), run_n=8
+    ).count() == 0
+
+
+def test_strip_until_clean_clean_corpus_one_round(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_until_clean,
+    )
+
+    rows = [(1, " ".join(f"a{i}" for i in range(20))),
+            (2, " ".join(f"b{i}" for i in range(20)))]
+    report = {}
+    out = {r.doc_id: r for r in
+           strip_until_clean(_docs(spark, rows), run_n=8, report=report).collect()}
+    assert report == {"rounds": 1, "converged": True, "runs_per_round": [0]}
+    assert out[1].text == rows[0][1] and out[2].text == rows[1][1]
+    assert out[1].n_tokens_removed == 0 and out[2].n_runs_removed == 0
+
+
 def test_strip_runs_matches_duckdb_oracle(spark, documents, sf_dir):
     """Differential test against the full ANSI-SQL replay — the staged r9
     graded-entry oracle (COVERAGE.md r9 budget note): the substring_dups
