@@ -97,6 +97,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="corpus: near-dup keeper election — 'min_id' "
                         "(deterministic default) or 'quality' (keep each "
                         "group's best-quality member)")
+    p.add_argument("--substring_run_n", type=int, default=None,
+                   help="corpus: opt-in substring-level dedup — strip "
+                        "repeated runs of >= N tokens from exact keepers "
+                        "before near-dup/quality stages (Lee et al. 2022; "
+                        "default off)")
     return p
 
 
@@ -190,6 +195,7 @@ def run(argv: list[str] | None = None) -> dict:
             },
             n_shards=args.n_shards,
             near_keeper=args.near_keeper,
+            substring_run_n=args.substring_run_n,
         )
         acc = res["accounting"].first().asDict()
         per_split: dict[str, int] = {}

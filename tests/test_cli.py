@@ -158,6 +158,27 @@ def test_cli_corpus_end_to_end(spark, tmp_path, sf_dir):
         assert {"doc_id", "text", "shard"} <= set(back.columns)
 
 
+def test_cli_corpus_substring_mode(spark, tmp_path, sf_dir):
+    """--substring_run_n threads through prepare_and_ship into the funnel:
+    the accounting gains the substring column (zero on the fixture corpus
+    at a run length its short docs cannot reach is fine — presence and
+    plumbing are the contract here; exactness is pinned in
+    test_corpus_prep.py)."""
+    out_dir = tmp_path / "shipped_substr"
+    out_dir.mkdir()
+    res = run([
+        "--dataset", "corpus",
+        "--docs_parquet", f"{sf_dir}/documents.parquet",
+        "--output_dir", str(out_dir),
+        "--n_shards", "2",
+        "--substring_run_n", "8",
+    ])
+    acc = res["accounting"]
+    assert "n_substr_tokens_removed" in acc
+    assert acc["n_substr_tokens_removed"] >= 0
+    assert sum(res["per_split"].values()) == acc["n_sampled"]
+
+
 def test_cli_corpus_missing_args_fail_fast():
     with pytest.raises(SystemExit, match="docs_parquet"):
         run(["--dataset", "corpus"])

@@ -148,3 +148,32 @@ def test_corpus_prep_quality_keeper_election(spark):
 
     with pytest.raises(ValueError):
         corpus_prep(docs, near_keeper="best")
+
+
+def test_corpus_prep_substring_mode_strips_quoted_passage(spark):
+    """Opt-in stage 2.5 (substring_run_n): a 16-token passage of doc 0
+    quoted inside doc 1 is stripped from doc 1 before the near-dup and
+    quality stages; accounting gains n_substr_tokens_removed; the default
+    mode's accounting schema is unchanged."""
+    excerpt = " ".join(BODY.split()[:16])
+    prefix = ("a calm morning walk through the town square where the "
+              "people gather to talk")  # 14 tokens
+    suffix = ("and the children play near the fountain while the band "
+              "plays a gentle tune")
+    rows = [
+        (0, BODY, "en", "web"),
+        (1, f"{prefix} {excerpt} {suffix}", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus_prep(docs, boilerplate_min_df=99, substring_run_n=8)
+    acc = out["accounting"].collect()[0]
+    assert acc.n_substr_tokens_removed == 16
+    assert acc.n_input == 2 and acc.n_sampled == 2
+    texts = {r.doc_id: r.text for r in out["docs"].select("doc_id", "text").collect()}
+    assert texts[0] == BODY  # first occurrence untouched
+    assert texts[1] == f"{prefix} {suffix}"  # quoted passage gone
+    # default mode: no substring column in the accounting row
+    acc_default = corpus_prep(docs, boilerplate_min_df=99)["accounting"]
+    assert "n_substr_tokens_removed" not in acc_default.columns
