@@ -662,3 +662,94 @@ def test_bigram_lm_matches_bruteforce_random(spark, train):
         # integer half-up mean, exactly the operator's (2a+b) div (2b)
         want6 = (2 * sum(p6s) + len(bgs)) // (2 * len(bgs))
         assert got[i] == (len(bgs), want6 / 1000000.0), (i, train[i])
+
+
+def _bf_strip_once(docs_tokens: dict, run_n: int):
+    """Brute-force one detect+strip pass: returns
+    {doc_id: (kept_tokens, n_removed, n_runs)}."""
+    first = {}
+    for did in sorted(docs_tokens):
+        toks = docs_tokens[did]
+        for i in range(len(toks) - run_n + 1):
+            w = tuple(toks[i : i + run_n])
+            if w not in first:
+                first[w] = did
+    out = {}
+    for did in sorted(docs_tokens):
+        toks = docs_tokens[did]
+        dup_pos = [
+            i + 1
+            for i in range(len(toks) - run_n + 1)
+            if first[tuple(toks[i : i + run_n])] < did
+        ]
+        spans, prev = [], None
+        for p in dup_pos:
+            if prev is not None and p == prev + 1:
+                spans[-1][1] = p + run_n - 1
+            else:
+                spans.append([p, p + run_n - 1])
+            prev = p
+        dropped = set()
+        for s, e in spans:
+            dropped.update(range(s, e + 1))
+        kept = [t for j, t in enumerate(toks, start=1) if j not in dropped]
+        out[did] = (kept, len(dropped), len(spans))
+    return out
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), max_size=14), min_size=1, max_size=6
+    ),
+    run_n=st.integers(min_value=2, max_value=4),
+)
+def test_strip_runs_and_fixpoint_match_bruteforce(spark, docs, run_n):
+    """Random tiny-vocab corpora (collisions guaranteed): one strip pass
+    must equal the brute-force pass per doc (text, tokens removed, runs),
+    and strip_until_clean must equal brute-force iterated to emptiness —
+    including the round count (rounds = strip passes + the proving empty
+    detection)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+        strip_until_clean,
+    )
+
+    toks_by_doc = {i: list(t) for i, t in enumerate(docs)}
+    rows = [(i, " ".join(t)) for i, t in toks_by_doc.items()]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want_once = _bf_strip_once(toks_by_doc, run_n)
+    got_once = {
+        r.doc_id: (r.text, r.n_tokens_removed, r.n_runs_removed)
+        for r in strip_duplicate_runs(d, run_n=run_n).collect()
+    }
+    assert got_once == {
+        did: (" ".join(k), n, s) for did, (k, n, s) in want_once.items()
+    }
+
+    # brute-force fixpoint
+    cur = dict(toks_by_doc)
+    cum_tok = {i: 0 for i in cur}
+    cum_run = {i: 0 for i in cur}
+    bf_rounds = 1
+    while True:
+        step = _bf_strip_once(cur, run_n)
+        if all(n == 0 for _, n, _ in step.values()):
+            break
+        bf_rounds += 1
+        for did, (kept, n, s) in step.items():
+            cur[did] = kept
+            cum_tok[did] += n
+            cum_run[did] += s
+
+    report = {}
+    got_fix = {
+        r.doc_id: (r.text, r.n_tokens_removed, r.n_runs_removed)
+        for r in strip_until_clean(d, run_n=run_n, report=report).collect()
+    }
+    assert report["converged"] is True
+    assert report["rounds"] == bf_rounds
+    assert got_fix == {
+        did: (" ".join(cur[did]), cum_tok[did], cum_run[did]) for did in cur
+    }

@@ -227,8 +227,24 @@ def main() -> int:
             return total, exact
 
         t_substr, (n_runs, n_exact) = timed(substr)
-        stamped.unpersist()
         substr_ok = n_runs == n_exact == n_stamped - 1
+
+        # fixpoint receipt: on this corpus the doc-unique separator makes
+        # every junction window unique, so strip_until_clean must converge
+        # in exactly 2 detection passes (strip round + the proving empty
+        # pass) at ~2x the single-detection cost. Single pass — the loop
+        # is eager by design.
+        fx_report: dict = {}
+        t0 = time.monotonic()
+        fixed = ops.strip_until_clean(stamped, run_n=50, report=fx_report)
+        n_fixed = fixed.count()
+        t_fix = round(time.monotonic() - t0, 2)
+        fix_ok = (
+            fx_report.get("converged") is True
+            and fx_report.get("rounds") == 2
+            and n_fixed == n + 0  # every base doc survives as a row
+        )
+        stamped.unpersist()
 
         print(
             f"| {n + planted} | {planted} | {t_clean} | {n_clean} | {t_hot} | "
@@ -248,6 +264,11 @@ def main() -> int:
             f"({n_exact} exactly (1,60,11,src=0)) from {n_stamped} stamped docs"
             + ("" if substr_ok else "  <-- SPAN/ATTRIBUTION MISS")
         )
+        print(
+            f"strip fixpoint: {t_fix} s, rounds={fx_report.get('rounds')} "
+            f"runs_per_round={fx_report.get('runs_per_round')}"
+            + ("" if fix_ok else "  <-- FIXPOINT MISS")
+        )
         print(json.dumps({
             "docs": n + planted, "planted": planted,
             "tfidf_clean_s": t_clean, "tfidf_clean_pairs": n_clean,
@@ -260,6 +281,7 @@ def main() -> int:
             "asym_subsets_found": n_sub_found,
             "substr_s": t_substr, "substr_runs": n_runs,
             "substr_exact": n_exact, "substr_stamped": n_stamped,
+            "strip_fix_s": t_fix, "strip_fix_rounds": fx_report.get("rounds"),
         }))
         clean.unpersist()
         hotd.unpersist()
