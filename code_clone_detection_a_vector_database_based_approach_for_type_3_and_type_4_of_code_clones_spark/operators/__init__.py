@@ -31,6 +31,7 @@ from .relational import (  # noqa: F401
     mixture_sample,
     ngram_contamination,
     salted_key_counts,
+    snapshot_diff,
     stratified_sample_deterministic,
 )
 from .sketch import (  # noqa: F401

@@ -243,3 +243,45 @@ def mixture_sample(
         F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
     ) % 1_000_000
     return df.filter(h < thresh)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-hash diff between two corpus snapshots — the driver for
+    INCREMENTAL reprocessing: after a crawl refresh, only ``added`` /
+    ``changed`` docs need re-embedding (``upsert_ivf_index``), near-dup
+    screening against history (``streaming.dedup_history.
+    process_increment``), and re-sharding; ``removed`` docs need index
+    deletion. Without a diff, every refresh pays a full-corpus rebuild.
+
+    Relational shape: each side reduces map-side to ``(id, sha256(text))``
+    — the scan reads two columns regardless of how wide the corpus table
+    is — and one full-outer hash join classifies. ``unchanged`` rows are
+    dropped INSIDE the join's projection (the common case at 100 TB: a
+    refresh touches a small fraction, and emitting unchanged rows would
+    make the output corpus-sized).
+
+    Output: ``doc_id, status ('added'|'removed'|'changed'), old_sha,
+    new_sha`` — null sha on the absent side, exactly replayable in SQL.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("old_sha")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("new_sha")
+    )
+    status = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_sha", "new_sha")
+    )

@@ -264,3 +264,84 @@ def test_mixture_sample_deterministic_and_weighted(spark, sf_dir):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert set(out) == {2, 3, 4}  # unchanged doc 1 dropped
+    assert out[2].status == "changed"
+    assert out[2].old_sha is not None and out[2].new_sha is not None
+    assert out[2].old_sha != out[2].new_sha
+    assert out[3].status == "removed" and out[3].new_sha is None
+    assert out[4].status == "added" and out[4].old_sha is None
+    # identical snapshots diff to empty
+    assert snapshot_diff(old, old).count() == 0
+
+
+def test_snapshot_diff_matches_duckdb_oracle(spark, documents, sf_dir):
+    """Differential test staging the r9 graded-entry oracle: new snapshot
+    derived deterministically from the fixture (every 10th doc edited,
+    every 7th-but-not-10th removed, 20 fresh ids added)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    edited = documents.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" EDIT")).alias("text")
+    )
+    kept = documents.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", "text")
+    added = documents.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    new = kept.unionByName(edited).unionByName(added)
+    got = {
+        (r.doc_id, r.status, r.old_sha, r.new_sha)
+        for r in snapshot_diff(documents.select("doc_id", "text"), new).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = con.execute("""
+WITH newsnap AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' EDIT' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'fresh ' || text FROM documents WHERE doc_id < 20
+),
+o AS (SELECT doc_id, sha256(text) AS old_sha FROM documents),
+n AS (SELECT doc_id, sha256(text) AS new_sha FROM newsnap)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_sha IS NULL THEN 'added'
+            WHEN n.new_sha IS NULL THEN 'removed'
+            WHEN o.old_sha <> n.new_sha THEN 'changed' END AS status,
+       o.old_sha, n.new_sha
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE status IS NOT NULL
+""").fetchall()
+    con.close()
+    want = {(r[0], r[1], r[2], r[3]) for r in oracle}
+    assert got == want
+    # non-vacuous: all three statuses occur
+    assert {s for _, s, _, _ in got} == {"added", "removed", "changed"}
