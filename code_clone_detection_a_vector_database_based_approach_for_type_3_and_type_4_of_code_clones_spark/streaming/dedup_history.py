@@ -280,3 +280,76 @@ def neardup_filter_stream(
 def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accepted corpus so far (``doc_id, text, batch``)."""
     return spark.read.parquet(out_dir)
+
+
+def _delete_ids_from_batched(spark: SparkSession, path: str,
+                             doomed: DataFrame) -> list:
+    """Delete rows matching ``doomed (doc_id)`` from a ``batch=<id>``-
+    partitioned store, rewriting ONLY the batch partitions that contain
+    them (column-pruned locate scan -> partition-pruned read-back ->
+    anti-join -> dynamic partition overwrite; fully-drained partitions
+    deleted outright, since dynamic overwrite never touches partitions
+    absent from its output). Returns the affected batch ids."""
+    store = spark.read.parquet(path)
+    affected = sorted(
+        r.batch
+        for r in store.select("doc_id", "batch")
+        .join(F.broadcast(doomed), "doc_id")
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    existing = store.filter(F.col("batch").isin(affected))
+    survivors = existing.join(F.broadcast(doomed), "doc_id", "left_anti")
+    # write target is a read source: materialize + cut file-source lineage
+    survivors = survivors.localCheckpoint(eager=True)
+    kept = {r.batch for r in survivors.select("batch").distinct().collect()}
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("batch").parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for b in affected:
+        if b not in kept:
+            part = Path(f"{path}/batch={int(b)}")
+            part.getFileSystem(hconf).delete(part, True)
+    return affected
+
+
+def remove_from_history(spark: SparkSession, state_dir: str, out_dir: str,
+                        ids) -> dict:
+    """Retract documents from the near-dedup history — the takedown /
+    GDPR-deletion path, and the dedup-history half of an incremental
+    refresh (``snapshot_diff`` removed -> here + ``delete_from_ivf_index``).
+
+    Deletes the docs from the accepted store AND their MinHash bands from
+    the band store, so FUTURE increments are no longer rejected against
+    retracted content (a near-dup of removed text is novel corpus again —
+    the whole point of removing it; callers who instead want dead docs to
+    keep blocking their near-dups simply don't call this). Both stores
+    rewrite only the ``batch=<id>`` partitions containing the ids; replay
+    safety is unaffected — a later crash-replayed increment still filters
+    ``batch < current`` and simply sees the smaller history.
+
+    ``ids``: DataFrame carrying ``doc_id``, or an iterable of ints.
+
+    Returns ``{"doc_batches": [...], "band_batches": [...]}`` (affected
+    partition ids per store, driver-small).
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "doc_id bigint")
+    doomed = ids.select("doc_id").distinct()
+    return {
+        "doc_batches": _delete_ids_from_batched(spark, out_dir, doomed),
+        "band_batches": _delete_ids_from_batched(
+            spark, f"{state_dir}/bands", doomed
+        ),
+    }

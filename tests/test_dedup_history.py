@@ -176,3 +176,75 @@ def test_colliding_doc_id_does_not_merge_shingle_sets(spark, tmp_path):
     assert {(r.doc_id, r.history_doc_id, round(r.jaccard, 6)) for r in base} == {
         (r.doc_id, r.history_doc_id, round(r.jaccard, 6)) for r in got
     }
+
+
+def test_remove_from_history_unblocks_future_neardups(spark, tmp_path):
+    """Retraction semantics: after remove_from_history, a near-dup of the
+    RETRACTED doc is accepted by the next increment (novel content again),
+    while rejection against still-present history keeps working; the
+    retracted doc is gone from the accepted store and its bands from the
+    band store; untouched batch partitions are not rewritten."""
+    import os
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.dedup_history import (
+        remove_from_history,
+    )
+
+    body = _doc(0)
+    other = _doc(40)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "accepted")
+    inc0 = spark.createDataFrame(
+        [(0, body), (1, _distinct(1))], "doc_id long, text string"
+    )
+    inc1 = spark.createDataFrame(
+        [(10, other), (11, _distinct(11))], "doc_id long, text string"
+    )
+    process_increment(inc0, 0, state, out)
+    process_increment(inc1, 1, state, out)
+
+    def file_set(path):
+        res = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    res[p] = os.path.getmtime(p)
+        return res
+
+    before_out = file_set(out)
+
+    # sanity: a copy of body is rejected while doc 0 is in history
+    probe = spark.createDataFrame([(20, body)], "doc_id long, text string")
+    process_increment(probe, 2, state, out)
+    acc = {r.doc_id for r in read_accepted(spark, out).collect()}
+    assert 20 not in acc
+
+    res = remove_from_history(spark, state, out, [0])
+    assert res["doc_batches"] == [0] and res["band_batches"] == [0]
+    acc = {r.doc_id: r.batch for r in read_accepted(spark, out).collect()}
+    assert 0 not in acc and 1 in acc and 10 in acc
+    bands = spark.read.parquet(f"{state}/bands")
+    assert bands.filter(F.col("doc_id") == 0).count() == 0
+    assert bands.filter(F.col("doc_id") == 10).count() > 0
+
+    # untouched batch partitions (batch=1, batch=2) were not rewritten
+    after_out = file_set(out)
+    for p, mt in before_out.items():
+        if "batch=0" not in p:
+            assert after_out.get(p) == mt, p
+
+    # the retracted content is novel again: the same body is now ACCEPTED
+    probe2 = spark.createDataFrame([(30, body)], "doc_id long, text string")
+    process_increment(probe2, 3, state, out)
+    acc = {r.doc_id for r in read_accepted(spark, out).collect()}
+    assert 30 in acc
+    # ...and still-present history keeps rejecting its own near-dups
+    probe3 = spark.createDataFrame([(40, other)], "doc_id long, text string")
+    process_increment(probe3, 4, state, out)
+    acc = {r.doc_id for r in read_accepted(spark, out).collect()}
+    assert 40 not in acc
+    # absent ids: no-op
+    assert remove_from_history(spark, state, out, [999999]) == {
+        "doc_batches": [], "band_batches": []
+    }
