@@ -268,6 +268,34 @@ def main() -> None:
         "vs_full_rebuild_sec": build_f32,
     }
 
+    # r8: point DELETE of a 1%-of-corpus id set (the snapshot_diff
+    # 'removed' path) — same O(|ids| + |affected cells|) claim as upsert;
+    # correctness witnesses: exact row-count drop, zero ghost rows
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _index_row_count,
+        delete_from_ivf_index,
+    )
+
+    del_ids = spark.range(batch_n, 2 * batch_n).select(
+        F.col("id").alias("vec_id")
+    )
+    pre_rows = _index_row_count(spark, f32_path)
+    t0 = time.monotonic()
+    del_affected = delete_from_ivf_index(spark, f32_path, del_ids)
+    delete_sec = round(time.monotonic() - t0, 1)
+    ghost = (
+        spark.read.parquet(f32_path)
+        .join(F.broadcast(del_ids), "vec_id")
+        .count()
+    )
+    results["delete_1pct_batch"] = {
+        "sec": delete_sec,
+        "affected_cells": len(del_affected),
+        "rows_removed": pre_rows - _index_row_count(spark, f32_path),
+        "ghost_rows": ghost,
+        "vs_full_rebuild_sec": build_f32,
+    }
+
     # capture the pruned physical plan (PartitionFilters on cell)
     plan = (
         ivf_knn_persisted(spark, f32_path, probes, k=args.k, nprobe=args.nprobe)
