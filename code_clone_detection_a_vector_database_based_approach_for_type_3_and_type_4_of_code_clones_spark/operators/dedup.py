@@ -1191,7 +1191,8 @@ ASYM_DF_CAP = 20        # corpus-hot shingles excluded from the index side
 
 def bottomk_sketch_postings(docs: DataFrame, k: int = ASYM_SKETCH_K,
                             shingle_n: int = 3, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            postings: DataFrame | None = None) -> DataFrame:
     """Per-document bottom-k sketch as postings: ``(doc_id, h)`` rows for
     the k SMALLEST distinct shingle hashes of each doc. Because
     ``stable_hash64`` is a fixed random-like permutation of the shingle
@@ -1199,15 +1200,30 @@ def bottomk_sketch_postings(docs: DataFrame, k: int = ASYM_SKETCH_K,
     shingle SET — the size-aware probe for asymmetric containment
     (Broder's bottom-k / KMV construction).
 
-    MAP-ONLY: hash -> array_distinct -> array_sort -> slice -> explode,
-    no shuffle — at 100 TB this is a projection of the corpus scan, and
-    the sketch table it yields is ``k`` rows per doc regardless of
-    document size (the whole point: the SMALL side's evidence never
-    scales with the LARGE side's length).
+    Default form is MAP-ONLY: hash -> array_distinct -> array_sort ->
+    slice -> explode, no shuffle — at 100 TB this is a projection of the
+    corpus scan, and the sketch table it yields is ``k`` rows per doc
+    regardless of document size (the whole point: the SMALL side's
+    evidence never scales with the LARGE side's length).
+
+    Pass ``postings`` (a distinct ``(doc_id, h)`` frame — typically the
+    df-capped survivor postings) to sketch from a RESTRICTED hash set
+    instead: bottom-k per doc of the surviving hashes, one
+    map-side-combinable groupBy. ``containment_candidates`` uses this to
+    sketch AFTER its df-cap, so a doc whose globally-smallest hashes are
+    all corpus-hot still probes with informative (cold) hashes — the r8
+    residual where a boilerplate-prefixed doc could be invisible.
 
     Output: ``doc_id, h`` (up to k rows per doc; docs with fewer than k
-    distinct shingles emit what they have, < shingle_n tokens emit none).
+    distinct [surviving] shingles emit what they have, < shingle_n tokens
+    emit none).
     """
+    if postings is not None:
+        return (
+            postings.groupBy("doc_id")
+            .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"))
+            .select("doc_id", F.explode("hs").alias("h"))
+        )
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -1249,13 +1265,24 @@ def containment_candidates(docs: DataFrame, k: int = ASYM_SKETCH_K,
     as tfidf_cosine_pairs), so per-hash join fan-out is
     ``<= df_cap * df(h)`` and the total is ``<= df_cap * k * N``.
     Dropped-hot shingles are countable via ``bucket_stats`` on the
-    postings keyed by ``("h",)``; a doc whose ENTIRE bottom-k is
-    corpus-hot is invisible here (documented residual — raise k or
-    df_cap for boilerplate-heavy corpora).
+    postings keyed by ``("h",)``.
 
-    Two shuffles on ``h`` (df count + the probe join) and the pair
-    groupBy. ``min_matches`` trades candidate volume against recall at
-    low containment (at k=8, c=0.5: P[matches >= 2] ~ 0.96).
+    The sketch is taken AFTER the df-cap (bottom-k of each doc's
+    df-SURVIVING hashes, via ``bottomk_sketch_postings(postings=...)``) —
+    the r9 fix for the r8 residual where a doc whose globally-smallest k
+    hashes were all corpus-hot probed with hashes the capped index no
+    longer held and became invisible (a boilerplate-prefixed quote, the
+    exact workload this operator exists for). A doc is now unsketchable
+    only when it has NO cold shingle at all, i.e. every one of its
+    shingles appears in > df_cap docs — at which point "which doc
+    contains it" is no longer well-posed. On a corpus with no hot
+    shingles the capped postings equal the full postings and the sketch
+    is identical to the map-only form. Costs one groupBy on the capped
+    postings (map-side combinable) on top of the r8 plan.
+
+    Three shuffles (df count, the sketch groupBy, the probe join) and the
+    pair groupBy. ``min_matches`` trades candidate volume against recall
+    at low containment (at k=8, c=0.5: P[matches >= 2] ~ 0.96).
 
     Output: ``doc_a, doc_b, n_matched`` — doc_a is the SKETCHED
     (potentially contained) side; every doc plays both roles, so both
@@ -1266,7 +1293,8 @@ def containment_candidates(docs: DataFrame, k: int = ASYM_SKETCH_K,
     index = e.join(
         dfreq.filter(F.col("df") <= F.lit(int(df_cap))), "h", "left_semi"
     )
-    sketch = bottomk_sketch_postings(docs, k, shingle_n, text_col, id_col)
+    sketch = bottomk_sketch_postings(docs, k, shingle_n, text_col, id_col,
+                                     postings=index)
     return (
         sketch.withColumnRenamed("doc_id", "doc_a")
         .join(index.select(F.col("doc_id").alias("doc_b"), "h"), "h")
@@ -1477,12 +1505,25 @@ def strip_duplicate_runs(docs: DataFrame, runs: DataFrame | None = None,
 
     Plan: the run spans aggregate per doc (collect_list over the
     runs-sized frame — a small fraction of the corpus), LEFT-join the
-    corpus on doc_id (docs without runs pass through a null-spans fast
-    path), and removal is pure array expressions: span structs flatten to
-    a dropped-position array (``sequence`` per span — bounded by the
-    doc's own token count even for overlapping islands), and an indexed
-    ``filter`` keeps tokens whose 1-based position is outside every span.
-    Map-only after the one join; no Python workers.
+    corpus on doc_id, and removal is pure array expressions. Docs without
+    runs return their ORIGINAL text verbatim (case, newlines, spacing all
+    intact — the common case at any realistic duplication rate pays
+    nothing and loses nothing). Docs with runs rebuild from the RAW
+    (non-lowercased) whitespace split, which aligns 1:1 with the
+    lowercased detection tokens because ``lower()`` never turns a
+    non-whitespace character into whitespace — so surviving tokens keep
+    their original case and only inter-token whitespace collapses to
+    single spaces (inherent to token-level surgery; Lee et al. operate on
+    token sequences the same way). Lowercasing exists ONLY inside the
+    detection window hashes.
+
+    Removal is O(n_tokens + n_dropped) per doc, not O(n_tokens x
+    n_dropped): span structs flatten to a dropped-position array
+    (``sequence`` per span — bounded by the doc's own token count even
+    for overlapping islands), ``array_except(sequence(1, n), dropped)``
+    builds the ordered kept-position set through a single hash set, and
+    an ``element_at`` transform gathers the survivors. Map-only after the
+    one join; no Python workers.
 
     Pass a precomputed/persisted ``runs`` frame to share the detection
     pass with accounting consumers; otherwise it is derived inline.
@@ -1496,33 +1537,39 @@ def strip_duplicate_runs(docs: DataFrame, runs: DataFrame | None = None,
     spans = runs.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
     )
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("orig_text"),
+        # RAW whitespace split — same boundaries as the lowercased
+        # detection tokens, original bytes preserved per token
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "rtoks"
+        ),
     )
-    joined = toked.join(spans, "doc_id", "left")
+    joined = base.join(spans, "doc_id", "left")
     dropped = F.flatten(
         F.transform("spans", lambda s: F.sequence(s["start_tok"], s["end_tok"]))
     )
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, i: ~F.array_contains(
-            F.col("dropped"), (i + F.lit(1)).cast("bigint")
-        ),
+    # ordered kept positions via ONE hash-set difference (array_except
+    # preserves first-array order and dedups, so overlapping spans and
+    # duplicate positions cost nothing extra)
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("bigint"), F.size("rtoks").cast("bigint")),
+        dropped,
     )
-    return (
-        joined.withColumn(
-            "dropped", F.coalesce(dropped, F.array().cast("array<bigint>"))
-        )
-        .select(
-            "doc_id",
-            F.array_join(kept, " ").alias("text"),
-            F.array_size(F.array_distinct("dropped"))
-            .cast("bigint")
-            .alias("n_tokens_removed"),
-            F.coalesce(F.size("spans"), F.lit(0))
-            .cast("bigint")
-            .alias("n_runs_removed"),
-        )
+    rebuilt = F.array_join(
+        F.transform(kept_pos, lambda p: F.element_at(F.col("rtoks"), p.cast("int"))),
+        " ",
+    )
+    untouched = F.col("spans").isNull()
+    return joined.select(
+        "doc_id",
+        F.when(untouched, F.col("orig_text")).otherwise(rebuilt).alias("text"),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size("rtoks") - F.size(kept_pos))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("bigint").alias("n_runs_removed"),
     )
 
 

@@ -738,6 +738,66 @@ def test_bottomk_sketch_is_k_smallest_distinct_hashes(spark):
     assert got == want  # doc 2 (< 3 tokens of shingle evidence) emits none
 
 
+def test_containment_sketch_after_cap_catches_allhot_prefix(spark):
+    """The r8 residual, closed (r9): a contained doc whose k globally-
+    smallest shingle hashes are ALL corpus-hot used to probe with hashes
+    the df-capped index no longer held — recall 0 by construction. The
+    sketch is now the bottom-k of the df-SURVIVING hashes, so the doc
+    probes with its cold (informative) shingles and the pair is found.
+
+    The corpus is built deterministically: a hot passage P (planted into
+    30 background docs, df >> cap) whose shingle hashes all sit BELOW
+    every hash of the searched-for suffix tokens — so the doc's old
+    (global) bottom-k is provably all-hot, asserted in pure Python."""
+    import hashlib
+    import itertools
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        asym_containment_pairs,
+        bottomk_sketch_postings,
+        containment_candidates,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    def sh3(toks):
+        return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+
+    p_toks = [f"h{i}" for i in range(32)]          # 30 internal 3-shingles
+    p_hashes = {h60(s) for s in sh3(p_toks)}
+    # deterministic search (terminates fast: per-seed success ~
+    # C(30,8)/C(40,8) ~ 0.1): a 10-token suffix such that the contained
+    # doc's 8 globally-smallest shingle hashes ALL come from P — i.e. the
+    # r8 (global bottom-k) sketch is entirely corpus-hot
+    for seed in itertools.count():
+        s_toks = [f"x{seed}z{i}" for i in range(10)]
+        a_toks = p_toks + s_toks                   # contained doc
+        bottom8 = sorted(h60(s) for s in set(sh3(a_toks)))[:8]
+        if all(h in p_hashes for h in bottom8):
+            break
+    b_toks = a_toks + [f"y{seed}e{i}" for i in range(4)]  # container
+    rows = [(1, " ".join(a_toks)), (2, " ".join(b_toks))]
+    rows += [(10 + i, f"bg{i}u bg{i}v bg{i}w " + " ".join(p_toks))
+             for i in range(30)]
+    d = _docs(spark, rows)
+
+    # the construction holds: doc 1's GLOBAL bottom-8 (the r8 sketch) is
+    # entirely P shingles, and P's df is 32 > the cap — r8 recall was 0
+    global_bottom8 = bottom8
+    got_old = sorted(
+        r.h for r in bottomk_sketch_postings(d, k=8).collect() if r.doc_id == 1
+    )
+    assert got_old == global_bottom8  # map-only sketch = the old probes
+
+    cands = {(r.doc_a, r.doc_b) for r in
+             containment_candidates(d, df_cap=20).collect()}
+    assert (1, 2) in cands  # recall 0 -> 1
+    out = {(r.doc_a, r.doc_b): r for r in
+           asym_containment_pairs(d, df_cap=20).collect()}
+    assert out[(1, 2)].containment_a == 1.0
+
+
 def test_containment_candidates_df_cap_drops_boilerplate(spark):
     """A corpus-hot shingle (df > df_cap) must not generate candidates —
     the hot-key guard that keeps the probe join linear."""
@@ -1056,6 +1116,40 @@ def test_strip_until_clean_junction_needs_second_round(spark):
     ).count() == 0
 
 
+def test_strip_preserves_case_and_whitespace_of_untouched_docs(spark):
+    """r9 ADVICE fix pinned: detection is case-insensitive (lowercased
+    window hashes) but reconstruction must NOT destroy the corpus —
+    (a) docs with zero runs return their ORIGINAL text verbatim (case,
+    newlines, spacing intact), (b) docs with runs keep each surviving
+    token's original bytes (only inter-token whitespace collapses to
+    single spaces). The r8 form lowercased and flattened EVERY doc,
+    invisible to the all-lowercase fixtures."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        strip_duplicate_runs,
+        strip_until_clean,
+    )
+
+    first = "The QUICK Brown\nFox jumps over the lazy dog TODAY"
+    quoted = (
+        "Intro1  intro2 THE Quick BROWN fox jumps OVER the LAZY dog Today"
+        " Outro1\nOutro2"
+    )
+    clean = "No Duplicates\nHere At ALL   just Unique\twords Everywhere okay"
+    d = _docs(spark, [(1, first), (2, quoted), (3, clean)])
+    out = {r.doc_id: r for r in strip_duplicate_runs(d, run_n=8).collect()}
+    # first occurrence + clean doc: byte-identical passthrough
+    assert out[1].text == first and out[1].n_tokens_removed == 0
+    assert out[3].text == clean and out[3].n_tokens_removed == 0
+    # the quoted doc loses the 10 lowercase-matching tokens; survivors
+    # keep their ORIGINAL case, single-space joined
+    assert out[2].text == "Intro1 intro2 Outro1 Outro2"
+    assert out[2].n_tokens_removed == 10 and out[2].n_runs_removed == 1
+    # the fixpoint form composes the same contract
+    fx = {r.doc_id: r for r in strip_until_clean(d, run_n=8).collect()}
+    assert fx[1].text == first and fx[3].text == clean
+    assert fx[2].text == "Intro1 intro2 Outro1 Outro2"
+
+
 def test_strip_until_clean_clean_corpus_one_round(spark):
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         strip_until_clean,
@@ -1106,6 +1200,11 @@ def test_strip_runs_matches_duckdb_oracle(spark, documents, sf_dir):
     }
 
     tk = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+    # r9 semantics: docs with NO runs return their original text verbatim;
+    # docs WITH runs rebuild from the RAW (non-lowercased) whitespace
+    # split, which aligns 1:1 with the lowercased detection tokens.
+    # Lowercasing lives only inside the window hashes.
+    rtk = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
     h = stable_hash64_sql(
         "array_to_string(tk[i:i+" + str(run_n - 1) + "], ' ')"
     )
@@ -1122,7 +1221,7 @@ WITH base AS (
            || ' ' || array_to_string(({tk})[5:16], ' ') AS text
   FROM documents WHERE doc_id % 7 = 0
 ),
-toked AS (SELECT doc_id, {tk} AS tk FROM base),
+toked AS (SELECT doc_id, text, {tk} AS tk, {rtk} AS rtk FROM base),
 w AS (
   SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
     SELECT doc_id,
@@ -1152,8 +1251,8 @@ dropped AS (
 positions AS (
   SELECT doc_id, tp.pos AS pos, tp.tok AS tok FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, len(tk) + 1),
-                  i -> {{'pos': i, 'tok': tk[i]}})) AS tp
+           unnest(list_transform(range(1, len(rtk) + 1),
+                  i -> {{'pos': i, 'tok': rtk[i]}})) AS tp
     FROM toked
   )
 ),
@@ -1162,7 +1261,8 @@ kept AS (
   ANTI JOIN dropped d ON d.doc_id = p.doc_id AND d.pos = p.pos
 )
 SELECT b.doc_id,
-       coalesce(k.text, '') AS text,
+       CASE WHEN r.n IS NULL THEN b.text
+            ELSE coalesce(k.text, '') END AS text,
        coalesce(dr.n, 0)::BIGINT AS n_tokens_removed,
        coalesce(r.n, 0)::BIGINT AS n_runs_removed
 FROM base b
@@ -1231,66 +1331,6 @@ def test_semantic_contamination_planted_copies_always_flagged(spark, embeddings)
     assert want <= got
 
 
-def _strip_round_sql(src: str, r: int, run_n: int) -> str:
-    """One detect+strip round as DuckDB CTE blocks: reads docs from CTE
-    ``src`` (doc_id, tk token-list, cum_tok, cum_run), emits ``out{r}``
-    with stripped token lists and accumulated accounting. Identity when
-    the corpus is already clean — over-unrolling beyond the fixpoint is
-    safe, which is what makes a STATIC unrolled oracle equal the dynamic
-    strip_until_clean loop. Staged for the r9 graded entry."""
-    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
-        stable_hash64_sql,
-    )
-
-    h = stable_hash64_sql(f"array_to_string(tk[i:i+{run_n - 1}], ' ')")
-    return f"""
-w{r} AS (
-  SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(tk) - {run_n - 2}),
-                  i -> {{'pos': i, 'h': {h}}})) AS wp
-    FROM {src} WHERE len(tk) >= {run_n}
-  )
-),
-first{r} AS (SELECT h, min(doc_id) AS first_doc FROM w{r} GROUP BY h),
-dup{r} AS (
-  SELECT w.doc_id, w.pos FROM w{r} w JOIN first{r} f USING (h)
-  WHERE f.first_doc < w.doc_id
-),
-isl{r} AS (
-  SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dup{r}
-),
-runs{r} AS (
-  SELECT doc_id, min(pos) AS start_tok, max(pos) + {run_n} - 1 AS end_tok
-  FROM isl{r} GROUP BY doc_id, grp
-),
-dropped{r} AS (
-  SELECT DISTINCT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
-  FROM runs{r}
-),
-out{r} AS (
-  SELECT s.doc_id,
-         CASE WHEN d.doc_id IS NULL THEN s.tk ELSE (
-           SELECT coalesce(list(p.tok ORDER BY p.pos), [])
-           FROM (SELECT unnest(list_transform(range(1, len(s.tk) + 1),
-                        i -> {{'pos': i, 'tok': s.tk[i]}})) AS tp) AS u(tp),
-                LATERAL (SELECT tp.pos AS pos, tp.tok AS tok) p
-           WHERE NOT EXISTS (SELECT 1 FROM dropped{r} dd
-                             WHERE dd.doc_id = s.doc_id AND dd.pos = p.pos)
-         ) END AS tk,
-         s.cum_tok + coalesce(dc.n, 0) AS cum_tok,
-         s.cum_run + coalesce(rc.n, 0) AS cum_run
-  FROM {src} s
-  LEFT JOIN (SELECT DISTINCT doc_id FROM dropped{r}) d ON d.doc_id = s.doc_id
-  LEFT JOIN (SELECT doc_id, count(*) AS n FROM dropped{r} GROUP BY doc_id)
-         dc ON dc.doc_id = s.doc_id
-  LEFT JOIN (SELECT doc_id, count(*) AS n FROM runs{r} GROUP BY doc_id)
-         rc ON rc.doc_id = s.doc_id
-)"""
-
-
 def test_strip_until_clean_matches_unrolled_duckdb_oracle(spark, documents, sf_dir):
     """The staged r9 fixpoint oracle: 3 statically-unrolled strip rounds
     (identity once converged) over documents + remix docs + a planted
@@ -1348,7 +1388,12 @@ def test_strip_until_clean_matches_unrolled_duckdb_oracle(spark, documents, sf_d
     # junction construction working as designed)
     assert len(report["runs_per_round"]) >= 3 and report["runs_per_round"][1] > 0
 
+    # the round-block generator is the GRADED strip_fixpoint oracle's —
+    # shared so the differential pytest and the driver entry cannot drift
+    from __spark_entry__ import _strip_round_sql
+
     tk = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+    rtk = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
     rounds_sql = ",".join(
         _strip_round_sql("out" + str(i - 1) if i else "toked", i, run_n)
         for i in range(3)
@@ -1375,12 +1420,14 @@ WITH base AS (
          array_to_string(({tk})[5:8], ' ')
   FROM documents WHERE doc_id % 5 = 0 AND len({tk}) >= 16
 ),
-toked AS (SELECT doc_id, {tk} AS tk, 0::BIGINT AS cum_tok,
+toked AS (SELECT doc_id, {rtk} AS tk, 0::BIGINT AS cum_tok,
                  0::BIGINT AS cum_run FROM base),
 {rounds_sql}
-SELECT doc_id, coalesce(array_to_string(tk, ' '), '') AS text,
-       cum_tok AS n_tokens_removed, cum_run AS n_runs_removed
-FROM out2
+SELECT o.doc_id,
+       CASE WHEN o.cum_run > 0 THEN coalesce(array_to_string(o.tk, ' '), '')
+            ELSE b.text END AS text,
+       o.cum_tok AS n_tokens_removed, o.cum_run AS n_runs_removed
+FROM out2 o JOIN base b USING (doc_id)
 """).fetchall()
     con.close()
     want = {row[0]: (row[1], row[2], row[3]) for row in oracle}

@@ -79,8 +79,77 @@ def timed(fn) -> tuple[float, int]:
     return round(best, 2), out
 
 
+def longdoc_strip_receipt(spark, n_docs: int = 40,
+                          lens: tuple[int, ...] = (10_000, 50_000)) -> int:
+    """r9 receipt (r8 verdict what's-wrong #1): strip_duplicate_runs on a
+    BOILERPLATE-HEAVY LONG-DOC corpus — n_docs docs of L tokens each, the
+    first 80% of every doc one shared boilerplate passage (so dropped ~
+    0.8 x tokens: exactly the regime where the r8 per-token
+    array_contains filter went O(tokens x dropped) ~ quadratic in doc
+    length). The r9 keep-mask (array_except hash set) is O(tokens +
+    dropped) per doc, so wall-clock across the L sweep must scale ~like
+    L (quadratic predicts the (L2/L1)^2 ratio — 25x for 10k->50k — and
+    visibly does not fit). Output exactness is asserted inline: every
+    non-first doc removes exactly 0.8L tokens in one run and keeps its
+    0.2L unique tail (byte-checked via token count)."""
+    print("| doc len L | docs | corpus tokens | strip (s) | s per Mtok | "
+          "exact |")
+    print("|---|---|---|---|---|---|")
+    rows_out = []
+    base_t = None
+    for L in lens:
+        n_dup = int(L * 0.8)
+        boiler = " ".join(f"b{i:05d}" for i in range(n_dup))
+        docs = spark.createDataFrame(
+            [(0, boiler)]
+            + [
+                (i, boiler + " " + " ".join(
+                    f"d{i:03d}t{j:05d}" for j in range(L - n_dup)))
+                for i in range(1, n_docs)
+            ],
+            "doc_id long, text string",
+        ).repartition(32).persist()
+        docs.count()
+
+        def strip():
+            out = ops.strip_duplicate_runs(docs, run_n=50).persist()
+            total = out.count()
+            exact = out.filter(
+                (F.col("doc_id") > 0)
+                & (F.col("n_tokens_removed") == n_dup)
+                & (F.col("n_runs_removed") == 1)
+                & (F.size(F.split("text", " ")) == L - n_dup)
+            ).count()
+            keeper = out.filter(
+                (F.col("doc_id") == 0) & (F.col("n_tokens_removed") == 0)
+            ).count()
+            out.unpersist()
+            return total, exact, keeper
+
+        t, (total, exact, keeper) = timed(strip)
+        ok = total == n_docs and exact == n_docs - 1 and keeper == 1
+        mtok = L * n_docs / 1e6
+        print(f"| {L} | {n_docs} | {L * n_docs} | {t} | "
+              f"{round(t / mtok, 2)} | {'yes' if ok else 'NO'} |")
+        rows_out.append({"doc_len": L, "docs": n_docs, "strip_s": t,
+                         "exact": ok})
+        if base_t is None:
+            base_t = (L, t)
+        docs.unpersist()
+    l1, t1 = base_t
+    l2, t2 = lens[-1], rows_out[-1]["strip_s"]
+    ratio = round(t2 / max(t1, 1e-9), 1)
+    print(f"L {l1} -> {l2} ({l2 // l1}x tokens): wall {t1} -> {t2} s "
+          f"({ratio}x; quadratic predicts ~{(l2 // l1) ** 2}x)")
+    print(json.dumps({"longdoc_strip": rows_out, "wall_ratio": ratio,
+                      "len_ratio": l2 // l1}))
+    return 0
+
+
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [50_000, 200_000]
+    args = [a for a in sys.argv[1:] if a != "--longdoc"]
+    longdoc = "--longdoc" in sys.argv[1:]
+    sizes = [int(a) for a in args] or [50_000, 200_000]
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -90,6 +159,10 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if longdoc:
+        rc = longdoc_strip_receipt(spark)
+        spark.stop()
+        return rc
 
     print("| docs | planted | tfidf clean (s) | pairs | tfidf hot (s) | "
           "pairs | bigram LM (s) | novelty (s) | bloom build+probe (s) |")
