@@ -337,8 +337,22 @@ def main() -> None:
         # artifact's uniform ~40% inflation signature. A sequential read of
         # every fixture byte (~17 MB at sf0.1) pins the pages in page cache.
         path = f"{sf_dir}/{t}.parquet"
+        # single-file AND directory-form (multi-part) parquet both warm:
+        # a dir-form fixture silently skipping the byte read would
+        # reintroduce the cold-data-page inflation this exists to kill
         if os.path.isfile(path):
-            with open(path, "rb") as fh:
+            part_files = [path]
+        elif os.path.isdir(path):
+            part_files = sorted(
+                os.path.join(dp, fn)
+                for dp, _, fns in os.walk(path)
+                for fn in fns
+                if not fn.startswith((".", "_"))
+            )
+        else:
+            raise FileNotFoundError(f"bench warmup: fixture missing: {path}")
+        for pf in part_files:
+            with open(pf, "rb") as fh:
                 while fh.read(1 << 22):
                     pass
         spark.read.parquet(path).count()

@@ -1224,6 +1224,25 @@ def delete_from_ivf_index(
     ``ids``: a DataFrame carrying ``id_col``, or any Python iterable of
     ints (driver-bounded convenience for small deletion lists).
 
+    Crash-replay contract (same idempotence family as upsert/ingest):
+    the commit sequence is (1) dynamic partition overwrite of survivor
+    cells, (2) deletion of fully-drained cell directories, (3) ``_nrows``
+    sidecar rewrite — so the sidecar is written LAST and never overstates
+    completion. A crash between (1) and (3) leaves ghost cells (a cell
+    with zero survivors is not overwritten — dynamic overwrite only
+    touches partitions it writes rows for) and/or a stale row count;
+    RE-INVOKING with the same ids is the repair path: the locate scan
+    re-finds the ghosts (their files still hold the doomed ids) and the
+    overwrite/drain re-run is idempotent, so the TABLE is exact after the
+    retry. The sidecar's arithmetic update cannot see rows the crashed
+    attempt already removed from non-drained cells, so after a
+    crash-then-retry it may overstate by at most that attempt's |ids| —
+    acceptable because the sidecar is an overfetch-sizing HINT
+    (``suggest_overfetch``), never a correctness input; rebuild it with
+    ``_write_rowcount_sidecar(spark, path, read.parquet(path).count())``
+    if exactness is wanted. Deleting ids absent from the index is a
+    no-op (returns ``[]``).
+
     Returns the affected cell ids (driver-small: bounded by n_centroids).
     """
     from pyspark.sql import DataFrame as _DF
