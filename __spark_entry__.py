@@ -1980,15 +1980,10 @@ SUBSTR_RUN_N = 8  # duplicated-run window (Lee et al. use 50; fixture docs
 #                   are 10-99 tokens, so the graded entry runs at 8)
 
 
-def q_substring_dups(spark, sf_dir):
-    """NEW r8 — exact substring-level dedup (Lee et al. 2022: remove
-    repeated >= k-token runs across documents): the corpus is documents
-    plus planted REMIX docs (two excerpts of a source doc spliced around
-    a unique separator token — the quoted-passage shape), and the
-    operator must report each remix's duplicated spans as maximal runs
-    with exact 1-based token positions and first-doc attribution.
-    Windowed token-hash run detection: explode rolling window hashes,
-    min-doc attribution per hash, gaps-and-islands merge."""
+def _remix_corpus(spark, sf_dir) -> DataFrame:
+    """documents + planted REMIX docs (two excerpts of a source doc
+    spliced around a unique separator token — the quoted-passage shape);
+    the shared corpus of the substring-dedup graded entries."""
     docs = _t(spark, sf_dir, "documents")
     # same tokenization as the operator / the oracle's _TOKENS (lowercase,
     # split on \s+, empties dropped) so the remix text is byte-identical
@@ -2002,8 +1997,248 @@ def q_substring_dups(spark, sf_dir):
             F.array_join(F.slice(toks, 5, 12), " "),
         ).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(remix)
-    return ops.substring_duplicate_runs(corpus, run_n=SUBSTR_RUN_N)
+    return docs.select("doc_id", "text").unionByName(remix)
+
+
+def q_substring_dups(spark, sf_dir):
+    """NEW r8 — exact substring-level dedup (Lee et al. 2022: remove
+    repeated >= k-token runs across documents): the corpus is documents
+    plus planted REMIX docs (see ``_remix_corpus``), and the operator
+    must report each remix's duplicated spans as maximal runs with exact
+    1-based token positions and first-doc attribution. Windowed
+    token-hash run detection: explode rolling window hashes, min-doc
+    attribution per hash, gaps-and-islands merge."""
+    return ops.substring_duplicate_runs(
+        _remix_corpus(spark, sf_dir), run_n=SUBSTR_RUN_N
+    )
+
+
+def q_strip_runs(spark, sf_dir):
+    """NEW r9 — the REMOVAL form of substring-level dedup promoted to a
+    graded entry (the r8 verdict's top ask: the detection pass was graded,
+    but the strip is what a training pipeline actually runs — Lee et al.
+    2022 remove the >= k-token duplicated runs, keeping first
+    occurrences). Same documents+remix corpus as ``substring_dups``; the
+    oracle replays span expansion + position anti-join + ordered rejoin,
+    including the r9 semantics: untouched docs pass through VERBATIM,
+    stripped docs rebuild from the raw (non-lowercased) whitespace split
+    (operators/dedup.py strip_duplicate_runs)."""
+    return ops.strip_duplicate_runs(
+        _remix_corpus(spark, sf_dir), run_n=SUBSTR_RUN_N
+    )
+
+
+def _junction_corpus(spark, sf_dir) -> DataFrame:
+    """documents + a planted junction TRIPLE per eligible doc: A (the
+    junction halves adjacent) < B (a passage) < C (half1 + passage +
+    half2). Stripping the passage from C creates the A-shaped junction —
+    a NEW duplicated run invisible before round 1's strip, so the
+    fixpoint provably needs round 2 (the reason Lee et al. iterate)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    base16 = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.size(toks) >= 16)
+    ).select("doc_id", toks.alias("tk"))
+    a = base16.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice("tk", 1, 4), " "),
+            F.array_join(F.slice("tk", 5, 4), " "),
+        ).alias("text"),
+    )
+    b = base16.select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.array_join(F.slice("tk", 9, 8), " ").alias("text"),
+    )
+    c = base16.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice("tk", 1, 4), " "),
+            F.array_join(F.slice("tk", 9, 8), " "),
+            F.array_join(F.slice("tk", 5, 4), " "),
+        ).alias("text"),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(a).unionByName(b).unionByName(c)
+    )
+
+
+def q_strip_fixpoint(spark, sf_dir):
+    """NEW r9 — substring dedup iterated to the FIXPOINT, graded: over the
+    junction corpus (``_junction_corpus`` — where round 1's strip
+    provably CREATES a new duplicated run that round 2 must remove),
+    ``strip_until_clean`` alternates detect/strip until an empty
+    detection pass proves convergence. The oracle is 3 STATICALLY
+    UNROLLED strip rounds (``_strip_round_sql``) — identity once
+    converged, so over-unrolling is safe and the static SQL equals the
+    dynamic loop. Build is EAGER by nature (each round's detection count
+    is loop control — the dup_groups_converged exception family,
+    COVERAGE.md pre-artifact-gate note)."""
+    return ops.strip_until_clean(
+        _junction_corpus(spark, sf_dir), run_n=SUBSTR_RUN_N
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """NEW r9 — content-hash corpus-snapshot diff, the driver of
+    incremental reprocessing (operators/relational.py snapshot_diff:
+    added/changed -> re-embed + upsert_ivf_index + dedup history; removed
+    -> delete_from_ivf_index). New snapshot derived deterministically
+    from the fixture: every 10th doc edited, every 7th-but-not-10th doc
+    removed, 20 fresh ids added. Map-side (id, sha256) reduction per
+    side, ONE full-outer join, unchanged rows dropped in-projection so
+    the output is refresh-sized — at 100 TB the diff costs two
+    column-pruned scans, never a corpus rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" EDIT")).alias("text")
+    )
+    kept = docs.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", "text")
+    added = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    new = kept.unionByName(edited).unionByName(added)
+    return ops.snapshot_diff(docs.select("doc_id", "text"), new)
+
+
+DELETE_MOD = 5  # ivf_delete_survivors: delete vec_id % 5 == 0
+_DELETE_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _delete_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped delete-composition index, built once per
+    (application, sf_dir): build an IVF index over ALL embeddings (the
+    centroid bank is immutable after build — it keeps seeing the deleted
+    ids' vectors, exactly like a production index), then delete every
+    ``vec_id % DELETE_MOD == 0`` plus two ABSENT ids (the no-op leg)
+    through ``delete_from_ivf_index`` — only the doomed cells' partitions
+    rewrite, drained directories are removed, the row-count sidecar
+    updates arithmetically."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DELETE_INDEX_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_delete_"), "index")
+        emb = _t(spark, sf_dir, "embeddings")
+        ops.build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS)
+        doomed = emb.filter(F.col("vec_id") % DELETE_MOD == 0).select(
+            "vec_id"
+        ).unionByName(
+            spark.createDataFrame(
+                [(1_000_000_001,), (1_000_000_002,)], "vec_id long"
+            )
+        )
+        ops.delete_from_ivf_index(spark, path, doomed)
+        _DELETE_INDEX_CACHE[key] = path
+    return path
+
+
+def q_ivf_delete_survivors(spark, sf_dir):
+    """NEW r9 — the index-maintenance DELETE leg graded (the r8 verdict's
+    item 4: the zero-ghost pytest receipt becomes a driver-graded fact):
+    after ``_delete_index_path`` builds and point-deletes, the persisted
+    table must hold EXACTLY the survivor rows — per (vec_id, cell, first
+    vector component) — with every survivor still assigned to the cell
+    the immutable centroid bank routed it to at build time (deletes never
+    move cell boundaries). The oracle replays bank init (lowest-16-id
+    vectors over the FULL pre-delete corpus), cosine cell assignment, and
+    the survivor anti-filter in SQL. A ghost row (missed delete) or a
+    dropped survivor fails the value hash; the two absent ids in the
+    doomed set prove the no-op path inside the same entry."""
+    path = _delete_index_path(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("dim0"),
+    )
+
+
+def q_relational_panel(spark, sf_dir):
+    """NEW r9 — the composed fold of the TEN remaining r1-era relational
+    fillers into ONE graded entry (the `tpch_kpi` pattern; registry
+    headroom per the r8 verdict's item 5 — the registry law caps entries
+    at 100, so capability growth requires folding long-green singletons).
+    Every folded shape keeps its own proven expression — the section
+    builders are the SAME functions the r1-r8 entries graded, re-selected
+    into one long frame — so each stays value-hash-proven per row:
+
+    - ``pct``        exact interpolated percentiles per segment (sort agg)
+    - ``semi``       LEFT SEMI existence join (TPC-H Q4 shape)
+    - ``anti``       LEFT ANTI recency join (Q22 shape)
+    - ``bigorder``   group-HAVING on the fact table + enrich joins (Q18)
+    - ``smallqty``   broadcast per-part avg + exact integer predicate (Q17)
+    - ``topk``       top-3-per-customer ranking window (W1/W5 on orders)
+    - ``runtot``     running total + lag gap-days window, one shuffle
+    - ``cube``       CUBE over (returnflag, linestatus), 'ALL' subtotals
+    - ``dist``       multi-distinct aggregate per priority
+    - ``latest``     CDC latest-per-key dedup with deterministic tiebreak
+
+    Unified long format ``section, k1, k2, n1, n2, v1, v2, v3`` (keys as
+    strings, counts/ids as BIGINT, measures as DOUBLE, NULL where a
+    section has no value for a slot — identical typed NULLs on both
+    engines)."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def shape(df, section, k1=None, k2=None, n1=None, n2=None,
+              v1=None, v2=None, v3=None):
+        def col(x, null):
+            if x is None:
+                return null
+            return F.col(x) if isinstance(x, str) else x
+
+        return df.select(
+            F.lit(section).alias("section"),
+            col(k1, ns).cast("string").alias("k1"),
+            col(k2, ns).cast("string").alias("k2"),
+            col(n1, nb).cast("bigint").alias("n1"),
+            col(n2, nb).cast("bigint").alias("n2"),
+            col(v1, nd).cast("double").alias("v1"),
+            col(v2, nd).cast("double").alias("v2"),
+            col(v3, nd).cast("double").alias("v3"),
+        )
+
+    parts = [
+        shape(q_price_percentiles(spark, sf_dir), "pct",
+              k1="c_mktsegment", v1="p50", v2="p90", v3="p99"),
+        shape(q_order_priority_check(spark, sf_dir), "semi",
+              k1="o_orderpriority", n1="n_orders"),
+        shape(q_dormant_customers(spark, sf_dir), "anti",
+              k1=F.col("c_custkey").cast("string"), k2="c_mktsegment",
+              n1="acctbal_cents"),
+        shape(q_large_orders(spark, sf_dir), "bigorder",
+              k1="c_name", k2="orderdate", n1="o_orderkey",
+              v1="totalprice", v2="sum_qty"),
+        shape(q_small_qty_revenue(spark, sf_dir), "smallqty",
+              n1="n_items", v1="total_revenue"),
+        shape(q_topk_per_group(spark, sf_dir), "topk",
+              n1="o_custkey", n2="o_orderkey", v1="o_totalprice",
+              v2=F.col("rn").cast("double")),
+        shape(q_cust_running_total(spark, sf_dir), "runtot",
+              k2="orderdate", n1="o_custkey", n2="o_orderkey",
+              v1="running_spend", v2=F.col("gap_days").cast("double"),
+              v3=F.col("order_seq").cast("double")),
+        shape(q_sales_cube(spark, sf_dir), "cube",
+              k1="returnflag", k2="linestatus", n1="n_items", v1="sum_qty"),
+        shape(q_priority_distinct(spark, sf_dir), "dist",
+              k1="o_orderpriority", n1="n_orders", n2="n_custs",
+              v1=F.col("n_statuses").cast("double")),
+        shape(q_latest_events(spark, sf_dir), "latest",
+              k1="event_type", k2=F.col("user_id").cast("string"),
+              n1="ts", n2="event_id", v1=F.col("value6").cast("double")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_canonical_docs(spark, sf_dir):
@@ -2112,71 +2347,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-8 rotation: the full 46-entry r7 tail is back in the window
-    # (front — its r6-green rows age out of the union this round, so
-    # in-window is mandatory), then new r8 queries (never checked), then
-    # cheap r7-window stayers filling the remaining slots. Rotated out
-    # (all green in CORRECTNESS_r07; due back in r9): the rest of the r7
-    # window. The four TPC-H fillers (pricing_summary, shipping_priority,
-    # regional_revenue, sales_rollup — all green in r07) were RETIRED and
-    # folded into the composed `tpch_kpi` entry this round (registry
-    # headroom; see COVERAGE.md rotation note).
+    # Round-9 rotation: the full 45-entry r8 tail is back in the window
+    # (front — its r7-green rows age out of the union this round, so
+    # in-window is mandatory), then the 5 new r9 queries (never checked)
+    # fill the window to exactly 50. Rotated out (all green in
+    # CORRECTNESS_r08; due back in r10): the r8 window MINUS the ten
+    # retired r1-era relational fillers (price_percentiles,
+    # order_priority_check, dormant_customers, large_orders,
+    # small_qty_revenue, topk_per_group, cust_running_total, sales_cube,
+    # priority_distinct, latest_events — all green in r08), which were
+    # FOLDED into the composed `relational_panel` entry this round
+    # (registry headroom under the 100-entry structural ceiling; every
+    # folded shape stays value-hash-proven as a panel section — see
+    # COVERAGE.md rotation note).
     return {
-        # --- due back in the window (the 46-entry r7 tail) ---
-        "price_percentiles": q_price_percentiles,
-        "order_priority_check": q_order_priority_check,
-        "dormant_customers": q_dormant_customers,
-        "large_orders": q_large_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "topk_per_group": q_topk_per_group,
-        "cust_running_total": q_cust_running_total,
-        "sales_cube": q_sales_cube,
-        "priority_distinct": q_priority_distinct,
-        "latest_events": q_latest_events,
-        "mixture_sample": q_mixture_sample,
-        "cms_token_counts": q_cms_token_counts,
-        "doc_chunks": q_doc_chunks,
-        "redacted_docs": q_redacted_docs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_docs": q_stratified_docs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "event_props": q_event_props,
-        "bcb_e2e": q_bcb_e2e,
-        "bcb_e2e_detailed": q_bcb_e2e_detailed,
-        "poj_e2e": q_poj_e2e,
-        "ivf_knn_quantized": q_ivf_knn_quantized,
-        "dup_groups_converged": q_dup_groups_converged,
-        "history_rejects": q_history_rejects,
-        "knn_join_guarded": q_knn_join_guarded,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "shard_stats": q_shard_stats,
-        "packed_sequences": q_packed_sequences,
-        "dataset_split": q_dataset_split,
-        "quality_cutoff": q_quality_cutoff,
-        "leakage_split": q_leakage_split,
-        "zorder_keys": q_zorder_keys,
-        "knn_join_pruned": q_knn_join_pruned,
-        "ivf_knn": q_ivf_knn,
-        "doc_knn": q_doc_knn,
-        "ann_recall": q_ann_recall,
-        "knn_join": q_knn_join,
-        "srp_verified_dups": q_srp_verified_dups,
-        # --- new in r8 (never checked — must be in-window) ---
-        "tpch_kpi": q_tpch_kpi,
-        "containment_asym": q_containment_asym,
-        "substring_dups": q_substring_dups,
-        # --- r7-window stayers filling the window to 50 ---
-        "status_pivot": q_status_pivot,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r07; due back in r9) ---
+        # --- due back in the window (the 45-entry r8 tail) ---
         "lookup_join": q_lookup_join,
         "exact_dups": q_exact_dups,
         "bm25_topk": q_bm25_topk,
@@ -2222,6 +2407,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_tokens": q_bloom_tokens,
         "novelty_scores": q_novelty_scores,
         "semantic_contamination": q_semantic_contamination,
+        # --- new in r9 (never checked — must be in-window) ---
+        "relational_panel": q_relational_panel,
+        "strip_runs": q_strip_runs,
+        "strip_fixpoint": q_strip_fixpoint,
+        "snapshot_diff": q_snapshot_diff,
+        "ivf_delete_survivors": q_ivf_delete_survivors,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r08; due back in r10) ---
+        "mixture_sample": q_mixture_sample,
+        "cms_token_counts": q_cms_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "redacted_docs": q_redacted_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_docs": q_stratified_docs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "event_props": q_event_props,
+        "bcb_e2e": q_bcb_e2e,
+        "bcb_e2e_detailed": q_bcb_e2e_detailed,
+        "poj_e2e": q_poj_e2e,
+        "ivf_knn_quantized": q_ivf_knn_quantized,
+        "dup_groups_converged": q_dup_groups_converged,
+        "history_rejects": q_history_rejects,
+        "knn_join_guarded": q_knn_join_guarded,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
+        "knn_join_pruned": q_knn_join_pruned,
+        "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
+        "ann_recall": q_ann_recall,
+        "knn_join": q_knn_join,
+        "srp_verified_dups": q_srp_verified_dups,
+        "tpch_kpi": q_tpch_kpi,
+        "containment_asym": q_containment_asym,
+        "substring_dups": q_substring_dups,
+        "status_pivot": q_status_pivot,
     }
 
 
@@ -2240,6 +2473,73 @@ def entry(spark: SparkSession) -> DataFrame:
 _HASH60 = stable_hash64_sql  # (expr) -> SQL string
 
 _TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+# RAW (non-lowercased) twin — reconstruction tokens for the strip family:
+# positions align 1:1 with _TOKENS because lower() never creates whitespace
+_RTOKENS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+def _strip_round_sql(src: str, r: int, run_n: int) -> str:
+    """One detect+strip round as DuckDB CTE blocks: reads docs from CTE
+    ``src`` (doc_id, tk RAW token-list, cum_tok, cum_run), emits
+    ``out{r}`` with stripped token lists and accumulated accounting.
+    Window hashes lowercase per token (detection is case-insensitive;
+    reconstruction preserves raw tokens — per-token lower() equals
+    whole-text lower() because tokens split at whitespace, which
+    lowercasing never creates). Identity when the corpus is already clean
+    — over-unrolling beyond the fixpoint is safe, which is what makes a
+    STATIC unrolled oracle equal the dynamic ``strip_until_clean`` loop
+    (the ``strip_fixpoint`` graded entry; the differential pytest in
+    tests/test_dedup.py shares this generator)."""
+    h = _HASH60(
+        f"array_to_string(list_transform(tk[i:i+{run_n - 1}],"
+        " t -> lower(t)), ' ')"
+    )
+    return f"""
+w{r} AS (
+  SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - {run_n - 2}),
+                  i -> {{'pos': i, 'h': {h}}})) AS wp
+    FROM {src} WHERE len(tk) >= {run_n}
+  )
+),
+first{r} AS (SELECT h, min(doc_id) AS first_doc FROM w{r} GROUP BY h),
+dup{r} AS (
+  SELECT w.doc_id, w.pos FROM w{r} w JOIN first{r} f USING (h)
+  WHERE f.first_doc < w.doc_id
+),
+isl{r} AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup{r}
+),
+runs{r} AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + {run_n} - 1 AS end_tok
+  FROM isl{r} GROUP BY doc_id, grp
+),
+dropped{r} AS (
+  SELECT DISTINCT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+  FROM runs{r}
+),
+out{r} AS (
+  SELECT s.doc_id,
+         CASE WHEN d.doc_id IS NULL THEN s.tk ELSE (
+           SELECT coalesce(list(p.tok ORDER BY p.pos), [])
+           FROM (SELECT unnest(list_transform(range(1, len(s.tk) + 1),
+                        i -> {{'pos': i, 'tok': s.tk[i]}})) AS tp) AS u(tp),
+                LATERAL (SELECT tp.pos AS pos, tp.tok AS tok) p
+           WHERE NOT EXISTS (SELECT 1 FROM dropped{r} dd
+                             WHERE dd.doc_id = s.doc_id AND dd.pos = p.pos)
+         ) END AS tk,
+         s.cum_tok + coalesce(dc.n, 0) AS cum_tok,
+         s.cum_run + coalesce(rc.n, 0) AS cum_run
+  FROM {src} s
+  LEFT JOIN (SELECT DISTINCT doc_id FROM dropped{r}) d ON d.doc_id = s.doc_id
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM dropped{r} GROUP BY doc_id)
+         dc ON dc.doc_id = s.doc_id
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM runs{r} GROUP BY doc_id)
+         rc ON rc.doc_id = s.doc_id
+)"""
 
 
 def _shingles_sql(toks: str, n: int) -> str:
@@ -2890,13 +3190,23 @@ WITH shingled AS (
 ),
 e AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
 dfreq AS (SELECT h, count(*)::BIGINT AS df FROM e GROUP BY h),
-sk AS (SELECT doc_id, unnest(list_sort(sh)[1:{ASYM_SKETCH_K}]) AS h FROM shingled),
+cold AS (
+  SELECT e.doc_id, e.h FROM e JOIN dfreq d USING (h)
+  WHERE d.df <= {ASYM_DF_CAP}
+),
+sk AS (
+  -- bottom-k of the df-SURVIVING hashes per doc (sketch after the cap)
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM cold
+  ) WHERE rn <= {ASYM_SKETCH_K}
+),
 cand AS (
-  SELECT sk.doc_id AS doc_a, e.doc_id AS doc_b
+  SELECT sk.doc_id AS doc_a, c.doc_id AS doc_b
   FROM sk
-  JOIN dfreq d ON d.h = sk.h
-  JOIN e ON e.h = sk.h
-  WHERE d.df <= {ASYM_DF_CAP} AND e.doc_id <> sk.doc_id
+  JOIN cold c ON c.h = sk.h
+  WHERE c.doc_id <> sk.doc_id
   GROUP BY 1, 2
   HAVING count(*) >= {ASYM_MIN_MATCHES}
 ),
@@ -2957,6 +3267,156 @@ SELECT doc_id, min(pos)::BIGINT AS start_tok,
        (max(pos) + {_sd_n} - 1)::BIGINT AS end_tok,
        count(*)::BIGINT AS n_windows, min(first_doc) AS src_doc
 FROM isl GROUP BY doc_id, grp"""
+
+    # strip_runs (NEW r9): the REMOVAL form over the same documents+remix
+    # corpus — substring_dups' runs CTE chain extended with span expansion
+    # + position anti-join + ordered rejoin. r9 semantics: docs with no
+    # runs return original text VERBATIM; stripped docs rebuild from the
+    # RAW (non-lowercased) whitespace split (positions align 1:1 with the
+    # lowercased detection tokens).
+    _sr_h = _HASH60(
+        "array_to_string(tk[i:i+" + str(_sd_n - 1) + "], ' ')"
+    )
+    sql["strip_runs"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(({toks})[1:12], ' ') || ' zz' || doc_id::VARCHAR
+           || ' ' || array_to_string(({toks})[5:16], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toked AS (SELECT doc_id, text, {_TOKENS} AS tk, {_RTOKENS} AS rtk FROM base),
+w AS (
+  SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - {_sd_n - 2}),
+                  i -> {{'pos': i, 'h': {_sr_h}}})) AS wp
+    FROM toked WHERE len(tk) >= {_sd_n}
+  )
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h),
+dup AS (
+  SELECT w.doc_id, w.pos FROM w JOIN first f USING (h)
+  WHERE f.first_doc < w.doc_id
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runs AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + {_sd_n} - 1 AS end_tok
+  FROM isl GROUP BY doc_id, grp
+),
+dropped AS (
+  SELECT DISTINCT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+  FROM runs
+),
+positions AS (
+  SELECT doc_id, tp.pos AS pos, tp.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(rtk) + 1),
+                  i -> {{'pos': i, 'tok': rtk[i]}})) AS tp
+    FROM toked
+  )
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  ANTI JOIN dropped d ON d.doc_id = p.doc_id AND d.pos = p.pos
+)
+SELECT b.doc_id,
+       CASE WHEN r.n IS NULL THEN b.text
+            ELSE coalesce(k.text, '') END AS text,
+       coalesce(dr.n, 0)::BIGINT AS n_tokens_removed,
+       coalesce(r.n, 0)::BIGINT AS n_runs_removed
+FROM base b
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id) k ON k.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM dropped GROUP BY doc_id)
+       dr ON dr.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM runs GROUP BY doc_id)
+       r ON r.doc_id = b.doc_id"""
+
+    # strip_fixpoint (NEW r9): strip_until_clean over the junction corpus,
+    # replayed as 3 STATICALLY UNROLLED detect+strip rounds (identity once
+    # converged, so over-unrolling is safe); _strip_round_sql is shared
+    # with the differential pytest so the oracle cannot drift
+    _sf_rounds = ",".join(
+        _strip_round_sql("out" + str(i - 1) if i else "toked", i, _sd_n)
+        for i in range(3)
+    )
+    sql["strip_fixpoint"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(({toks})[1:4], ' ') || ' ' ||
+         array_to_string(({toks})[5:8], ' ')
+  FROM documents WHERE doc_id % 5 = 0 AND len({toks}) >= 16
+  UNION ALL
+  SELECT doc_id + 4000000, array_to_string(({toks})[9:16], ' ')
+  FROM documents WHERE doc_id % 5 = 0 AND len({toks}) >= 16
+  UNION ALL
+  SELECT doc_id + 5000000,
+         array_to_string(({toks})[1:4], ' ') || ' ' ||
+         array_to_string(({toks})[9:16], ' ') || ' ' ||
+         array_to_string(({toks})[5:8], ' ')
+  FROM documents WHERE doc_id % 5 = 0 AND len({toks}) >= 16
+),
+toked AS (SELECT doc_id, {_RTOKENS} AS tk, 0::BIGINT AS cum_tok,
+                 0::BIGINT AS cum_run FROM base),
+{_sf_rounds}
+SELECT o.doc_id,
+       CASE WHEN o.cum_run > 0 THEN coalesce(array_to_string(o.tk, ' '), '')
+            ELSE b.text END AS text,
+       o.cum_tok AS n_tokens_removed, o.cum_run AS n_runs_removed
+FROM out2 o JOIN base b USING (doc_id)"""
+
+    # snapshot_diff (NEW r9): content-hash diff between two corpus
+    # snapshots (Spark sha2(text, 256) == DuckDB sha256(text), pinned by
+    # tests/test_relational.py); unchanged rows dropped inside the join
+    sql["snapshot_diff"] = """
+WITH newsnap AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' EDIT' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'fresh ' || text FROM documents WHERE doc_id < 20
+),
+o AS (SELECT doc_id, sha256(text) AS old_sha FROM documents),
+n AS (SELECT doc_id, sha256(text) AS new_sha FROM newsnap)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_sha IS NULL THEN 'added'
+            WHEN n.new_sha IS NULL THEN 'removed'
+            WHEN o.old_sha <> n.new_sha THEN 'changed' END AS status,
+       o.old_sha, n.new_sha
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE status IS NOT NULL"""
+
+    # ivf_delete_survivors (NEW r9): the index DELETE leg — bank init over
+    # the FULL pre-delete corpus (the bank is immutable after build; a
+    # delete never moves a cell boundary), survivors = vec_id % MOD <> 0,
+    # every survivor still in its build-time cell. Ghost rows or dropped
+    # survivors fail the value hash.
+    sql["ivf_delete_survivors"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % {DELETE_MOD} <> 0
+)
+SELECT vec_id, cell, round(v[1], 6) AS dim0 FROM (
+  SELECT x.vec_id, x.v, c.cent_id AS cell,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY round(list_dot_product(x.v, c.cent_vec) /
+                    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6) DESC,
+                    c.cent_id ASC) AS rnk
+  FROM x CROSS JOIN cents c
+) WHERE rnk = 1"""
 
     # bigram_lm_scores: add-one-smoothed bigram LM trained on the corpus,
     # mean smoothed probability per doc in p6 fixed-point
@@ -3760,6 +4220,59 @@ FROM kept GROUP BY source"""
     sql["semantic_dups"] = _semantic_dups_sql()
     sql["corpus_prep_funnel"] = _corpus_prep_funnel_sql()
     sql["cluster_top_terms"] = _cluster_top_terms_sql()
+
+    # --- r9 fold: the ten r1-era relational fillers -> ONE panel -------
+    # Each retired entry's PROVEN oracle SQL is wrapped verbatim as a
+    # harmonized section (section, k1, k2, n1, n2, v1, v2, v3), exactly
+    # mirroring q_relational_panel's re-selected Spark builders — so the
+    # fold cannot change any folded shape's semantics on either side.
+    def _panel_section(section, body, k1="NULL", k2="NULL", n1="NULL",
+                       n2="NULL", v1="NULL", v2="NULL", v3="NULL"):
+        return (
+            f"SELECT '{section}' AS section,"
+            f" CAST({k1} AS VARCHAR) AS k1, CAST({k2} AS VARCHAR) AS k2,"
+            f" CAST({n1} AS BIGINT) AS n1, CAST({n2} AS BIGINT) AS n2,"
+            f" CAST({v1} AS DOUBLE) AS v1, CAST({v2} AS DOUBLE) AS v2,"
+            f" CAST({v3} AS DOUBLE) AS v3"
+            f"\nFROM ({body}\n)"
+        )
+
+    _panel_sections = [
+        _panel_section("pct", sql["price_percentiles"],
+                       k1="c_mktsegment", v1="p50", v2="p90", v3="p99"),
+        _panel_section("semi", sql["order_priority_check"],
+                       k1="o_orderpriority", n1="n_orders"),
+        _panel_section("anti", sql["dormant_customers"],
+                       k1="c_custkey", k2="c_mktsegment", n1="acctbal_cents"),
+        _panel_section("bigorder", sql["large_orders"],
+                       k1="c_name", k2="orderdate", n1="o_orderkey",
+                       v1="totalprice", v2="sum_qty"),
+        _panel_section("smallqty", sql["small_qty_revenue"],
+                       n1="n_items", v1="total_revenue"),
+        _panel_section("topk", sql["topk_per_group"],
+                       n1="o_custkey", n2="o_orderkey", v1="o_totalprice",
+                       v2="rn"),
+        _panel_section("runtot", sql["cust_running_total"],
+                       k2="orderdate", n1="o_custkey", n2="o_orderkey",
+                       v1="running_spend", v2="gap_days", v3="order_seq"),
+        _panel_section("cube", sql["sales_cube"],
+                       k1="returnflag", k2="linestatus", n1="n_items",
+                       v1="sum_qty"),
+        _panel_section("dist", sql["priority_distinct"],
+                       k1="o_orderpriority", n1="n_orders", n2="n_custs",
+                       v1="n_statuses"),
+        _panel_section("latest", sql["latest_events"],
+                       k1="event_type", k2="user_id", n1="ts", n2="event_id",
+                       v1="value6"),
+    ]
+    sql["relational_panel"] = "\nUNION ALL\n".join(_panel_sections)
+    for _retired in (
+        "price_percentiles", "order_priority_check", "dormant_customers",
+        "large_orders", "small_qty_revenue", "topk_per_group",
+        "cust_running_total", "sales_cube", "priority_distinct",
+        "latest_events",
+    ):
+        del sql[_retired]
 
     return sql
 
