@@ -1,0 +1,178 @@
+"""Distributed Lloyd k-means (operators/cluster.py): statically-unrolled
+ANSI-SQL replay of every round (the strip_fixpoint oracle precedent),
+empty-cell semantics, and the corpus-vs-sample refinement receipt. The
+``kmeans_sql`` generator is the STAGED r10 graded-entry oracle."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators import (  # noqa: E402
+    cluster,
+)
+
+K, ITERS, DIM = 8, 3, 64
+
+_COS = (
+    "round(list_dot_product({a}, {c}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({c}, {c}))), 6)"
+)
+
+_MEAN6 = (
+    "(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n) "
+    "ELSE -((-2 * s + n) // (2 * n)) END) / 1000000.0"
+)
+
+
+def _assign_cte(cents: str, out: str) -> str:
+    cos = _COS.format(a="x.v", c=f"{cents}.cv")
+    return f"""{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT x.vec_id, x.v, {cents}.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos} DESC, {cents}.cent_id ASC) AS rnk
+    FROM x CROSS JOIN {cents}
+  ) WHERE rnk = 1
+)"""
+
+
+def _update_ctes(a: str, prev: str, out: str, dim: int) -> str:
+    return f"""s_{out} AS (
+  SELECT cell, t.d, sum(round(1e6 * v[t.d])::BIGINT) AS s, count(*) AS n
+  FROM {a} CROSS JOIN range(1, {dim + 1}) t(d)
+  GROUP BY cell, t.d
+),
+{out} AS (
+  SELECT cell AS cent_id, list({_MEAN6} ORDER BY d) AS cv
+  FROM s_{out} GROUP BY cell
+  UNION ALL
+  SELECT cent_id, cv FROM {prev}
+  WHERE cent_id NOT IN (SELECT DISTINCT cell FROM {a})
+)"""
+
+
+def kmeans_sql(src_sql: str, k: int = K, iters: int = ITERS, dim: int = DIM) -> str:
+    """The full unrolled Lloyd replay over any ``(vec_id, v DOUBLE[])``
+    source CTE body: iters assignment+update rounds, then the final
+    membership pass — the staged r10 graded-entry oracle."""
+    ctes = [
+        f"x AS ({src_sql})",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM "
+        f"(SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {k}))",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(_assign_cte(f"c{r - 1}", f"a{r}"))
+        ctes.append(_update_ctes(f"a{r}", f"c{r - 1}", f"c{r}", dim))
+    ctes.append(_assign_cte(f"c{iters}", "afin"))
+    return f"""
+WITH {','.join(ctes)}
+SELECT c.cent_id, c.cv AS cent_vec, coalesce(m.n_members, 0) AS n_members
+FROM c{iters} c LEFT JOIN (
+  SELECT cell, count(*) AS n_members FROM afin GROUP BY cell
+) m ON m.cell = c.cent_id"""
+
+
+def test_kmeans_matches_unrolled_duckdb_oracle(embeddings, sf_dir):
+    import duckdb
+
+    got = {
+        r.cent_id: (list(r.cent_vec), r.n_members)
+        for r in cluster.kmeans_lloyd(embeddings, n_centroids=K, iters=ITERS).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = {
+        r[0]: (list(r[1]), r[2])
+        for r in con.execute(
+            kmeans_sql("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid][1] == want[cid][1], cid
+        assert got[cid][0] == want[cid][0], cid
+
+
+def test_kmeans_centroids_on_micro_grid(embeddings):
+    """After >= 1 update every non-empty centroid component sits on the
+    1e-6 grid (the fixed-point contract)."""
+    rows = cluster.kmeans_lloyd(embeddings, n_centroids=K, iters=1).collect()
+    assert {r.cent_id for r in rows} == set(range(K))
+    for r in rows:
+        if r.n_members > 0:
+            for v in r.cent_vec:
+                assert v == round(v * 1e6) / 1e6
+
+
+def test_kmeans_empty_cell_and_duplicate_seed_separation(spark):
+    """Duplicate seed vectors: every tie goes to the smaller cent_id, so at
+    iters=0 the duplicate's cell is empty (kept centroid, n_members = 0);
+    after updates the duplicate cell legitimately REPOPULATES once the
+    winning cell's centroid moves off the shared seed — Lloyd's escape
+    from coincident seeds. Both behaviors replay exactly in SQL."""
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # duplicate of seed 0
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {v}::DOUBLE[])" for i, v in rows)
+    src = f"SELECT * FROM (VALUES {vals}) t(vec_id, v)"
+
+    for iters in (0, 2):
+        got = {
+            r.cent_id: (list(r.cent_vec), r.n_members)
+            for r in cluster.kmeans_lloyd(df, n_centroids=2, iters=iters).collect()
+        }
+        want = {
+            r[0]: (list(r[1]), r[2])
+            for r in con.execute(kmeans_sql(src, k=2, iters=iters, dim=2)).fetchall()
+        }
+        assert got == want, iters
+        assert got[0][1] + got[1][1] == 5
+        if iters == 0:
+            # tie-break: everything lands in cell 0, cell 1 keeps its seed
+            assert got[1] == ([1.0, 0.0], 0)
+        else:
+            # centroids separated -> the duplicate cell repopulated
+            assert got[1][1] > 0 and got[0][0] != got[1][0]
+
+
+def test_corpus_refine_beats_seed_bank(embeddings):
+    """The point of the distributed form: full-corpus Lloyd strictly
+    reduces total cosine quantization distortion vs the unrefined
+    lowest-id seed bank (1 - cos to the assigned centroid, summed)."""
+    X = np.asarray(
+        [
+            r.v
+            for r in embeddings.select(
+                F.col("embedding").cast("array<double>").alias("v")
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def distortion(cent_vecs):
+        C = np.asarray(cent_vecs, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((1.0 - (Xn @ Cn.T).max(axis=1)).sum())
+
+    seed_vecs, _ = cluster.kmeans_bank(embeddings, n_centroids=K, iters=0)
+    ref_vecs, ref_ids = cluster.kmeans_bank(embeddings, n_centroids=K, iters=ITERS)
+    assert distortion(ref_vecs) < distortion(seed_vecs)
+    # cent_ids stay the seed vec_ids (cell-directory stability contract)
+    assert ref_ids == sorted(ref_ids) == list(range(K))
