@@ -146,9 +146,58 @@ def longdoc_strip_receipt(spark, n_docs: int = 40,
     return 0
 
 
+def bpe_receipt(spark, sizes: list[int], num_merges: int = 12) -> int:
+    """r9 receipt: BPE training cost decomposition at corpus scale. The
+    module contract says the word histogram is the ONLY corpus-scale pass
+    and every merge round is vocab-sized — so with the synth corpus's
+    fixed ~1k-word vocabulary, histogram wall must grow with docs while
+    the per-round mean stays ~flat, and the ELECTED MERGES must be
+    stable-by-construction receipts: rounds == num_merges at every size.
+    apply_bpe (the map-only encode) must scale ~linearly, with the piece
+    count strictly under the char+EOW floor (merges actually fire)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators import (
+        bpe,
+    )
+
+    print("| docs | hist (s) | train total (s) | s/round | apply (s) | "
+          "pieces/tokens | rounds |")
+    print("|---|---|---|---|---|---|---|")
+    out_rows = []
+    for n in sizes:
+        docs = synth_docs(spark, n, hot=False).persist()
+        docs.count()
+        t_hist, _ = timed(
+            lambda: bpe.word_histogram(docs).localCheckpoint(eager=True).count()
+        )
+        rep: dict = {}
+        t0 = time.monotonic()
+        merges = bpe.train_bpe(docs, num_merges=num_merges, report=rep)
+        t_train = round(time.monotonic() - t0, 2)
+        assert rep["rounds"] == num_merges, rep
+
+        def apply_once():
+            enc = bpe.apply_bpe(docs, merges).persist()
+            agg = enc.agg(
+                F.sum("n_pieces").alias("p"), F.sum("n_tokens").alias("t")
+            ).collect()[0]
+            enc.unpersist()
+            return int(agg.p), int(agg.t)
+
+        t_apply, (n_pieces, n_toks) = timed(apply_once)
+        per_round = round((t_train - t_hist) / num_merges, 2)
+        print(f"| {docs.count()} | {t_hist} | {t_train} | {per_round} | "
+              f"{t_apply} | {round(n_pieces / n_toks, 2)} | {rep['rounds']} |")
+        out_rows.append({"docs": n, "hist_s": t_hist, "train_s": t_train,
+                         "per_round_s": per_round, "apply_s": t_apply})
+        docs.unpersist()
+    print(json.dumps({"bpe": out_rows, "num_merges": num_merges}))
+    return 0
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--longdoc"]
+    args = [a for a in sys.argv[1:] if a not in ("--longdoc", "--bpe")]
     longdoc = "--longdoc" in sys.argv[1:]
+    bpe_mode = "--bpe" in sys.argv[1:]
     sizes = [int(a) for a in args] or [50_000, 200_000]
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -161,6 +210,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if longdoc:
         rc = longdoc_strip_receipt(spark)
+        spark.stop()
+        return rc
+    if bpe_mode:
+        rc = bpe_receipt(spark, sizes)
         spark.stop()
         return rc
 
