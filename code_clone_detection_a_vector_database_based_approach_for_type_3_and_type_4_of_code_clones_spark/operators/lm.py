@@ -133,3 +133,105 @@ def bigram_lm_scores(score_docs: DataFrame, model: DataFrame, vocab: DataFrame,
             .alias("lm_score"),
         )
     )
+
+
+def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Importance weights for domain-targeted data selection — the DSIR
+    shape (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every RAW-corpus doc under a TARGET
+    (domain) n-gram LM and under the RAW LM itself; the weight is the
+    target/raw likelihood ratio, so docs that look like the target domain
+    but are rare in the raw pool float to the top.
+
+    Engine re-expression: both models are this module's add-one-smoothed
+    bigram LMs. The raw corpus's bigrams explode ONCE (the corpus-scale
+    pass); both models join onto that one frame (bigram-key hash joins,
+    the bigram_lm_scores contract — no broadcast assumption on either
+    model), and the two smoothed per-bigram probabilities sum as p6
+    BIGINTs in a single aggregation. Since both sides score the SAME
+    bigram rows, the doc's bigram count cancels from the mean ratio:
+    ``weight = sum_p6_target / sum_p6_raw``, computed as exact
+    half-up-rounded micro-units ``(2a*1e6 + b) div (2b)`` (positive by
+    smoothing; exact for docs up to ~4.6e6 bigrams — beyond that the
+    BIGINT product would overflow, and a real deployment is scoring
+    chunks, not 4M-token monoliths). The ln-free ratio-of-means surrogate
+    is the module-docstring convention: mean smoothed probability instead
+    of mean log-prob, deterministic across engines, identical plan shape
+    if ln() is swapped in at real scale.
+
+    Output: ``doc_id, n_bigrams, weight6, weight`` for EVERY raw doc
+    (``weight6`` = BIGINT micro-units for downstream exact percentile
+    cuts; no-bigram docs weigh 0.0 and stay visible)."""
+    bigrams = _doc_bigrams(raw_docs, text_col, id_col)
+    model_t, vocab_t = train_bigram_lm(target_docs, text_col, id_col)
+    model_r, vocab_r = train_bigram_lm(raw_docs, text_col, id_col)
+
+    def p6(side: str) -> "F.Column":
+        p = (F.coalesce(F.col(f"c_big_{side}"), F.lit(0)) + F.lit(1.0)) / (
+            F.coalesce(F.col(f"c_uni_{side}"), F.lit(0)) + F.col(f"v_{side}")
+        )
+        return F.round(F.lit(1000000.0) * p).cast("bigint")
+
+    joined = bigrams
+    for side, model, vocab in (("t", model_t, vocab_t), ("r", model_r, vocab_r)):
+        joined = (
+            joined.join(
+                model.select(
+                    "w1", "w2", F.col("c_big").alias(f"c_big_{side}")
+                ),
+                ["w1", "w2"],
+                "left",
+            )
+            .join(
+                model.select("w1", F.col("c_uni").alias(f"c_uni_{side}"))
+                .distinct(),
+                "w1",
+                "left",
+            )
+            .join(F.broadcast(vocab.select(F.col("v").alias(f"v_{side}"))))
+        )
+    sums = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(p6("t")).alias("s_t"),
+        F.sum(p6("r")).alias("s_r"),
+    )
+    # exact half-up micro-unit ratio (both sums positive by smoothing)
+    w6 = F.expr("(2 * s_t * 1000000 + s_r) div (2 * s_r)")
+    return (
+        raw_docs.select(F.col(id_col).alias("doc_id"))
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(w6, F.lit(0)).cast("bigint").alias("weight6"),
+            (F.coalesce(w6, F.lit(0)) / F.lit(1000000.0)).alias("weight"),
+        )
+    )
+
+
+def dsir_select(raw_docs: DataFrame, target_docs: DataFrame,
+                keep_frac: float = 0.25, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Select the top ``keep_frac`` of the raw corpus by DSIR weight — the
+    percentile-threshold form (the quality_cutoff precedent): the cut is
+    the exact type-7 interpolated percentile of ``weight6`` (bit-exact
+    cross-engine on the integer micro-units), broadcast as a 1-row frame,
+    then a map-only ``weight6 >= thr`` filter — no global sort, no
+    window, so the plan scales like a filter, and boundary TIES are kept
+    (a fraction, not an exact row count; at 100 TB swap ``percentile``
+    for ``approx_percentile``, same plan shape).
+
+    Output: all ``raw_docs`` columns + ``weight`` for the survivors."""
+    w = dsir_weights(raw_docs, target_docs, text_col, id_col)
+    thr = w.agg(
+        F.expr(f"percentile(weight6, {1.0 - keep_frac})").alias("thr")
+    )
+    kept = (
+        w.join(F.broadcast(thr))
+        .filter(F.col("weight6") >= F.col("thr"))
+        .select("doc_id", "weight")
+    )
+    return raw_docs.join(
+        kept.withColumnRenamed("doc_id", id_col), id_col
+    )
