@@ -71,7 +71,20 @@ from .cleanse import (  # noqa: F401
 )
 from .lm import (  # noqa: F401
     bigram_lm_scores,
+    dsir_select,
+    dsir_weights,
     train_bigram_lm,
+)
+from .bpe import (  # noqa: F401
+    apply_bpe,
+    apply_bpe_expr,
+    train_bpe,
+    word_histogram,
+)
+from .dimred import (  # noqa: F401
+    pca_knn,
+    pca_project,
+    train_pca,
 )
 from .dedup import (  # noqa: F401
     asym_containment_pairs,

