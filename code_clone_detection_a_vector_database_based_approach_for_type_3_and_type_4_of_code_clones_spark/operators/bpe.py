@@ -70,6 +70,7 @@ from ..functions.text import tokens
 __all__ = [
     "word_histogram",
     "train_bpe",
+    "bpe_vocab",
     "apply_bpe",
     "apply_bpe_expr",
     "SEP",
@@ -192,6 +193,23 @@ def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
         report["rounds"] = len(merges)
         report["histogram"] = hist
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
+
+
+def bpe_vocab(histogram: DataFrame) -> DataFrame:
+    """The piece vocabulary implied by a trained histogram (the
+    ``report["histogram"]`` frame ``train_bpe`` returns — its rendered
+    column is the final segmentation of every training word): one row
+    per distinct piece with ``n_words`` (how many word types contain it)
+    and ``total_cnt`` (corpus token occurrences — the frequency a
+    tokenizer ships in its vocab file). Vocab-sized input, one explode +
+    one map-side-combined groupBy."""
+    syms = histogram.select(
+        "word", "cnt", F.explode(_split_syms(F.col("rendered"))).alias("piece")
+    )
+    return syms.groupBy("piece").agg(
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+    )
 
 
 def _collect_ranked(merges: DataFrame) -> list[tuple[str, str]]:

@@ -1420,7 +1420,8 @@ def novelty_scores(docs: DataFrame, shingle_n: int = 3,
 
 def substring_duplicate_runs(docs: DataFrame, run_n: int = 50,
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             per_source: bool = False) -> DataFrame:
     """Exact SUBSTRING-level dedup: maximal runs of >= ``run_n`` tokens
     that also appear in an EARLIER document (by ascending doc_id — the
     crawl/ingest order). This is the granularity between exact-hash dedup
@@ -1457,6 +1458,18 @@ def substring_duplicate_runs(docs: DataFrame, run_n: int = 50,
     >= run_n); ``src_doc`` is the smallest doc id any window of the run
     first appeared in. Docs whose text is entirely first-occurrence emit
     nothing.
+
+    ``per_source=True`` splits islands when the attributed first
+    document CHANGES, so every emitted span traces to exactly ONE
+    source doc (``src_doc`` is that doc, not a min over a merged run) —
+    the takedown-pipeline form, where attribution drives removal
+    decisions per source. Adjacent windows attributed to different
+    firsts become separate rows whose union of duplicated positions is
+    identical to the default merged run (strip consumers see the same
+    dropped set either way); spans from different sources may OVERLAP by
+    up to run_n - 1 tokens (a window straddling the junction belongs to
+    one source but covers tokens of both) — inherent to window-granular
+    attribution, pinned in tests.
     """
     from pyspark.sql import Window
 
@@ -1478,10 +1491,11 @@ def substring_duplicate_runs(docs: DataFrame, run_n: int = 50,
         .filter(F.col("first_doc") < F.col("doc_id"))
         .select("doc_id", "pos", "first_doc")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
+    part = ["doc_id", "first_doc"] if per_source else ["doc_id"]
+    win = Window.partitionBy(*part).orderBy("pos")
     isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(win))
     return (
-        isl.groupBy("doc_id", "grp")
+        isl.groupBy(*part, "grp")
         .agg(
             F.min("pos").cast("bigint").alias("start_tok"),
             (F.max("pos") + run_n - 1).cast("bigint").alias("end_tok"),

@@ -241,6 +241,24 @@ def test_sentinel_words_excluded_from_training(spark):
     assert enc[1] == ["aa", "a", bpe.EOW] * 2
 
 
+def test_vocab_matches_python_oracle(documents, trained):
+    _, rep = trained
+    got = {
+        r.piece: (r.n_words, r.total_cnt)
+        for r in bpe.bpe_vocab(rep["histogram"]).collect()
+    }
+    texts = [r.text for r in documents.select("text").collect()]
+    hist = _py_hist(texts)
+    _, words = _py_train(hist, MERGES)
+    exp: dict = {}
+    for w, syms in words.items():
+        for p in set(syms):
+            exp.setdefault(p, [0, 0])[0] += 1
+        for p in syms:
+            exp[p][1] += hist[w]
+    assert got == {p: (a, b) for p, (a, b) in exp.items()}
+
+
 def test_max_words_caps_histogram(documents):
     hist = bpe.word_histogram(documents, max_words=10)
     assert hist.count() == 10

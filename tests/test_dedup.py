@@ -1000,6 +1000,45 @@ def test_substring_runs_attribute_to_min_doc(spark):
     assert out == {(7, 5), (9, 5)}  # doc 5 is first occurrence, never flagged
 
 
+def test_substring_runs_per_source_attribution(spark):
+    """per_source=True splits a merged run at the source boundary (the
+    takedown form): doc 3 = X + Y where X first appears in doc 1 and the
+    X-tail/Y junction first appears in doc 2 — default mode merges all
+    13 duplicated windows into ONE run attributed min(1, 2) = 1;
+    per-source mode emits one span per source whose union of duplicated
+    positions is IDENTICAL to the merged run (strip consumers drop the
+    same set), with the documented <= run_n - 1 token overlap at the
+    junction."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        substring_duplicate_runs,
+    )
+
+    x = " ".join(f"x{i}" for i in range(10))
+    y = " ".join(f"y{i}" for i in range(10))
+    d = _docs(spark, [(1, x), (2, x + " " + y), (3, x + " " + y)])
+    merged = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_windows, r.src_doc)
+        for r in substring_duplicate_runs(d, run_n=8).collect()
+    )
+    split = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_windows, r.src_doc)
+        for r in substring_duplicate_runs(d, run_n=8, per_source=True).collect()
+    )
+    # doc 2's X-prefix (windows 1..3, src 1) is single-source: same rows
+    # in both modes; doc 3's 13 contiguous windows merge vs split
+    assert merged == [(2, 1, 10, 3, 1), (3, 1, 20, 13, 1)]
+    assert split == [(2, 1, 10, 3, 1), (3, 1, 10, 3, 1), (3, 4, 20, 10, 2)]
+
+    def covered(rows, doc):
+        s = set()
+        for did, a, b, _, _ in rows:
+            if did == doc:
+                s |= set(range(a, b + 1))
+        return s
+
+    assert covered(split, 3) == covered(merged, 3) == set(range(1, 21))
+
+
 def test_substring_runs_clean_corpus_emits_nothing(spark):
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
         substring_duplicate_runs,

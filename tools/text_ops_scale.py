@@ -170,17 +170,25 @@ def bpe_receipt(spark, sizes: list[int], num_merges: int = 12) -> int:
             lambda: bpe.word_histogram(docs).localCheckpoint(eager=True).count()
         )
         rep: dict = {}
-        t0 = time.monotonic()
-        merges = bpe.train_bpe(docs, num_merges=num_merges, report=rep)
-        t_train = round(time.monotonic() - t0, 2)
+
+        def train_once():
+            rep.clear()
+            return bpe.train_bpe(docs, num_merges=num_merges, report=rep)
+
+        # best-of-2 so the per-round decomposition subtracts a WARM
+        # histogram from a warm train (a cold hist inside a single-shot
+        # train inflated per-round 3x in the first cut of this receipt)
+        t_train, merges = timed(train_once)
         assert rep["rounds"] == num_merges, rep
 
         def apply_once():
-            enc = bpe.apply_bpe(docs, merges).persist()
-            agg = enc.agg(
+            # one streaming agg pass — NO persist: materializing the
+            # ~100M-piece column in the cache is a harness artifact, not
+            # the operator (measured 18 s persisted vs 4.7 s streamed at
+            # 200k docs)
+            agg = bpe.apply_bpe(docs, merges).agg(
                 F.sum("n_pieces").alias("p"), F.sum("n_tokens").alias("t")
             ).collect()[0]
-            enc.unpersist()
             return int(agg.p), int(agg.t)
 
         t_apply, (n_pieces, n_toks) = timed(apply_once)
