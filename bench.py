@@ -289,6 +289,26 @@ def bench_queries(spark, sf_dir):
     def q_novelty():
         return ops.novelty_scores(docs)
 
+    def q_bpe_train():
+        # r9: 12 merge rounds on the vocab-sized histogram (the corpus
+        # appears in exactly one shuffle); consuming the merge table runs
+        # the whole training loop
+        return ops.train_bpe(docs, num_merges=12)
+
+    def q_dsir():
+        # r9: two bigram LMs join the once-exploded raw bigrams; target =
+        # the deterministic fifth of the corpus
+        return ops.dsir_weights(docs, docs.filter(F.col("doc_id") % 5 == 0))
+
+    def q_pca_knn():
+        # r9: reduce-then-rerank at 16/64 dims over the same probe set as
+        # the quantized path
+        probes = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).filter(F.col("query_id") < BENCH_PROBES)
+        return ops.pca_knn(probes, emb, k=10, out_dim=16)
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
         "quantized_rerank": q_quantized_rerank,
@@ -299,6 +319,9 @@ def bench_queries(spark, sf_dir):
         "tfidf_cosine_pairs": q_tfidf_cosine,
         "bigram_lm": q_bigram_lm,
         "novelty": q_novelty,
+        "bpe_train": q_bpe_train,
+        "dsir_weights": q_dsir,
+        "pca_knn": q_pca_knn,
     }
 
     return {

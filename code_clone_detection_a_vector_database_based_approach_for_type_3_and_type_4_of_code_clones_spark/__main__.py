@@ -102,6 +102,15 @@ def _build_parser() -> argparse.ArgumentParser:
                         "repeated runs of >= N tokens from exact keepers "
                         "before near-dup/quality stages (Lee et al. 2022; "
                         "default off)")
+    p.add_argument("--dsir_target_parquet", default=None,
+                   help="corpus: opt-in DSIR importance selection — "
+                        "parquet of target-domain documents; keeps the "
+                        "top --dsir_keep_frac of the gate-surviving pool "
+                        "by target/raw bigram-LM likelihood ratio "
+                        "(Xie et al. 2023; default off)")
+    p.add_argument("--dsir_keep_frac", type=float, default=0.25,
+                   help="corpus: fraction kept by DSIR selection "
+                        "(only with --dsir_target_parquet)")
     return p
 
 
@@ -196,6 +205,12 @@ def run(argv: list[str] | None = None) -> dict:
             n_shards=args.n_shards,
             near_keeper=args.near_keeper,
             substring_run_n=args.substring_run_n,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target_parquet)
+                if args.dsir_target_parquet
+                else None
+            ),
+            dsir_keep_frac=args.dsir_keep_frac,
         )
         acc = res["accounting"].first().asDict()
         per_split: dict[str, int] = {}

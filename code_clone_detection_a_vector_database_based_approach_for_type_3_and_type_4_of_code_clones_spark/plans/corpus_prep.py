@@ -72,6 +72,8 @@ def corpus_prep(
     max_bucket: int | None = None,
     near_keeper: str = "min_id",
     substring_run_n: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep_frac: float = 0.25,
 ) -> dict[str, DataFrame]:
     """Run the 7-stage prep over ``docs (doc_id, text, lang, source)``.
 
@@ -90,6 +92,17 @@ def corpus_prep(
     ``substring_run_n`` (opt-in stage 2.5): strip repeated
     >= run_n-token passages from exact keepers before near-dup/quality
     stages — see the stage comment for the single-pass contract.
+
+    ``dsir_target`` (opt-in stage 5.5): DSIR importance selection — keep
+    the top ``dsir_keep_frac`` of the gate-surviving pool by
+    target/raw bigram-LM likelihood ratio (operators/lm.py
+    ``dsir_weights``), cut at the exact percentile of the INTEGER weight
+    over that pool. Runs AFTER dedup/quality/decontamination (weights
+    trained on a cleaned pool, the DSIR paper's setting) and BEFORE
+    mixture sampling (domain selection first, source balancing on what
+    survives it). Default None keeps the graded plan byte-identical
+    (branch, not filter); accounting gains ``n_dsir_kept`` only in this
+    mode.
     - ``near_groups``: the stage-3 ``duplicate_groups`` output
       ``(doc_id, group_id, is_keeper)`` — downstream consumers (e.g. a
       leakage-safe train/test split, plans/ship.py) reuse it instead of
@@ -218,12 +231,48 @@ def corpus_prep(
 
     base = persist_bounded(base, eager=False)
 
-    survivors = base.filter(
+    gate_conj = (
         F.col("is_exact_keeper")
         & F.col("is_near_keeper")
         & F.col("quality_ok")
         & F.col("not_contaminated")
     )
+
+    # stage 5.5 (opt-in, ``dsir_target``): DSIR importance selection over
+    # the gate-surviving pool. The pool filter reads the PERSISTED base,
+    # so the weights pipeline (raw-LM train + two model joins) never
+    # recomputes the 5-stage prefix; the annotated frame is persisted
+    # again because both the survivor branch and the accounting aggregate
+    # consume it. Docs outside the pool carry dsir_ok = False (they are
+    # already dropped by the earlier gates — the flag only refines the
+    # conjunction, the DSIR paper's "select from the cleaned pool").
+    if dsir_target is not None:
+        from ..operators.lm import dsir_weights
+
+        pool = base.filter(gate_conj).select("doc_id", "text")
+        w = dsir_weights(pool, dsir_target)
+        thr = w.agg(
+            F.expr(f"percentile(weight6, {1.0 - dsir_keep_frac})").alias(
+                "__dsir_thr"
+            )
+        )
+        base = (
+            base.join(
+                w.select("doc_id", F.col("weight6").alias("dsir_w6")),
+                "doc_id",
+                "left",
+            )
+            .join(F.broadcast(thr))
+            .withColumn(
+                "dsir_ok",
+                F.coalesce(F.col("dsir_w6") >= F.col("__dsir_thr"), F.lit(False)),
+            )
+            .drop("__dsir_thr")
+        )
+        base = persist_bounded(base, eager=False)
+        survivors = base.filter(gate_conj & F.col("dsir_ok"))
+    else:
+        survivors = base.filter(gate_conj)
 
     # stage 6: deterministic mixture sampling (map-side filter)
     sampled = (
@@ -260,6 +309,13 @@ def corpus_prep(
             F.sum("n_substr_tokens_removed")
             .cast("bigint")
             .alias("n_substr_tokens_removed")
+        )
+    if dsir_target is not None:
+        # same schema-stability rule as substring mode
+        agg_cols.append(
+            F.sum((k4 & F.col("dsir_ok")).cast("long"))
+            .cast("bigint")
+            .alias("n_dsir_kept")
         )
     acc = base.agg(*agg_cols).crossJoin(
         sampled.agg(F.count("*").cast("bigint").alias("n_sampled"))

@@ -177,3 +177,41 @@ def test_corpus_prep_substring_mode_strips_quoted_passage(spark):
     # default mode: no substring column in the accounting row
     acc_default = corpus_prep(docs, boilerplate_min_df=99)["accounting"]
     assert "n_substr_tokens_removed" not in acc_default.columns
+
+
+def test_corpus_prep_dsir_mode_selects_target_domain(spark):
+    """Opt-in stage 5.5 (dsir_target): four clean docs — two in the
+    target's farm register, two off-domain — with keep_frac 0.5 must keep
+    exactly the two target-like docs; accounting gains n_dsir_kept; the
+    default mode's accounting schema and docs output are unchanged."""
+    farm_a = BODY  # the farm register the target models
+    farm_b = ("the old farmer walks over the quiet fields to the barn "
+              "while the dog rests near the porch and the sun sets over "
+              "the valley by the river in the calm evening light")
+    off_a = ("stocks and bonds moved sharply as brokers shouted orders "
+             "across the trading floor and the index closed lower after "
+             "a volatile session marked by heavy volume and sudden swings")
+    off_b = ("the committee reviewed the quarterly budget report and "
+             "approved the proposed amendments to the municipal zoning "
+             "code after a lengthy debate among the council members")
+    docs = spark.createDataFrame(
+        [(0, farm_a, "en", "web"), (1, farm_b, "en", "web"),
+         (2, off_a, "en", "web"), (3, off_b, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    target = spark.createDataFrame(
+        [(100, BODY), (101, farm_b.replace("calm", "late"))],
+        "doc_id long, text string",
+    )
+    out = corpus_prep(
+        docs, boilerplate_min_df=99, dsir_target=target, dsir_keep_frac=0.5
+    )
+    acc = out["accounting"].collect()[0]
+    kept = {r.doc_id for r in out["docs"].select("doc_id").collect()}
+    assert kept == {0, 1}
+    assert acc.n_dsir_kept == 2
+    assert acc.n_input == 4 and acc.n_sampled == 2
+    # default mode unchanged: no dsir column, all four clean docs survive
+    out_default = corpus_prep(docs, boilerplate_min_df=99)
+    assert "n_dsir_kept" not in out_default["accounting"].columns
+    assert out_default["accounting"].collect()[0].n_sampled == 4
