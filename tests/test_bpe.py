@@ -175,6 +175,46 @@ def test_train_matches_unrolled_duckdb_oracle(documents, trained, sf_dir):
     assert got == [(int(a), b, c, int(d)) for a, b, c, d in oracle]
 
 
+def bpe_encode_sql(ranked: list, src_sql: str) -> str:
+    """Corpus encoding under FROZEN merges, replayed in SQL: per token,
+    render the char+EOW sentinel string, chain one replace() per merge in
+    rank order (left-to-right non-overlapping = greedy BPE), split back,
+    flatten per doc — the apply_bpe_expr twin as pure ANSI SQL (a second
+    staged r10 entry next to the training oracle)."""
+    r = ("'·' || array_to_string(list_append(string_split(t, ''), '</w>'),"
+         " '··') || '·'")
+    for left, right in ranked:
+        pat = f"'·{left}··{right}·'"
+        rep = f"'·{left}{right}·'"
+        r = f"replace({r}, {pat}, {rep})"
+    return f"""
+SELECT doc_id,
+       flatten(list_transform(
+         list_filter({_SQL_TOKENS}, t -> NOT contains(t, '·')),
+         t -> string_split(trim({r}, '·'), '··'))) AS pieces
+FROM ({src_sql})"""
+
+
+def test_encode_matches_duckdb_replay(documents, trained, sf_dir):
+    merges, _ = trained
+    ranked = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    got = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.apply_bpe_expr(documents, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = {
+        int(d): list(p)
+        for d, p in con.execute(
+            bpe_encode_sql(ranked, "SELECT doc_id, text FROM documents")
+        ).fetchall()
+    }
+    assert got == oracle
+
+
 def test_apply_udf_matches_expression_twin(documents, trained):
     merges, _ = trained
     a = {

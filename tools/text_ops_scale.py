@@ -202,10 +202,44 @@ def bpe_receipt(spark, sizes: list[int], num_merges: int = 12) -> int:
     return 0
 
 
+def dsir_receipt(spark, sizes: list[int]) -> int:
+    """r9 receipt: DSIR weighting cost at corpus scale. Target = every
+    20th doc (deterministic slice); the plan is two bigram-LM trains plus
+    two model joins over the once-exploded raw bigrams — every stage a
+    map-side-combined shuffle — so wall per doc must stay ~flat and every
+    doc must come back weighted (n rows, no-bigram docs included)."""
+    print("| docs | dsir_weights (s) | s per 100k docs | rows |")
+    print("|---|---|---|---|")
+    out_rows = []
+    for n in sizes:
+        docs = synth_docs(spark, n, hot=False).persist()
+        n_total = docs.count()
+        target = docs.filter(F.col("doc_id") % 20 == 0)
+
+        def weights_once():
+            # consume the VALUES, not just cardinality: a bare count()
+            # lets Catalyst prune the model joins and p6 arithmetic out
+            # of the plan (measured sub-second at 500k — a non-receipt)
+            r = ops.dsir_weights(docs, target).agg(
+                F.count("*").alias("n"), F.sum("weight6").alias("s")
+            ).collect()[0]
+            assert int(r.s) > 0
+            return int(r.n)
+
+        t, rows = timed(weights_once)
+        assert rows == n_total, (rows, n_total)
+        print(f"| {n_total} | {t} | {round(t / (n_total / 1e5), 2)} | {rows} |")
+        out_rows.append({"docs": n, "dsir_s": t})
+        docs.unpersist()
+    print(json.dumps({"dsir": out_rows}))
+    return 0
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--longdoc", "--bpe")]
+    args = [a for a in sys.argv[1:] if a not in ("--longdoc", "--bpe", "--dsir")]
     longdoc = "--longdoc" in sys.argv[1:]
     bpe_mode = "--bpe" in sys.argv[1:]
+    dsir_mode = "--dsir" in sys.argv[1:]
     sizes = [int(a) for a in args] or [50_000, 200_000]
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -222,6 +256,10 @@ def main() -> int:
         return rc
     if bpe_mode:
         rc = bpe_receipt(spark, sizes)
+        spark.stop()
+        return rc
+    if dsir_mode:
+        rc = dsir_receipt(spark, sizes)
         spark.stop()
         return rc
 
