@@ -103,7 +103,6 @@ def _chars_plus_eow(word: Column) -> Column:
 
 
 def word_histogram(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id",
                    max_words: int | None = None) -> DataFrame:
     """The one corpus-scale pass: ``(word, cnt, rendered)`` over the
     lowercased whitespace token stream (the engine's ``tokens()`` unit).
@@ -157,8 +156,7 @@ def _merge_expr(rendered: Column, left: str, right: str) -> Column:
 
 
 def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
-              text_col: str = "text", id_col: str = "doc_id",
-              max_words: int | None = None,
+              text_col: str = "text", max_words: int | None = None,
               report: dict | None = None) -> DataFrame:
     """Train ``num_merges`` BPE merges on the corpus. Stops early when the
     best remaining pair's count drops below ``min_count`` (merging
@@ -170,7 +168,7 @@ def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
     vocab-sized ``(word, cnt, rendered)`` frame — its rendered column is
     the training corpus segmentation, useful for vocab extraction)."""
     spark = docs.sparkSession
-    hist = word_histogram(docs, text_col, id_col, max_words).localCheckpoint(
+    hist = word_histogram(docs, text_col, max_words).localCheckpoint(
         eager=True
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -254,6 +252,9 @@ def apply_bpe(docs: DataFrame, merges: DataFrame, text_col: str = "text",
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
+    # id dtype follows the input (the exact_knn_fast pattern): string/UUID
+    # doc ids must survive the Arrow round-trip, not coerce to bigint
+    id_type = dict(docs.dtypes)[id_col]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -283,7 +284,7 @@ def apply_bpe(docs: DataFrame, merges: DataFrame, text_col: str = "text",
 
     return toked.mapInPandas(
         encode,
-        "doc_id bigint, pieces array<string>, n_tokens bigint, n_pieces bigint",
+        f"doc_id {id_type}, pieces array<string>, n_tokens bigint, n_pieces bigint",
     )
 
 

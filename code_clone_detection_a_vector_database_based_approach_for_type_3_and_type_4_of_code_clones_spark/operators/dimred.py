@@ -103,19 +103,24 @@ def pca_project(
     rounded to the 6-decimal grid). All input columns pass through."""
     mu = "array(" + ",".join(repr(v) + "D" for v in mean) + ")"
     centered = f"zip_with(cast({vec_col} as array<double>), {mu}, (x, y) -> x - y)"
+    # collision-safe staging column: never clobber an input column that
+    # happens to share the temp name
+    tmp = "__pca_centered"
+    while tmp in df.columns:
+        tmp += "_"
 
     def comp_sql(row: list[float]) -> str:
         w = "array(" + ",".join(repr(v) + "D" for v in row) + ")"
         return (
-            f"round(aggregate(zip_with(__c, {w}, (x, y) -> x * y),"
+            f"round(aggregate(zip_with({tmp}, {w}, (x, y) -> x * y),"
             f" 0D, (a, v) -> a + v), {SCORE_DECIMALS})"
         )
 
     proj = "array(" + ",".join(comp_sql(row) for row in components) + ")"
     return (
-        df.withColumn("__c", F.expr(centered))
+        df.withColumn(tmp, F.expr(centered))
         .withColumn(out_col, F.expr(proj))
-        .drop("__c")
+        .drop(tmp)
     )
 
 

@@ -58,6 +58,23 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
+def _train_parts(train_docs: DataFrame, text_col: str,
+                 id_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared trainer internals: ``(model, unigrams, vocab)``. The
+    ``unigrams`` frame ``(w1, c_uni)`` is the margin table scorers need
+    for the unseen-bigram fallback — returning it here saves each scorer
+    a model-sized ``distinct()`` re-derivation (r9 verdict item 5)."""
+    bigrams = _doc_bigrams(train_docs, text_col, id_col)
+    c_big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    unigrams = c_big.groupBy("w1").agg(F.sum("c_big").alias("c_uni"))
+    model = c_big.join(unigrams, "w1")
+    vocab = (
+        train_docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return model, unigrams, vocab
+
+
 def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Train the add-one-smoothed bigram model.
@@ -69,19 +86,13 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
     train+score compose into one lazy plan the analyze-only gate can
     build without executing).
     """
-    bigrams = _doc_bigrams(train_docs, text_col, id_col)
-    c_big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
-    c_uni = c_big.groupBy("w1").agg(F.sum("c_big").alias("c_uni"))
-    model = c_big.join(c_uni, "w1")
-    vocab = (
-        train_docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
-        .agg(F.count_distinct("t").alias("v"))
-    )
+    model, _, vocab = _train_parts(train_docs, text_col, id_col)
     return model, vocab
 
 
 def bigram_lm_scores(score_docs: DataFrame, model: DataFrame, vocab: DataFrame,
-                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     unigrams: DataFrame | None = None) -> DataFrame:
     """Score documents under a trained bigram model: mean add-one-smoothed
     bigram probability per doc (the deterministic surrogate of mean
     log-prob — see module docstring). Unseen bigrams fall back to
@@ -95,8 +106,12 @@ def bigram_lm_scores(score_docs: DataFrame, model: DataFrame, vocab: DataFrame,
     bigrams = _doc_bigrams(score_docs, text_col, id_col)
     # unseen-w1 fallback needs c_uni for the observed w1 even when the
     # exact bigram is absent: join the model on both keys, then the
-    # unigram margins on w1 alone.
-    margins = model.select("w1", "c_uni").distinct()
+    # unigram margins on w1 alone. Pass ``unigrams`` (the `_train_parts`
+    # margin frame) to skip the model-sized distinct() re-derivation.
+    margins = (
+        unigrams if unigrams is not None
+        else model.select("w1", "c_uni").distinct()
+    )
     p = (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
     )
@@ -135,8 +150,19 @@ def bigram_lm_scores(score_docs: DataFrame, model: DataFrame, vocab: DataFrame,
     )
 
 
+# exact half-up micro-unit ratio round(1e6 * s_t / s_r) (both sums positive
+# by smoothing). The numerator is computed in DECIMAL(38,0): in BIGINT,
+# 2*s_t*1e6 silently wraps for docs beyond ~4.6M bigrams under non-ANSI
+# Spark (negative weights); the decimal product is exact, and `div` returns
+# BIGINT. weight6 itself is bounded by 1e12 (s_t <= n*1e6, s_r >= n), so the
+# result always fits. Module-level so the overflow pin in test_dsir.py tests
+# THIS expression, not a copy.
+_W6_EXPR = "(2 * cast(s_t as decimal(38,0)) * 1000000 + s_r) div (2 * s_r)"
+
+
 def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
-                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 broadcast_models: bool = False) -> DataFrame:
     """Importance weights for domain-targeted data selection — the DSIR
     shape (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling"): score every RAW-corpus doc under a TARGET
@@ -162,10 +188,17 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
 
     Output: ``doc_id, n_bigrams, weight6, weight`` for EVERY raw doc
     (``weight6`` = BIGINT micro-units for downstream exact percentile
-    cuts; no-bigram docs weigh 0.0 and stay visible)."""
+    cuts; no-bigram docs weigh 0.0 and stay visible).
+
+    ``broadcast_models=True`` hints BOTH model frames (bigram counts +
+    unigram margins) broadcast — the bounded-vocab deployment's large
+    constant cut (all four model joins become map-side; receipt in
+    BASELINE.md). The default stays shuffle hash joins: billion-row
+    models must not assume driver-side materialization."""
     bigrams = _doc_bigrams(raw_docs, text_col, id_col)
-    model_t, vocab_t = train_bigram_lm(target_docs, text_col, id_col)
-    model_r, vocab_r = train_bigram_lm(raw_docs, text_col, id_col)
+    model_t, uni_t, vocab_t = _train_parts(target_docs, text_col, id_col)
+    model_r, uni_r, vocab_r = _train_parts(raw_docs, text_col, id_col)
+    hint = F.broadcast if broadcast_models else (lambda df: df)
 
     def p6(side: str) -> "F.Column":
         p = (F.coalesce(F.col(f"c_big_{side}"), F.lit(0)) + F.lit(1.0)) / (
@@ -174,18 +207,22 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
         return F.round(F.lit(1000000.0) * p).cast("bigint")
 
     joined = bigrams
-    for side, model, vocab in (("t", model_t, vocab_t), ("r", model_r, vocab_r)):
+    for side, model, uni, vocab in (
+        ("t", model_t, uni_t, vocab_t),
+        ("r", model_r, uni_r, vocab_r),
+    ):
         joined = (
             joined.join(
-                model.select(
-                    "w1", "w2", F.col("c_big").alias(f"c_big_{side}")
+                hint(
+                    model.select(
+                        "w1", "w2", F.col("c_big").alias(f"c_big_{side}")
+                    )
                 ),
                 ["w1", "w2"],
                 "left",
             )
             .join(
-                model.select("w1", F.col("c_uni").alias(f"c_uni_{side}"))
-                .distinct(),
+                hint(uni.select("w1", F.col("c_uni").alias(f"c_uni_{side}"))),
                 "w1",
                 "left",
             )
@@ -196,8 +233,7 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
         F.sum(p6("t")).alias("s_t"),
         F.sum(p6("r")).alias("s_r"),
     )
-    # exact half-up micro-unit ratio (both sums positive by smoothing)
-    w6 = F.expr("(2 * s_t * 1000000 + s_r) div (2 * s_r)")
+    w6 = F.expr(_W6_EXPR)
     return (
         raw_docs.select(F.col(id_col).alias("doc_id"))
         .join(sums, "doc_id", "left")
@@ -212,7 +248,8 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
 
 def dsir_select(raw_docs: DataFrame, target_docs: DataFrame,
                 keep_frac: float = 0.25, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                weight_col: str = "weight") -> DataFrame:
     """Select the top ``keep_frac`` of the raw corpus by DSIR weight — the
     percentile-threshold form (the quality_cutoff precedent): the cut is
     the exact type-7 interpolated percentile of ``weight6`` (bit-exact
@@ -222,7 +259,15 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame,
     (a fraction, not an exact row count; at 100 TB swap ``percentile``
     for ``approx_percentile``, same plan shape).
 
-    Output: all ``raw_docs`` columns + ``weight`` for the survivors."""
+    Output: all ``raw_docs`` columns + ``weight_col`` (default
+    ``weight``) for the survivors. A pre-existing input column with that
+    name is an explicit error — the caller renames one side rather than
+    getting a silently ambiguous frame."""
+    if weight_col in raw_docs.columns:
+        raise ValueError(
+            f"raw_docs already has a {weight_col!r} column; pass a "
+            "different weight_col"
+        )
     w = dsir_weights(raw_docs, target_docs, text_col, id_col)
     thr = w.agg(
         F.expr(f"percentile(weight6, {1.0 - keep_frac})").alias("thr")
@@ -230,7 +275,7 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame,
     kept = (
         w.join(F.broadcast(thr))
         .filter(F.col("weight6") >= F.col("thr"))
-        .select("doc_id", "weight")
+        .select("doc_id", F.col("weight").alias(weight_col))
     )
     return raw_docs.join(
         kept.withColumnRenamed("doc_id", id_col), id_col

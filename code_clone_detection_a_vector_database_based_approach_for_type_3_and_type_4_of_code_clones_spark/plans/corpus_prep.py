@@ -270,7 +270,11 @@ def corpus_prep(
             .drop("__dsir_thr")
         )
         base = persist_bounded(base, eager=False)
-        survivors = base.filter(gate_conj & F.col("dsir_ok"))
+        # schema stability: the DSIR helper columns are accounting-side
+        # only — the returned docs frame must not change shape by mode
+        survivors = base.filter(gate_conj & F.col("dsir_ok")).drop(
+            "dsir_w6", "dsir_ok"
+        )
     else:
         survivors = base.filter(gate_conj)
 

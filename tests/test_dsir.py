@@ -8,6 +8,7 @@ import os
 import sys
 
 import duckdb
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -137,3 +138,47 @@ def test_select_keeps_boundary_ties(spark):
     kept = dsir_select(raw, target, keep_frac=0.25).collect()
     assert len(kept) == 4
     assert set(kept[0].asDict()) == {"doc_id", "text", "weight"}
+
+
+def test_broadcast_models_matches_default(spark):
+    """broadcast_models=True is a pure plan hint — identical rows."""
+    target = _docs(spark, [(100 + i, "alpha beta gamma alpha beta") for i in range(3)])
+    raw = _docs(
+        spark,
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon zeta delta"),
+         (3, "beta gamma alpha beta"), (4, "eta theta iota eta")],
+    )
+    base = sorted(map(tuple, dsir_weights(raw, target).collect()))
+    hinted = sorted(
+        map(tuple, dsir_weights(raw, target, broadcast_models=True).collect())
+    )
+    assert base == hinted
+
+
+def test_select_weight_col_collision_is_loud(spark):
+    import pytest as _pytest
+
+    target = _docs(spark, [(10, "x y x y")])
+    raw = _docs(spark, [(i, "x y") for i in range(4)]).withColumn(
+        "weight", F.lit(1.0)
+    )
+    with _pytest.raises(ValueError, match="weight"):
+        dsir_select(raw, target)
+    kept = dsir_select(raw, target, weight_col="dsir_weight").collect()
+    assert len(kept) == 4
+    assert set(kept[0].asDict()) == {"doc_id", "text", "weight", "dsir_weight"}
+
+
+def test_w6_expr_survives_4_6m_bigram_scale(spark):
+    """The DECIMAL(38,0) numerator: at s_t ~ 5e12 (a ~5M-bigram doc) the
+    BIGINT product 2*s_t*1e6 = 1e19 would wrap negative under non-ANSI
+    Spark; the shipped expression must return the exact positive ratio."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.lm import (
+        _W6_EXPR,
+    )
+
+    s_t, s_r = 5_000_000_000_000, 4_000_000_000_000
+    row = spark.createDataFrame([(s_t, s_r)], "s_t bigint, s_r bigint").select(
+        F.expr(_W6_EXPR).alias("w6")
+    ).collect()[0]
+    assert row.w6 == 1_250_000  # ratio 1.25 in micro-units, exactly
