@@ -22,7 +22,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -2338,6 +2338,252 @@ def q_bigram_lm_scores(spark, sf_dir):
     return ops.bigram_lm_scores(docs, model, vocab)
 
 
+# ---------------------------------------------------------------------------
+# r10 graded promotions: the r9 operator families (BPE / DSIR / PCA / PQ /
+# Lloyd k-means / tfidf postings round-trip) + the two r10 folds
+# (knn_join physical variants, r1-era per-doc text singletons)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 12        # training rounds; the fixture corpora sustain all 12
+DSIR_TARGET_MOD = 5    # DSIR target slice = doc_id % 5 == 0
+PCA_OUT_DIM = 16       # 64 -> 16, the worst-case near-flat spectrum config
+PCA_OVERFETCH = 16
+PQ_M, PQ_CODES, PQ_OVERFETCH = 16, 32, 8
+ANN_PROBES = 50        # pq/pca probe sets: vec_id < 50 (the ivf_knn probe set)
+KMEANS_K, KMEANS_ITERS = 8, 3
+TFIDF_P_DF_MIN = 3     # df_min > 2: exercises the norm-mass exactness branch
+TFIDF_P_COSINE = 0.4
+
+_BPE_MERGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PCA_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _bpe_merges(spark, sf_dir) -> DataFrame:
+    """Session-scoped trained merge table (train_bpe's driver-side merge
+    loop is eager by design — the dup_groups/corpus_prep exception class —
+    so both BPE entries and the bench share ONE training run)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _BPE_MERGES_CACHE.get(key)
+    if m is None:
+        m = ops.train_bpe(_t(spark, sf_dir, "documents"), num_merges=BPE_MERGES)
+        _BPE_MERGES_CACHE[key] = m
+    return m
+
+
+def _pca_model(spark, sf_dir) -> tuple:
+    """Session-scoped PCA model (bounded lowest-id sample + driver eigh —
+    deterministic, so one fit serves pca_vecs, pca_knn and the bench)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _PCA_MODEL_CACHE.get(key)
+    if m is None:
+        m = ops.train_pca(_t(spark, sf_dir, "embeddings"), PCA_OUT_DIM)
+        _PCA_MODEL_CACHE[key] = m
+    return m
+
+
+def _micro_join(col: str) -> Column:
+    """array<double> -> exact micro-int CSV (the quantized_embeddings
+    convention: the oracle compares integers, not float reprs)."""
+    return F.array_join(
+        F.transform(col, lambda x: F.round(x * 1e6).cast("bigint").cast("string")),
+        ",",
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """NEW r10 — distributed BPE tokenizer training (operators/bpe.py
+    train_bpe; the r9 family's promotion to a graded entry). The ONLY
+    corpus-scale stage is one word-histogram shuffle; every merge round
+    runs on the vocab-sized frame (0.16-0.17 s/round FLAT across a 10x
+    corpus — BASELINE.md receipt). The oracle statically unrolls all 12
+    training rounds in SQL: round k elects the (count desc, left, right)
+    top pair and applies it with the SAME sentinel replace the engine
+    uses — replace()'s left-to-right non-overlapping scan IS the greedy
+    merge order in both engines."""
+    return _bpe_merges(spark, sf_dir)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """NEW r10 — corpus encoding under the trained merges via the
+    production mapInPandas path (Arrow-batched, each DISTINCT word encoded
+    once per batch — Zipf memo). Pieces emitted space-joined (tokens are
+    whitespace-split, so space never occurs inside a piece). The oracle is
+    fully self-contained SQL: the 12 training rounds' CTEs feed a
+    replace-chain whose pattern/replacement come from scalar subqueries on
+    each round's elected pair."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = ops.apply_bpe(docs, _bpe_merges(spark, sf_dir))
+    return enc.select(
+        "doc_id",
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_tokens",
+        "n_pieces",
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """NEW r10 — DSIR importance weights (operators/lm.py dsir_weights;
+    Xie et al. 2023): every raw doc scored under a target-slice bigram LM
+    and the raw-corpus LM, weight = exact half-up micro-unit likelihood
+    ratio. Raw-corpus bigrams explode ONCE; both models hash-join that
+    frame (no broadcast assumption — billion-row models OK). The oracle
+    replays both LMs and the DECIMAL-exact ratio in full SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return ops.dsir_weights(docs, target)
+
+
+def q_pca_vecs(spark, sf_dir):
+    """NEW r10 — PCA projection of the embedding table under the
+    deterministic corpus-trained basis (operators/dimred.py): centering
+    once via zip_with, one left-to-right fold per output dim, 1e-6 grid.
+    Zero-shuffle map-side expressions. The oracle retrains the model
+    INDEPENDENTLY (pyarrow + numpy over the same parquet — the
+    media_features fixture precedent) and bakes the literals into the
+    projection SQL; values compared as exact micro-ints."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, components = _pca_model(spark, sf_dir)
+    return ops.pca_project(emb, mean, components).select(
+        "vec_id", _micro_join("reduced").alias("reduced_micro")
+    )
+
+
+def q_pca_knn(spark, sf_dir):
+    """NEW r10 — reduce-then-rerank kNN (operators/dimred.py pca_knn, the
+    FAISS PCAR pretransform shape): candidates over-fetched in the
+    16-dim reduced space (out_dim/dim of the exact scan's arithmetic,
+    mapInPandas matmul), then ONLY Q*k*overfetch rows touch the full-dim
+    vectors for the exact cosine re-score. The oracle replays the same
+    two-stage plan with the baked model literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.pca_knn(
+        probes,
+        emb,
+        KNN_K,
+        out_dim=PCA_OUT_DIM,
+        overfetch=PCA_OVERFETCH,
+        model=_pca_model(spark, sf_dir),
+    )
+
+
+def q_pq_knn(spark, sf_dir):
+    """NEW r10 — product-quantized kNN with exact re-scoring
+    (operators/pq.py): 16 subspaces x 32 codes (the iters=0 graded config:
+    codebooks = subvectors of the 32 lowest-id vectors, fully
+    SQL-derivable), integer ADC over the codes column alone, then the
+    ivf_knn_quantized rescore contract. At 100 TB the scan reads m bytes
+    per row and the float vectors never leave cold storage in bulk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.pq_knn(
+        probes, emb, KNN_K, m=PQ_M, n_codes=PQ_CODES, overfetch=PQ_OVERFETCH
+    )
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    """NEW r10 — full-corpus Lloyd k-means (operators/cluster.py): 3
+    assignment+update rounds then the final membership pass; each round is
+    two map-side-combinable shuffles, centroid means on the exact 1e-6
+    grid. The oracle statically unrolls every round (the strip_fixpoint
+    precedent); centroid vectors compared as exact micro-ints."""
+    emb = _t(spark, sf_dir, "embeddings")
+    km = ops.kmeans_lloyd(emb, n_centroids=KMEANS_K, iters=KMEANS_ITERS)
+    return km.select(
+        "cent_id", _micro_join("cent_vec").alias("cent_vec_micro"), "n_members"
+    )
+
+
+def q_tfidf_postings_pairs(spark, sf_dir):
+    """NEW r10 — the build-once/mine-many split graded end to end: pair
+    mining from a prebuilt tfidf_postings table (the r8 entry-point split)
+    at df_min=3, which exercises the norm-mass exactness branch
+    (joinable-but-skipped 2-df terms must not carry norm mass) that the
+    inline df_min=2 entry structurally cannot reach. The sha256 shingle
+    explode — the dominant cost — is paid once at build time; at 100 TB
+    the postings land bucketed-by-term on disk and each threshold sweep
+    replans only the cheap mining side."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = ops.tfidf_postings(docs, MINHASH_SHINGLE, TFIDF_DF_CAP)
+    return ops.tfidf_pairs_from_postings(
+        postings, df_min=TFIDF_P_DF_MIN, threshold=TFIDF_P_COSINE
+    )
+
+
+def q_knn_join_panel(spark, sf_dir):
+    """NEW r10 — the composed fold of the three knn_join physical variants
+    (plain cogroup / max_cell-sub-bucketed / persisted-partition-pruned)
+    into ONE graded entry (the relational_panel pattern; registry headroom
+    under the 100-entry ceiling). The three retired entries' builders are
+    re-invoked VERBATIM and tagged by section; they are row-identical by
+    the sub-bucketing/persistence contracts (pinned in tests/test_knn.py),
+    so the oracle is the shared routing/scoring SQL cross-joined with the
+    section tags — each variant stays value-hash-proven per row."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("section"), "query_id", "result_id", "score", "rank"
+        )
+        for name, fn in (
+            ("plain", q_knn_join),
+            ("guarded", q_knn_join_guarded),
+            ("pruned", q_knn_join_pruned),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_text_panel(spark, sf_dir):
+    """NEW r10 — the composed fold of the five r1-era per-doc text
+    singletons (token_stats / quality_scores / lang_id / doc_fingerprints
+    / token_counts) into ONE graded entry (the relational_panel pattern).
+    Each retired entry's builder is re-selected VERBATIM into the
+    harmonized long schema ``section, doc_id, k1, n1..n5, v1`` (identical
+    typed NULLs on both engines), so every folded shape stays
+    value-hash-proven per row."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def shape(df, section, k1=None, n1=None, n2=None, n3=None, n4=None,
+              n5=None, v1=None):
+        def col(x, null):
+            return null if x is None else F.col(x)
+
+        return df.select(
+            F.lit(section).alias("section"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            col(k1, ns).cast("string").alias("k1"),
+            col(n1, nb).cast("bigint").alias("n1"),
+            col(n2, nb).cast("bigint").alias("n2"),
+            col(n3, nb).cast("bigint").alias("n3"),
+            col(n4, nb).cast("bigint").alias("n4"),
+            col(n5, nb).cast("bigint").alias("n5"),
+            col(v1, nd).cast("double").alias("v1"),
+        )
+
+    parts = [
+        shape(q_token_stats(spark, sf_dir), "stats", n1="n_tokens",
+              n2="n_chars", n3="n_alpha", n4="n_digit", n5="n_punct",
+              v1="avg_token_len"),
+        shape(q_quality_scores(spark, sf_dir), "quality", v1="quality"),
+        shape(q_lang_id(spark, sf_dir), "lang", k1="lang_pred"),
+        shape(q_doc_fingerprints(spark, sf_dir), "fp", n1="fingerprint"),
+        shape(q_token_counts(spark, sf_dir), "counts", n1="n_ws_tokens",
+              n2="n_bpe_tokens"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -2347,21 +2593,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-9 rotation: the full 45-entry r8 tail is back in the window
-    # (front — its r7-green rows age out of the union this round, so
-    # in-window is mandatory), then the 5 new r9 queries (never checked)
-    # fill the window to exactly 50. Rotated out (all green in
-    # CORRECTNESS_r08; due back in r10): the r8 window MINUS the ten
-    # retired r1-era relational fillers (price_percentiles,
-    # order_priority_check, dormant_customers, large_orders,
-    # small_qty_revenue, topk_per_group, cust_running_total, sales_cube,
-    # priority_distinct, latest_events — all green in r08), which were
-    # FOLDED into the composed `relational_panel` entry this round
-    # (registry headroom under the 100-entry structural ceiling; every
-    # folded shape stays value-hash-proven as a panel section — see
-    # COVERAGE.md rotation note).
+    # Round-10 rotation: the 40-entry r9 tail (last green in
+    # CORRECTNESS_r08 — its rows age out of the union this round, so
+    # in-window is mandatory) re-enters the window MINUS eight retirements
+    # folded into composed panels this round (the relational_panel
+    # precedent): knn_join / knn_join_guarded / knn_join_pruned ->
+    # `knn_join_panel`, and token_stats / quality_scores / lang_id /
+    # doc_fingerprints / token_counts -> `text_panel` (every folded shape
+    # stays value-hash-proven per panel row). The 10 new r10 entries
+    # (never checked) follow — the seven staged r9-family promotions
+    # (bpe_merges, bpe_encode, dsir_weights, pca_vecs, pca_knn via the
+    # reduce-then-rerank path, pq_knn, kmeans_lloyd,
+    # tfidf_postings_pairs) plus the two panels — and 8 r9-green entries
+    # fill the window to exactly 50. Registry: 90 - 8 + 10 = 92.
     return {
-        # --- due back in the window (the 45-entry r8 tail) ---
+        # --- due back in the window (the r9 tail minus the 8 folded) ---
+        "mixture_sample": q_mixture_sample,
+        "cms_token_counts": q_cms_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "redacted_docs": q_redacted_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_docs": q_stratified_docs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "event_props": q_event_props,
+        "bcb_e2e": q_bcb_e2e,
+        "bcb_e2e_detailed": q_bcb_e2e_detailed,
+        "poj_e2e": q_poj_e2e,
+        "ivf_knn_quantized": q_ivf_knn_quantized,
+        "dup_groups_converged": q_dup_groups_converged,
+        "history_rejects": q_history_rejects,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
+        "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
+        "ann_recall": q_ann_recall,
+        "srp_verified_dups": q_srp_verified_dups,
+        "tpch_kpi": q_tpch_kpi,
+        "containment_asym": q_containment_asym,
+        "substring_dups": q_substring_dups,
+        "status_pivot": q_status_pivot,
+        # --- new in r10 (never checked — must be in-window) ---
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "dsir_weights": q_dsir_weights,
+        "pca_vecs": q_pca_vecs,
+        "pca_knn": q_pca_knn,
+        "pq_knn": q_pq_knn,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "tfidf_postings_pairs": q_tfidf_postings_pairs,
+        "knn_join_panel": q_knn_join_panel,
+        "text_panel": q_text_panel,
+        # --- r9-green fillers completing the window to 50 ---
         "lookup_join": q_lookup_join,
         "exact_dups": q_exact_dups,
         "bm25_topk": q_bm25_topk,
@@ -2370,6 +2660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r09; due back in r11) ---
         "media_features": q_media_features,
         "knn_topk": q_knn_topk,
         "knn_detailed": q_knn_detailed,
@@ -2407,54 +2699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_tokens": q_bloom_tokens,
         "novelty_scores": q_novelty_scores,
         "semantic_contamination": q_semantic_contamination,
-        # --- new in r9 (never checked — must be in-window) ---
         "relational_panel": q_relational_panel,
         "strip_runs": q_strip_runs,
         "strip_fixpoint": q_strip_fixpoint,
         "snapshot_diff": q_snapshot_diff,
         "ivf_delete_survivors": q_ivf_delete_survivors,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r08; due back in r10) ---
-        "mixture_sample": q_mixture_sample,
-        "cms_token_counts": q_cms_token_counts,
-        "doc_chunks": q_doc_chunks,
-        "redacted_docs": q_redacted_docs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_docs": q_stratified_docs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "event_props": q_event_props,
-        "bcb_e2e": q_bcb_e2e,
-        "bcb_e2e_detailed": q_bcb_e2e_detailed,
-        "poj_e2e": q_poj_e2e,
-        "ivf_knn_quantized": q_ivf_knn_quantized,
-        "dup_groups_converged": q_dup_groups_converged,
-        "history_rejects": q_history_rejects,
-        "knn_join_guarded": q_knn_join_guarded,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "shard_stats": q_shard_stats,
-        "packed_sequences": q_packed_sequences,
-        "dataset_split": q_dataset_split,
-        "quality_cutoff": q_quality_cutoff,
-        "leakage_split": q_leakage_split,
-        "zorder_keys": q_zorder_keys,
-        "knn_join_pruned": q_knn_join_pruned,
-        "ivf_knn": q_ivf_knn,
-        "doc_knn": q_doc_knn,
-        "ann_recall": q_ann_recall,
-        "knn_join": q_knn_join,
-        "srp_verified_dups": q_srp_verified_dups,
-        "tpch_kpi": q_tpch_kpi,
-        "containment_asym": q_containment_asym,
-        "substring_dups": q_substring_dups,
-        "status_pivot": q_status_pivot,
     }
 
 
@@ -2862,6 +3111,426 @@ SELECT cell, token, n, rank FROM (
 ) WHERE rank <= {CLUSTER_TOP_N}"""
 
 
+# ---------------------------------------------------------------------------
+# r10 oracle builders (BPE / DSIR / PCA / PQ / k-means / postings mining)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_ctes(num_merges: int) -> str:
+    """Every BPE training round statically unrolled (the kmeans/
+    strip_fixpoint precedent): round k elects the (count desc, left,
+    right) top pair of h{k-1} and applies it with the SAME sentinel
+    replace the engine uses — replace()'s left-to-right non-overlapping
+    scan IS the greedy merge order in both engines. MATERIALIZED: each
+    round references the previous twice (pair counts + application);
+    default CTE inlining would expand the chain exponentially."""
+    ctes = [
+        f"""h0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt,
+         '·' || array_to_string(list_append(string_split(word, ''), '</w>'), '··') || '·' AS rendered
+  FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+  WHERE NOT contains(word, '·')
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        prev = f"h{k - 1}"
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, string_split(trim(rendered, '·'), '··') AS syms FROM {prev}),
+       UNNEST(range(1, len(syms))) t(i)
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+h{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(rendered,
+                 '·' || (SELECT l FROM m{k}) || '··' || (SELECT r FROM m{k}) || '·',
+                 '·' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || '·') AS rendered
+  FROM {prev}
+)""")
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_sql() -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, l AS left, r AS right, c::BIGINT AS pair_count FROM m{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH\n" + _bpe_train_ctes(BPE_MERGES) + "\n" + sel
+
+
+def _bpe_encode_sql() -> str:
+    """Fully self-contained corpus encoding: the training rounds' CTEs
+    feed a per-token replace chain whose pattern/replacement come from
+    scalar subqueries on each round's elected pair (rank order = chain
+    order; left-to-right non-overlapping replace = greedy BPE)."""
+    # the merge table rides along as ONE row of plain columns (DuckDB
+    # forbids subqueries inside lambdas, so the pairs can't be scalar
+    # subqueries in the per-token transform — they're hoisted here and
+    # captured as outer-row columns instead)
+    mrg_cols = ", ".join(
+        f"(SELECT l FROM m{k}) AS l{k}, (SELECT r FROM m{k}) AS r{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    r = ("'·' || array_to_string(list_append(string_split(t, ''), '</w>'),"
+         " '··') || '·'")
+    for k in range(1, BPE_MERGES + 1):
+        r = (
+            f"replace({r}, "
+            f"'·' || l{k} || '··' || r{k} || '·', "
+            f"'·' || l{k} || r{k} || '·')"
+        )
+    return f"""WITH
+{_bpe_train_ctes(BPE_MERGES)},
+mrg AS MATERIALIZED (SELECT {mrg_cols})
+SELECT doc_id,
+       array_to_string(pieces_list, ' ') AS pieces,
+       n_tokens,
+       len(pieces_list)::BIGINT AS n_pieces
+FROM (
+  SELECT doc_id,
+         flatten(list_transform(
+           list_filter({_TOKENS}, t -> NOT contains(t, '·')),
+           t -> string_split(trim({r}, '·'), '··'))) AS pieces_list,
+         len({_TOKENS})::BIGINT AS n_tokens
+  FROM documents CROSS JOIN mrg
+)"""
+
+
+def _dsir_lm_ctes(tag: str, toks_src: str) -> str:
+    """One side's bigram-LM model CTEs (cbig/cuni/vocab) from a token
+    CTE — the bigram_lm_scores oracle doubled (tests/test_dsir.py)."""
+    return f"""b_{tag} AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM {toks_src} WHERE len(toks) >= 2
+  )
+),
+cbig_{tag} AS (SELECT w1, w2, count(*)::BIGINT AS c_big FROM b_{tag} GROUP BY 1, 2),
+cuni_{tag} AS (SELECT w1, sum(c_big)::BIGINT AS c_uni FROM cbig_{tag} GROUP BY 1),
+v_{tag} AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(toks) AS t FROM {toks_src})
+)"""
+
+
+def _dsir_weights_sql() -> str:
+    """Unabridged DSIR replay: raw-corpus bigrams scored under the
+    target-trained and raw-trained LMs, exact half-up micro-unit ratio
+    (BIGINT is exact here — the engine's DECIMAL numerator only matters
+    past ~4.6M bigrams/doc, far beyond the fixtures)."""
+    p6 = (
+        "round(1000000.0 * ((coalesce(m{t}.c_big, 0) + 1.0)"
+        " / (coalesce(u{t}.c_uni, 0) + v{t}.v)))::BIGINT"
+    )
+    return f"""WITH rawd AS (SELECT doc_id, text FROM documents),
+tgtd AS (SELECT doc_id, text FROM documents WHERE doc_id % {DSIR_TARGET_MOD} = 0),
+rt AS (SELECT doc_id, {_TOKENS} AS toks FROM rawd),
+tt AS (SELECT doc_id, {_TOKENS} AS toks FROM tgtd),
+{_dsir_lm_ctes('t', 'tt')},
+{_dsir_lm_ctes('r', 'rt')},
+sums AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n,
+         sum({p6.format(t='t')})::BIGINT AS s_t,
+         sum({p6.format(t='r')})::BIGINT AS s_r
+  FROM b_r b
+  LEFT JOIN cbig_t mt ON mt.w1 = b.w1 AND mt.w2 = b.w2
+  LEFT JOIN cuni_t ut ON ut.w1 = b.w1
+  CROSS JOIN v_t vt
+  LEFT JOIN cbig_r mr ON mr.w1 = b.w1 AND mr.w2 = b.w2
+  LEFT JOIN cuni_r ur ON ur.w1 = b.w1
+  CROSS JOIN v_r vr
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
+       coalesce((2 * s.s_t * 1000000 + s.s_r) // (2 * s.s_r), 0)::BIGINT AS weight6,
+       coalesce((2 * s.s_t * 1000000 + s.s_r) // (2 * s.s_r), 0) / 1000000.0 AS weight
+FROM rawd d LEFT JOIN sums s ON s.doc_id = d.doc_id"""
+
+
+_PCA_FIXTURE_CACHE: dict[str, tuple] = {}
+
+
+def _pca_fixture_model() -> tuple[list[float], list[list[float]], int]:
+    """Independent NumPy retrain of the PCA model over the $SF_DIR
+    embeddings parquet (the media_features fixture precedent): lowest-id
+    2048-row sample, covariance eigh largest-first, canonical signs,
+    1e-6 grid — the train_pca spec re-derived without Spark."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    cached = _PCA_FIXTURE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"pca oracle fixture needs {path} (SF_DIR={sf_dir!r})"
+        )
+    tbl = _pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = _np.asarray(tbl["vec_id"].to_pylist())
+    X = _np.asarray(tbl["embedding"].to_pylist(), dtype=_np.float64)
+    order = _np.argsort(ids, kind="stable")[:2048]  # lowest-id sample,
+    X = X[order]                                    # row order = Spark's
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    _evals, evecs = _np.linalg.eigh(Xc.T @ Xc)
+    comps = evecs[:, ::-1][:, :PCA_OUT_DIM].T
+    for c in comps:
+        j = int(_np.argmax(_np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+
+    def g(v: float) -> float:
+        return float(_np.round(v * 1e6) / 1e6)
+
+    model = (
+        [g(v) for v in mu],
+        [[g(v) for v in row] for row in comps],
+        int(X.shape[1]),
+    )
+    _PCA_FIXTURE_CACHE[sf_dir] = model
+    return model
+
+
+def _pca_arr(vals) -> str:
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]"
+
+
+def _pca_comps_sql() -> tuple[str, str]:
+    """(centered-expr, projection-list-expr) with baked model literals."""
+    mean, comps, dim = _pca_fixture_model()
+    center = (
+        f"list_transform(range(1, {dim + 1}),"
+        f" i -> embedding[i]::DOUBLE - ({_pca_arr(mean)})[i])"
+    )
+    proj = ", ".join(
+        f"round(list_dot_product(c, {_pca_arr(row)}), 6)" for row in comps
+    )
+    return center, proj
+
+
+def _pca_vecs_sql() -> str:
+    center, proj = _pca_comps_sql()
+    return f"""
+SELECT vec_id,
+       array_to_string(list_transform([{proj}], r -> round(r * 1e6)::BIGINT), ',') AS reduced_micro
+FROM (SELECT vec_id, {center} AS c FROM embeddings)"""
+
+
+def _pca_knn_sql() -> str:
+    """The reduce-then-rerank replay: baked-model projection on both
+    sides, reduced-space cosine over-fetch (k * overfetch, self excluded,
+    6dp-then-rank like every kNN oracle), exact full-dim rescore of the
+    survivors only."""
+    center, proj = _pca_comps_sql()
+    ko = KNN_K * PCA_OVERFETCH
+    return f"""
+WITH xr AS (
+  SELECT vec_id, [{proj}] AS r, v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {center} AS c FROM embeddings)
+),
+qr AS (SELECT vec_id AS query_id, r AS q, v AS qv FROM xr WHERE vec_id < {ANN_PROBES}),
+rs AS (
+  SELECT q.query_id, x.vec_id AS result_id,
+         round(list_dot_product(q.q, x.r) /
+               (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(x.r, x.r))), 6) AS rscore
+  FROM qr q CROSS JOIN xr x
+  WHERE x.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rscore DESC, result_id ASC) AS rnk
+    FROM rs) WHERE rnk <= {ko}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id,
+         round(list_dot_product(q.qv, x.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) AS score
+  FROM cand c JOIN qr q ON q.query_id = c.query_id
+  JOIN xr x ON x.vec_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored) WHERE rank <= {KNN_K}"""
+
+
+def _pq_knn_sql() -> str:
+    """PQ replay (tests/test_pq.py staged CTEs): iters=0 codebooks =
+    subvectors of the n_codes lowest-id vectors (fully SQL-derivable),
+    per-subspace nearest-code assignment (rounded-distance, code-asc
+    tie-break), integer ADC via the probe LUT, k*overfetch over-fetch,
+    exact cosine rescore."""
+    dsub = 64 // PQ_M
+    dist = (
+        "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
+        " + list_dot_product(cvec, cvec)"
+    )
+    return f"""
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT t.j, b.c, b.v[t.j * {dsub} + 1 : (t.j + 1) * {dsub}] AS cvec
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+    FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {PQ_CODES})
+  ) b CROSS JOIN range(0, {PQ_M}) t(j)
+),
+codes AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY round(d, 6) ASC, c ASC) AS rnk
+    FROM (
+      SELECT x.vec_id, cb.j, cb.c, {dist} AS d
+      FROM x CROSS JOIN cb
+      CROSS JOIN LATERAL (SELECT x.v[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}] AS sub) s
+    )
+  ) WHERE rnk = 1 GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {ANN_PROBES}),
+lut AS (
+  SELECT query_id, j, c,
+         round((list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)
+                + list_dot_product(cvec, cvec)) * 1e6)::BIGINT AS ldist6
+  FROM q CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT q.qv[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}] AS sub) s
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS result_id, sum(l.ldist6) AS adist6
+  FROM (SELECT vec_id, j, codes[j + 1] AS c
+        FROM codes CROSS JOIN range(0, {PQ_M}) t(j)) e
+  JOIN lut l ON l.j = e.j AND l.c = e.c
+  GROUP BY l.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist6 ASC, result_id ASC) AS rnk
+    FROM adc WHERE result_id <> query_id
+  ) WHERE rnk <= {KNN_K * PQ_OVERFETCH}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id,
+         round(list_dot_product(q.qv, x.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) AS score
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN x ON x.vec_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {KNN_K}"""
+
+
+_KM_COS = (
+    "round(list_dot_product({a}, {c}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({c}, {c}))), 6)"
+)
+
+_KM_MEAN6 = (
+    "(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n) "
+    "ELSE -((-2 * s + n) // (2 * n)) END) / 1000000.0"
+)
+
+
+def _km_assign_cte(cents: str, out: str) -> str:
+    cos = _KM_COS.format(a="x.v", c=f"{cents}.cv")
+    return f"""{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT x.vec_id, x.v, {cents}.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos} DESC, {cents}.cent_id ASC) AS rnk
+    FROM x CROSS JOIN {cents}
+  ) WHERE rnk = 1
+)"""
+
+
+def _km_update_ctes(a: str, prev: str, out: str, dim: int) -> str:
+    return f"""s_{out} AS (
+  SELECT cell, t.d, sum(round(1e6 * v[t.d])::BIGINT) AS s, count(*) AS n
+  FROM {a} CROSS JOIN range(1, {dim + 1}) t(d)
+  GROUP BY cell, t.d
+),
+{out} AS (
+  SELECT cell AS cent_id, list({_KM_MEAN6} ORDER BY d) AS cv
+  FROM s_{out} GROUP BY cell
+  UNION ALL
+  SELECT cent_id, cv FROM {prev}
+  WHERE cent_id NOT IN (SELECT DISTINCT cell FROM {a})
+)"""
+
+
+def _kmeans_sql(dim: int = 64) -> str:
+    """Every Lloyd round statically unrolled (tests/test_cluster.py):
+    lowest-id seeds, cosine assignment (6dp-then-rank, cent-asc ties),
+    exact micro-unit centroid means, empty cells keep their previous
+    centroid; final membership pass under the last bank."""
+    ctes = [
+        "x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM "
+        f"(SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {KMEANS_K}))",
+    ]
+    for r in range(1, KMEANS_ITERS + 1):
+        ctes.append(_km_assign_cte(f"c{r - 1}", f"a{r}"))
+        ctes.append(_km_update_ctes(f"a{r}", f"c{r - 1}", f"c{r}", dim))
+    ctes.append(_km_assign_cte(f"c{KMEANS_ITERS}", "afin"))
+    return f"""
+WITH {','.join(ctes)}
+SELECT c.cent_id,
+       array_to_string(list_transform(c.cv, x -> round(x * 1e6)::BIGINT), ',') AS cent_vec_micro,
+       coalesce(m.n_members, 0)::BIGINT AS n_members
+FROM c{KMEANS_ITERS} c LEFT JOIN (
+  SELECT cell, count(*) AS n_members FROM afin GROUP BY cell
+) m ON m.cell = c.cent_id"""
+
+
+def _tfidf_pairs_sql_for(df_min: int, threshold: float) -> str:
+    """Shared TF-IDF pair-mining oracle, parameterized by (df_min,
+    threshold): df-capped posting self-join, BIGINT fixed-point dot/norm
+    sums (order-independent), one double division at the end. For
+    df_min > 2 the norm excludes joinable-but-skipped 2..df_min-1-df
+    terms — the tfidf_pairs_from_postings exactness branch."""
+    sh3 = _shingles_sql(_TOKENS, MINHASH_SHINGLE)
+    norm_pred = f"WHERE df < 2 OR df >= {df_min}" if df_min > 2 else ""
+    return f"""
+WITH postings AS (
+  SELECT doc_id, h AS term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(list_transform({sh3}, s -> {_HASH60('s')})) AS h
+    FROM documents
+  ) GROUP BY doc_id, h
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+weighted AS (
+  SELECT p.doc_id, p.term, d.df,
+         round({float(TFIDF_W_SCALE)} * least(p.tf, {TFIDF_TF_CLAMP}) / (d.df + 1.0))::BIGINT AS w6
+  FROM postings p JOIN dfreq d USING (term)
+  WHERE d.df <= {TFIDF_DF_CAP}
+),
+norms AS (SELECT doc_id, sum(w6 * w6)::BIGINT AS norm2 FROM weighted {norm_pred} GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w6 * b.w6)::BIGINT AS dot
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.df >= {df_min}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT doc_a, doc_b,
+         round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+  FROM dots JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+) WHERE cosine >= {threshold}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.export import (
         _split_thresholds,
@@ -3128,35 +3797,13 @@ FROM (SELECT g.doc_id, g.group_id, q.quality
 
     # tfidf_cosine_pairs: df-capped posting self-join, BIGINT fixed-point
     # dot/norm sums (order-independent), one double division at the end —
-    # the exact plan tfidf_cosine_pairs builds
-    sql["tfidf_cosine_pairs"] = f"""
-WITH postings AS (
-  SELECT doc_id, h AS term, count(*)::BIGINT AS tf FROM (
-    SELECT doc_id, unnest(list_transform({sh3}, s -> {_HASH60('s')})) AS h
-    FROM documents
-  ) GROUP BY doc_id, h
-),
-dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
-weighted AS (
-  SELECT p.doc_id, p.term, d.df,
-         round({float(TFIDF_W_SCALE)} * least(p.tf, {TFIDF_TF_CLAMP}) / (d.df + 1.0))::BIGINT AS w6
-  FROM postings p JOIN dfreq d USING (term)
-  WHERE d.df <= {TFIDF_DF_CAP}
-),
-norms AS (SELECT doc_id, sum(w6 * w6)::BIGINT AS norm2 FROM weighted GROUP BY doc_id),
-dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w6 * b.w6)::BIGINT AS dot
-  FROM weighted a JOIN weighted b
-    ON a.term = b.term AND a.doc_id < b.doc_id
-  WHERE a.df >= {TFIDF_DF_MIN}
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, cosine FROM (
-  SELECT doc_a, doc_b,
-         round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
-  FROM dots JOIN norms na ON na.doc_id = doc_a
-            JOIN norms nb ON nb.doc_id = doc_b
-) WHERE cosine >= {TFIDF_COSINE}"""
+    # the exact plan tfidf_cosine_pairs builds. Shared (parameterized)
+    # with the r10 postings round-trip entry, which mines at df_min=3 /
+    # threshold=0.4 to exercise the norm-mass exactness branch.
+    sql["tfidf_cosine_pairs"] = _tfidf_pairs_sql_for(TFIDF_DF_MIN, TFIDF_COSINE)
+    sql["tfidf_postings_pairs"] = _tfidf_pairs_sql_for(
+        TFIDF_P_DF_MIN, TFIDF_P_COSINE
+    )
 
     # containment_dups: LSH candidates verified with asymmetric shingle
     # containment in both directions
@@ -4271,6 +4918,59 @@ FROM kept GROUP BY source"""
         "large_orders", "small_qty_revenue", "topk_per_group",
         "cust_running_total", "sales_cube", "priority_distinct",
         "latest_events",
+    ):
+        del sql[_retired]
+
+    # --- r10 promotions: the staged r9-family oracles ------------------
+    sql["bpe_merges"] = _bpe_merges_sql()
+    sql["bpe_encode"] = _bpe_encode_sql()
+    sql["dsir_weights"] = _dsir_weights_sql()
+    sql["pca_vecs"] = _pca_vecs_sql()
+    sql["pca_knn"] = _pca_knn_sql()
+    sql["pq_knn"] = _pq_knn_sql()
+    sql["kmeans_lloyd"] = _kmeans_sql()
+
+    # --- r10 fold: the three knn_join physical variants -> ONE panel ---
+    # All three are row-identical to the shared routing/scoring SQL by
+    # the sub-bucketing/persistence contracts (tests/test_knn.py), so the
+    # panel oracle is that SQL cross-joined with the section tags.
+    sql["knn_join_panel"] = f"""
+WITH base AS ({_ivf_sql(probe_pred="TRUE")}
+)
+SELECT s.section, b.query_id, b.result_id, b.score, b.rank
+FROM base b CROSS JOIN (VALUES ('plain'), ('guarded'), ('pruned')) s(section)"""
+    for _retired in ("knn_join", "knn_join_guarded", "knn_join_pruned"):
+        del sql[_retired]
+
+    # --- r10 fold: the five r1-era text singletons -> ONE panel --------
+    # Each retired entry's PROVEN oracle SQL is wrapped verbatim as a
+    # harmonized section (section, doc_id, k1, n1..n5, v1), exactly
+    # mirroring q_text_panel's re-selected Spark builders.
+    def _doc_section(section, body, k1="NULL", n1="NULL", n2="NULL",
+                     n3="NULL", n4="NULL", n5="NULL", v1="NULL"):
+        return (
+            f"SELECT '{section}' AS section,"
+            f" CAST(doc_id AS BIGINT) AS doc_id,"
+            f" CAST({k1} AS VARCHAR) AS k1,"
+            f" CAST({n1} AS BIGINT) AS n1, CAST({n2} AS BIGINT) AS n2,"
+            f" CAST({n3} AS BIGINT) AS n3, CAST({n4} AS BIGINT) AS n4,"
+            f" CAST({n5} AS BIGINT) AS n5, CAST({v1} AS DOUBLE) AS v1"
+            f"\nFROM ({body}\n)"
+        )
+
+    sql["text_panel"] = "\nUNION ALL\n".join([
+        _doc_section("stats", sql["token_stats"], n1="n_tokens",
+                     n2="n_chars", n3="n_alpha", n4="n_digit",
+                     n5="n_punct", v1="avg_token_len"),
+        _doc_section("quality", sql["quality_scores"], v1="quality"),
+        _doc_section("lang", sql["lang_id"], k1="lang_pred"),
+        _doc_section("fp", sql["doc_fingerprints"], n1="fingerprint"),
+        _doc_section("counts", sql["token_counts"], n1="n_ws_tokens",
+                     n2="n_bpe_tokens"),
+    ])
+    for _retired in (
+        "token_stats", "quality_scores", "lang_id", "doc_fingerprints",
+        "token_counts",
     ):
         del sql[_retired]
 

@@ -86,6 +86,17 @@ from .dimred import (  # noqa: F401
     pca_project,
     train_pca,
 )
+from .pq import (  # noqa: F401
+    pq_adc_topk,
+    pq_adc_topk_expr,
+    pq_assign,
+    pq_knn,
+    train_pq_codebooks,
+)
+from .cluster import (  # noqa: F401
+    kmeans_bank,
+    kmeans_lloyd,
+)
 from .dedup import (  # noqa: F401
     asym_containment_pairs,
     bottomk_sketch_postings,
