@@ -82,6 +82,10 @@ from .bpe import (  # noqa: F401
     word_histogram,
 )
 from .dimred import (  # noqa: F401
+    build_pca_ivf_index,
+    load_pca_model,
+    pca_ivf_knn,
+    pca_ivf_knn_persisted,
     pca_knn,
     pca_project,
     train_pca,

@@ -44,7 +44,15 @@ from pyspark.sql import functions as F
 
 from .knn import SCORE_DECIMALS, _ranked_topk, exact_knn_fast
 
-__all__ = ["train_pca", "pca_project", "pca_knn"]
+__all__ = [
+    "train_pca",
+    "pca_project",
+    "pca_knn",
+    "pca_ivf_knn",
+    "build_pca_ivf_index",
+    "load_pca_model",
+    "pca_ivf_knn_persisted",
+]
 
 
 def _grid6(x: float) -> float:
@@ -189,6 +197,25 @@ def pca_knn(
         vec_col="xr",
         exclude_self=exclude_self,
     ).select("query_id", "result_id")
+    return _fulldim_rerank(
+        cand, probes, index, k, query_id, query_vec, id_col, vec_col
+    )
+
+
+def _fulldim_rerank(
+    cand: DataFrame,
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact full-dimension cosine re-score of a (query_id, result_id)
+    candidate frame — the shared rerank tail of every reduced-space
+    candidate generator (pca_knn / pca_ivf_knn / the pq_knn contract):
+    only Q*k*overfetch rows join back to the float vectors."""
     qv = probes.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("qv"),
@@ -210,3 +237,197 @@ def pca_knn(
         )
     )
     return _ranked_topk(rescored, k)
+
+
+def pca_ivf_knn(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    out_dim: int = 16,
+    overfetch: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    model: tuple[list[float], list[list[float]]] | None = None,
+    sample: int = 2048,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
+    max_cell: int | None = None,
+    max_cell_probes: int | None = None,
+) -> DataFrame:
+    """The FAISS PCAR + IVF production composition (r9 verdict "What's
+    missing" #3): PCA-reduce BOTH sides under one corpus-trained basis,
+    candidate-generate with the partition-pruned IVF machinery IN THE
+    REDUCED SPACE (cells + routing + cogrouped matmul all pay
+    out_dim/dim arithmetic), then exact full-dim re-score of the
+    Q*k*overfetch survivors. Composes the pruned scan AND the reduced
+    arithmetic — at 100 TB each probe touches nprobe/n_centroids of the
+    corpus at out_dim/dim the arithmetic, and the full-dim vectors are
+    read for only the rerank join.
+
+    ``centroids`` forwards a caller-trained REDUCED-space bank (e.g.
+    ``cluster.kmeans_bank`` over the projected frame)."""
+    from .knn import ivf_knn_join
+
+    if model is None:
+        model = train_pca(
+            index, out_dim, sample=sample, id_col=id_col, vec_col=vec_col
+        )
+    mean, components = model
+    qr = pca_project(
+        probes.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("query_vec"),
+        ),
+        mean,
+        components,
+        vec_col="query_vec",
+        out_col="qr",
+    ).select("query_id", "qr")
+    xr = pca_project(
+        index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("v")),
+        mean,
+        components,
+        vec_col="v",
+        out_col="xr",
+    ).select("result_id", "xr")
+    cand = ivf_knn_join(
+        qr,
+        xr,
+        k * overfetch,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        query_id="query_id",
+        query_vec="qr",
+        id_col="result_id",
+        vec_col="xr",
+        exclude_self=exclude_self,
+        max_cell=max_cell,
+        max_cell_probes=max_cell_probes,
+        centroids=centroids,
+    ).select("query_id", "result_id")
+    return _fulldim_rerank(
+        cand, probes, index, k, query_id, query_vec, id_col, vec_col
+    )
+
+
+PCA_SIDECAR = "_pca"
+
+
+def build_pca_ivf_index(
+    index: DataFrame,
+    path: str,
+    out_dim: int = 16,
+    n_centroids: int = 16,
+    model: tuple[list[float], list[list[float]]] | None = None,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    centroids: tuple[list[list[float]], list[int]] | None = None,
+) -> tuple[list[float], list[list[float]]]:
+    """Persist the PCAR + IVF composition: the cell-partitioned index
+    holds REDUCED vectors (out_dim/dim the scan bytes and arithmetic of
+    the full-dim index), and the trained model lands at
+    ``{path}_pca`` so a later session can project probes without
+    retraining. Returns the model. The full-dim vectors stay in the
+    source table — the rerank join reads them by id (at 100 TB they
+    never leave cold storage in bulk, the pq_knn contract)."""
+    from .knn import build_ivf_index
+
+    if model is None:
+        model = train_pca(
+            index, out_dim, sample=sample, id_col=id_col, vec_col=vec_col
+        )
+    mean, components = model
+    red = pca_project(
+        index.select(F.col(id_col), F.col(vec_col)),
+        mean,
+        components,
+        vec_col=vec_col,
+        out_col="reduced",
+    ).select(id_col, "reduced")
+    build_ivf_index(
+        red,
+        path,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col="reduced",
+        mode=mode,
+        centroids=centroids,
+    )
+    spark = index.sparkSession
+    rows = [(-1, [float(v) for v in mean])] + [
+        (i, [float(v) for v in row]) for i, row in enumerate(components)
+    ]
+    spark.createDataFrame(
+        rows, "row_id long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + PCA_SIDECAR)
+    return model
+
+
+def load_pca_model(
+    spark, path: str
+) -> tuple[list[float], list[list[float]]]:
+    """Load a ``build_pca_ivf_index`` model sidecar: row_id -1 is the
+    mean, rows 0..out_dim-1 the components in variance order."""
+    rows = spark.read.parquet(path + PCA_SIDECAR).orderBy("row_id").collect()
+    mean = [float(v) for v in rows[0].vec]
+    components = [[float(v) for v in r.vec] for r in rows[1:]]
+    return mean, components
+
+
+def pca_ivf_knn_persisted(
+    spark,
+    path: str,
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    overfetch: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_cell: int | None = None,
+    max_cell_probes: int | None = None,
+) -> DataFrame:
+    """Search a persisted PCAR + IVF index: the stored model projects the
+    probes map-side, candidates come from the partition-pruned
+    reduced-space scan (``ivf_knn_join_persisted`` — stored bank routing,
+    pre-assigned cell partitions, cogrouped matmul at out_dim), and the
+    full-dim rerank joins the caller's source table by id."""
+    from .knn import ivf_knn_join_persisted
+
+    mean, components = load_pca_model(spark, path)
+    qr = pca_project(
+        probes.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("query_vec"),
+        ),
+        mean,
+        components,
+        vec_col="query_vec",
+        out_col="qr",
+    ).select("query_id", "qr")
+    cand = ivf_knn_join_persisted(
+        spark,
+        path,
+        qr,
+        k * overfetch,
+        nprobe=nprobe,
+        query_id="query_id",
+        query_vec="qr",
+        id_col=id_col,
+        vec_col="reduced",
+        exclude_self=exclude_self,
+        max_cell=max_cell,
+        max_cell_probes=max_cell_probes,
+    ).select("query_id", "result_id")
+    return _fulldim_rerank(
+        cand, probes, index, k, query_id, query_vec, id_col, vec_col
+    )

@@ -428,6 +428,7 @@ def _ivf_assign_route(
     vec_col: str,
     refine_iters: int,
     refine_sample: int,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared IVF front end: collect the (driver-small) centroid bank, bake
     it into ONE parsed SQL expression, and return the two map-side
@@ -440,10 +441,15 @@ def _ivf_assign_route(
 
     Both are pure projections (NO shuffle, NO window, NO driver round-trip
     for the data); only the ``n_centroids`` centroid vectors are collected.
+    ``centroids`` short-circuits the bank collection with a caller-trained
+    ``(cent_vecs, cent_ids)``.
     """
-    cent_vecs, cent_ids = _centroid_bank(
-        index, n_centroids, id_col, vec_col, refine_iters, refine_sample
-    )
+    if centroids is not None:
+        cent_vecs, cent_ids = centroids
+    else:
+        cent_vecs, cent_ids = _centroid_bank(
+            index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+        )
     assigned = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col)
     routed = _route_probes(probes, cent_vecs, cent_ids, nprobe, query_id, query_vec)
     return assigned, routed
@@ -600,9 +606,13 @@ def ivf_knn_join(
     max_cell: int | None = None,
     max_cell_probes: int | None = None,
     eager_guards: bool = True,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> DataFrame:
     """Probe-DISTRIBUTED IVF kNN: row-identical to ``ivf_knn`` at the same
-    parameters, with NO driver round-trip for the probes.
+    parameters, with NO driver round-trip for the probes. ``centroids``
+    forwards a caller-trained bank (e.g. ``cluster.kmeans_bank``, or one
+    reused across searches by a long-lived service) instead of the
+    lowest-id/bounded-refine default.
 
     ``ivf_knn`` ships the routed probe set in the UDF closure — the right
     shape for the reference's 500-probe benchmark protocol, but a hard
@@ -670,7 +680,7 @@ def ivf_knn_join(
     index = _spread_if_file_bound(index)
     assigned, routed = _ivf_assign_route(
         probes, index, n_centroids, nprobe, query_id, query_vec, id_col,
-        vec_col, refine_iters, refine_sample,
+        vec_col, refine_iters, refine_sample, centroids=centroids,
     )
     id_dt = dict(index.dtypes)[id_col]
     qid_dt = dict(probes.dtypes)[query_id]
@@ -843,6 +853,14 @@ def _score_with_cogroup(
     qid_np = (
         np.int64 if qid_dt in ("bigint", "int", "smallint", "tinyint") else object
     )
+    # COGROUP KEY TYPES MUST MATCH EXACTLY: routing produces BIGINT cells,
+    # but a persisted index's `cell` partition column reads back INT32 —
+    # and cogroup alignment hashes each side under its OWN type, silently
+    # splitting the same cell value into two never-joined groups (observed
+    # at 64 cells/50k rows: 26 of 64 cells misaligned -> probes of those
+    # cells returned NOTHING). Comparisons/joins coerce; cogroup does not.
+    routed = routed.withColumn("cell", F.col("cell").cast("bigint"))
+    assigned = assigned.withColumn("cell", F.col("cell").cast("bigint"))
     out_schema = f"query_id {qid_dt}, result_id {id_dt}, score double"
     empty = pd.DataFrame({"query_id": [], "result_id": [], "score": []})
 
@@ -929,6 +947,7 @@ def build_ivf_index(
     refine_sample: int = 2048,
     quantize: bool = False,
     mode: str = "overwrite",
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> None:
     """Persist the IVF index: cell assignment computed ONCE at ingest and
     written as a parquet PARTITION column, the batch analog of the
@@ -942,10 +961,18 @@ def build_ivf_index(
     ``quantize`` (int8 codes, ~4x smaller scan; dequantize is a map-side
     projection at load). The centroid bank lands at ``{path}_centroids`` so
     a later session can route probes without touching the data files.
+
+    ``centroids`` (opt-in): a caller-trained ``(cent_vecs, cent_ids)``
+    bank — e.g. ``cluster.kmeans_bank`` for FULL-CORPUS Lloyd refinement
+    instead of the default bounded-sample refine (``refine_iters``), or a
+    bank reused from a sibling index so two indexes share cell identity.
     """
-    cent_vecs, cent_ids = _centroid_bank(
-        index, n_centroids, id_col, vec_col, refine_iters, refine_sample
-    )
+    if centroids is not None:
+        cent_vecs, cent_ids = centroids
+    else:
+        cent_vecs, cent_ids = _centroid_bank(
+            index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+        )
     assigned = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col).select(
         F.col("result_id").alias(id_col), F.col("vec").alias(vec_col), "cell"
     )

@@ -176,3 +176,45 @@ def test_corpus_refine_beats_seed_bank(embeddings):
     assert distortion(ref_vecs) < distortion(seed_vecs)
     # cent_ids stay the seed vec_ids (cell-directory stability contract)
     assert ref_ids == sorted(ref_ids) == list(range(K))
+
+
+def test_kmeans_bank_threads_into_ivf_index(embeddings, tmp_path):
+    """r10 (r9 verdict item 7): `build_ivf_index(centroids=kmeans_bank)`
+    — full-corpus Lloyd centroids instead of the bounded-sample refine.
+    The stored bank must be the passed bank verbatim, and the persisted
+    search must be row-identical to the inline `ivf_knn_join` under the
+    same centroids (bank injection changes cell geometry, never the
+    scoring contract)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn_join,
+        ivf_knn_join_persisted,
+        load_centroid_bank,
+    )
+
+    spark = embeddings.sparkSession
+    bank = cluster.kmeans_bank(embeddings, n_centroids=K, iters=2)
+    path = str(tmp_path / "kmeans_ivf")
+    build_ivf_index(embeddings, path, n_centroids=K, centroids=bank)
+    cent_vecs, cent_ids = load_centroid_bank(spark, path)
+    assert (cent_vecs, cent_ids) == bank
+
+    probes = embeddings.limit(40).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    inline = sorted(
+        map(
+            tuple,
+            ivf_knn_join(
+                probes, embeddings, 5, n_centroids=K, nprobe=2, centroids=bank
+            ).collect(),
+        )
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            ivf_knn_join_persisted(spark, path, probes, 5, nprobe=2).collect(),
+        )
+    )
+    assert inline == persisted
+    assert len(inline) == 40 * 5

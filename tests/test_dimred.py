@@ -126,3 +126,62 @@ def test_model_values_on_micro_grid(model):
 def test_out_dim_exceeding_input_raises(embeddings):
     with pytest.raises(ValueError):
         dimred.train_pca(embeddings, 65)
+
+
+def test_pca_ivf_knn_recall_vs_exact(embeddings, model):
+    """The PCAR+IVF composition (r10): reduced-space IVF candidates +
+    full-dim rerank. Recall floor is looser than pca_knn's — the fixture
+    spectrum is near-flat AND nprobe/n_centroids prunes 12/16 of the
+    corpus — but must stay useful."""
+    probes = embeddings.limit(50).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    exact = {
+        (r.query_id, r.result_id)
+        for r in exact_knn(probes, embeddings, 10).collect()
+    }
+    approx = {
+        (r.query_id, r.result_id)
+        for r in dimred.pca_ivf_knn(
+            probes, embeddings, 10, out_dim=OUT_DIM, overfetch=16,
+            n_centroids=16, nprobe=4, model=model,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_pca_ivf_persisted_matches_inline(embeddings, model, tmp_path):
+    """build_pca_ivf_index + pca_ivf_knn_persisted == the inline
+    composition at identical parameters (same model, same lowest-id
+    reduced-space bank): the persisted path only changes the physical
+    strategy (stored bank + pre-assigned cell partitions), never a row."""
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "pca_ivf_index")
+    stored = dimred.build_pca_ivf_index(
+        embeddings, path, out_dim=OUT_DIM, n_centroids=16, model=model
+    )
+    assert stored == model
+    assert dimred.load_pca_model(spark, path) == model
+    probes = embeddings.limit(50).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    inline = sorted(
+        map(
+            tuple,
+            dimred.pca_ivf_knn(
+                probes, embeddings, 10, out_dim=OUT_DIM, overfetch=8,
+                n_centroids=16, nprobe=4, model=model,
+            ).collect(),
+        )
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            dimred.pca_ivf_knn_persisted(
+                spark, path, probes, embeddings, 10, overfetch=8, nprobe=4
+            ).collect(),
+        )
+    )
+    assert inline == persisted
+    assert len(inline) == 50 * 10

@@ -1063,3 +1063,50 @@ def test_incremental_refresh_lifecycle(spark, documents, tmp_path):
     hits = ivf_knn_persisted(spark, path, probes, k=5, nprobe=4).collect()
     v2_ids = {r.doc_id for r in v2.select("doc_id").collect()}
     assert hits and all(h.result_id in v2_ids for h in hits)
+
+
+def test_cogroup_cell_key_type_alignment_regression(spark, tmp_path):
+    """r10 regression: a persisted index's `cell` partition column reads
+    back INT32 while routing emits BIGINT cells — and cogroup alignment
+    hashes each side under its OWN type (murmur3 of int32 != murmur3 of
+    int64 for the same value), silently splitting one cell value into two
+    never-joined groups. AQE partition coalescing masks it at tiny scale
+    by collapsing both sides to one partition — the production-scale
+    failure (26 of 64 cells dropped at 50k rows) reproduces exactly by
+    disabling coalescing: 59/64 cells misalign pre-fix.
+    _score_with_cogroup must normalize both key types."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _score_with_cogroup,
+    )
+
+    path = str(tmp_path / "cell_idx")
+    spark.createDataFrame(
+        [(1000 + c * 10 + i, [1.0, float(c + i)], c)
+         for c in range(64) for i in range(3)],
+        "result_id long, vec array<double>, cell long",
+    ).write.partitionBy("cell").parquet(path)
+    assigned = spark.read.parquet(path).select(
+        "result_id", "vec", "cell"  # cell reads back INT32
+    )
+    assert dict(assigned.dtypes)["cell"] == "int"
+    routed = spark.createDataFrame(
+        [(c, [1.0, float(c)], c) for c in range(64)],
+        "query_id long, query_vec array<double>, cell long",
+    )
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out = _score_with_cogroup(
+            routed, assigned, k=2, exclude_self=True,
+            id_dt="bigint", qid_dt="bigint", index_block=8192,
+        )
+        per_q = {
+            r.query_id: r["count"]
+            for r in out.groupBy("query_id").count().collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    missing = 64 - len(per_q)
+    assert missing == 0, f"probes lost to cogroup key misalignment: {missing}"
+    assert all(v == 2 for v in per_q.values())

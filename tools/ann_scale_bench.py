@@ -118,6 +118,14 @@ def main() -> None:
         action="store_true",
         help="skip the (already-measured-losing) unpartitioned inline IVF",
     )
+    ap.add_argument("--pca", action="store_true",
+                    help="also build+time the PCAR+IVF composition")
+    ap.add_argument("--pca-dim", type=int, default=16)
+    ap.add_argument("--pca-overfetch", type=int, default=8)
+    ap.add_argument("--kmeans-centroids", action="store_true",
+                    help="also build an index under full-corpus Lloyd "
+                    "centroids (cluster.kmeans_bank) and receipt the "
+                    "recall/balance delta vs the sample-refined bank")
     ap.add_argument(
         "--sweep-nprobe",
         default="",
@@ -240,6 +248,83 @@ def main() -> None:
                                       nprobe=np_)
                 ),
             ),
+        }
+
+    # r10: the PCAR+IVF composition — reduced-space cells (out_dim/dim
+    # scan bytes + arithmetic) + full-dim rerank against the source table
+    if args.pca:
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dimred import (
+            build_pca_ivf_index,
+            pca_ivf_knn_persisted,
+        )
+
+        pca_path = f"{args.workdir}/ivf_pca"
+        t0 = time.monotonic()
+        build_pca_ivf_index(
+            raw, pca_path, out_dim=args.pca_dim, n_centroids=N_CLUSTERS
+        )
+        build_pca = round(time.monotonic() - t0, 1)
+
+        def pca_search():
+            return pca_ivf_knn_persisted(
+                spark, pca_path, probes, raw, args.k,
+                overfetch=args.pca_overfetch, nprobe=args.nprobe,
+            )
+
+        t, _ = timed(pca_search)
+        results["pca_ivf_persisted"] = {
+            "sec": t,
+            "recall": recall(exact_sets, topk_sets(pca_search())),
+            "build_sec": build_pca,
+            "out_dim": args.pca_dim,
+            "overfetch": args.pca_overfetch,
+            "index_mb": dir_mb(pca_path),
+            "f32_index_mb": dir_mb(f32_path),
+        }
+
+    # r10: full-corpus Lloyd centroids (cluster.kmeans_bank) threaded into
+    # build_ivf_index — recall + cell-balance delta vs the bounded-sample
+    # refine bank
+    if args.kmeans_centroids:
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.cluster import (
+            kmeans_bank,
+        )
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+            ivf_cell_stats,
+        )
+
+        km_path = f"{args.workdir}/ivf_kmeans"
+        t0 = time.monotonic()
+        bank = kmeans_bank(raw, n_centroids=N_CLUSTERS, iters=2)
+        train_sec = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        build_ivf_index(raw, km_path, n_centroids=N_CLUSTERS, centroids=bank)
+        build_km = round(time.monotonic() - t0, 1)
+
+        def cell_balance(path):
+            occ = [
+                int(r.n_members)
+                for r in ivf_cell_stats(spark.read.parquet(path)).collect()
+            ]
+            return round(max(occ) / (sum(occ) / len(occ)), 2)
+
+        t, _ = timed(
+            lambda: ivf_knn_persisted(spark, km_path, probes, k=args.k,
+                                      nprobe=args.nprobe)
+        )
+        results["ivf_kmeans_centroids"] = {
+            "sec": t,
+            "recall": recall(
+                exact_sets,
+                topk_sets(
+                    ivf_knn_persisted(spark, km_path, probes, k=args.k,
+                                      nprobe=args.nprobe)
+                ),
+            ),
+            "train_sec": train_sec,
+            "build_sec": build_km,
+            "max_over_mean_cell": cell_balance(km_path),
+            "sample_refine_max_over_mean_cell": cell_balance(f32_path),
         }
 
     # incremental maintenance: upsert a 1%-of-corpus batch (half new ids,
