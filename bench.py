@@ -309,6 +309,22 @@ def bench_queries(spark, sf_dir):
         ).filter(F.col("query_id") < BENCH_PROBES)
         return ops.pca_knn(probes, emb, k=10, out_dim=16)
 
+    def q_pca_ivf():
+        # r10: the PCAR+IVF composition — reduced-space partition-pruned
+        # candidates + full-dim rerank, same probe set as pca_knn
+        probes = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).filter(F.col("query_id") < BENCH_PROBES)
+        return ops.pca_ivf_knn(
+            probes, emb, k=10, out_dim=16, n_centroids=16, nprobe=4
+        )
+
+    def q_kmeans():
+        # r10: 3 full-corpus Lloyd rounds + membership pass (consuming the
+        # bank frame runs every round's two shuffles)
+        return ops.kmeans_lloyd(emb, n_centroids=8, iters=3)
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
         "quantized_rerank": q_quantized_rerank,
@@ -322,6 +338,8 @@ def bench_queries(spark, sf_dir):
         "bpe_train": q_bpe_train,
         "dsir_weights": q_dsir,
         "pca_knn": q_pca_knn,
+        "pca_ivf": q_pca_ivf,
+        "kmeans_lloyd": q_kmeans,
     }
 
     return {

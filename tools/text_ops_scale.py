@@ -208,19 +208,21 @@ def dsir_receipt(spark, sizes: list[int]) -> int:
     two model joins over the once-exploded raw bigrams — every stage a
     map-side-combined shuffle — so wall per doc must stay ~flat and every
     doc must come back weighted (n rows, no-bigram docs included)."""
-    print("| docs | dsir_weights (s) | s per 100k docs | rows |")
-    print("|---|---|---|---|")
+    print("| docs | dsir_weights (s) | s per 100k docs | broadcast (s) | rows |")
+    print("|---|---|---|---|---|")
     out_rows = []
     for n in sizes:
         docs = synth_docs(spark, n, hot=False).persist()
         n_total = docs.count()
         target = docs.filter(F.col("doc_id") % 20 == 0)
 
-        def weights_once():
+        def weights_once(broadcast=False):
             # consume the VALUES, not just cardinality: a bare count()
             # lets Catalyst prune the model joins and p6 arithmetic out
             # of the plan (measured sub-second at 500k — a non-receipt)
-            r = ops.dsir_weights(docs, target).agg(
+            r = ops.dsir_weights(
+                docs, target, broadcast_models=broadcast
+            ).agg(
                 F.count("*").alias("n"), F.sum("weight6").alias("s")
             ).collect()[0]
             assert int(r.s) > 0
@@ -228,8 +230,13 @@ def dsir_receipt(spark, sizes: list[int]) -> int:
 
         t, rows = timed(weights_once)
         assert rows == n_total, (rows, n_total)
-        print(f"| {n_total} | {t} | {round(t / (n_total / 1e5), 2)} | {rows} |")
-        out_rows.append({"docs": n, "dsir_s": t})
+        # r10: the bounded-vocab deployment's opt-in — both model frames
+        # broadcast, all four model joins become map-side
+        t_b, rows_b = timed(lambda: weights_once(broadcast=True))
+        assert rows_b == n_total, (rows_b, n_total)
+        print(f"| {n_total} | {t} | {round(t / (n_total / 1e5), 2)} | "
+              f"{t_b} | {rows} |")
+        out_rows.append({"docs": n, "dsir_s": t, "dsir_broadcast_s": t_b})
         docs.unpersist()
     print(json.dumps({"dsir": out_rows}))
     return 0
