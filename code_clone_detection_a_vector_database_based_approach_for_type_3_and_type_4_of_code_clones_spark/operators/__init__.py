@@ -91,10 +91,13 @@ from .dimred import (  # noqa: F401
     train_pca,
 )
 from .pq import (  # noqa: F401
+    build_pq_index,
+    load_pq_codebooks,
     pq_adc_topk,
     pq_adc_topk_expr,
     pq_assign,
     pq_knn,
+    pq_knn_persisted,
     train_pq_codebooks,
 )
 from .cluster import (  # noqa: F401

@@ -55,7 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .knn import SCORE_DECIMALS, _ranked_topk
+from .knn import SCORE_DECIMALS
 from ..functions.vector import round_half_up_np
 
 __all__ = [
@@ -64,6 +64,9 @@ __all__ = [
     "pq_adc_topk",
     "pq_adc_topk_expr",
     "pq_knn",
+    "build_pq_index",
+    "load_pq_codebooks",
+    "pq_knn_persisted",
 ]
 
 
@@ -449,24 +452,225 @@ def pq_knn(
         query_vec=query_vec,
         exclude_self=exclude_self,
     ).select("query_id", "result_id")
-    q = probes.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).cast("array<double>").alias("qv"),
+    from .dimred import _fulldim_rerank
+
+    return _fulldim_rerank(
+        cand, probes, index, k, query_id, query_vec, id_col, vec_col
     )
-    x = index.select(
-        F.col(id_col).alias("result_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+
+
+PQ_CODEBOOK_SIDECAR = "_pqcb"
+
+
+def build_pq_index(
+    index: DataFrame,
+    path: str,
+    m: int = 16,
+    n_codes: int = 32,
+    n_centroids: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    refine_iters: int = 0,
+    refine_sample: int = 2048,
+    mode: str = "overwrite",
+) -> list[list[list[float]]]:
+    """Persist the IVFPQ composition (Jégou et al. 2011, the FAISS
+    ``IVFx,PQy`` index): cells come from the full-dim IVF geometry (the
+    stored centroid bank routes probes exactly as ``build_ivf_index``),
+    and each row stores only its ``m`` PQ code bytes —
+    ``{path}/cell=<cent_id>/(vec_id, codes array<tinyint>)``. The scan
+    side of a search is nprobe/n_centroids of the corpus at m bytes per
+    row; the float vectors stay in the source table and are read only by
+    the rerank join (the pq_knn contract). Sidecars: the centroid bank at
+    ``{path}_centroids`` (shared format with build_ivf_index) and the
+    codebooks at ``{path}_pqcb``. Returns the codebooks.
+
+    ``centroids``/``codebooks`` inject caller-trained banks (e.g.
+    ``cluster.kmeans_bank`` / ``train_pq_codebooks(iters>0)``)."""
+    from .knn import (
+        _INDEX_ROWCOUNT_CACHE,
+        _assign_cells,
+        _centroid_bank,
+        _write_centroid_bank,
+        _write_rowcount_sidecar,
     )
-    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, v) -> a + v)"
-    nq = "sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"
-    nv = "sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"
-    rescored = (
-        cand.join(x, "result_id")
-        .join(q, "query_id")
-        .select(
-            "query_id",
-            "result_id",
-            F.expr(f"round({dot} / ({nq} * {nv}), {SCORE_DECIMALS})").alias("score"),
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            index, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+            sample=sample,
         )
+    if max(len(cb) for cb in codebooks) > 127:
+        raise ValueError("n_codes > 127 breaks the tinyint storage layout")
+    if centroids is not None:
+        cent_vecs, cent_ids = centroids
+    else:
+        cent_vecs, cent_ids = _centroid_bank(
+            index, n_centroids, id_col, vec_col, refine_iters, refine_sample
+        )
+    codes = pq_assign_pandas(index, codebooks, id_col=id_col, vec_col=vec_col)
+    cells = _assign_cells(index, cent_vecs, cent_ids, id_col, vec_col).select(
+        F.col("result_id").alias("vec_id"), "cell"
     )
-    return _ranked_topk(rescored, k)
+    # one build-time shuffle joins codes to cells; the repartition
+    # co-locates each cell before the write (the build_ivf_index rule:
+    # one compact file per cell, not P x C slivers)
+    rows = (
+        codes.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            F.transform("codes", lambda c: c.cast("tinyint")).alias("codes"),
+            "cell",
+        )
+        .repartition(F.col("cell"))
+    )
+    rows.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = index.sparkSession
+    n_rows = spark.read.parquet(path).count()
+    _write_centroid_bank(spark, path, cent_ids, cent_vecs, n_rows, mode)
+    _write_rowcount_sidecar(spark, path, n_rows)
+    _INDEX_ROWCOUNT_CACHE[path] = n_rows
+    cb_rows = [
+        (j, c, [float(v) for v in cv])
+        for j, cb in enumerate(codebooks)
+        for c, cv in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        cb_rows, "j int, c int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + PQ_CODEBOOK_SIDECAR)
+    return codebooks
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Load a ``build_pq_index`` codebook sidecar back into the
+    ``train_pq_codebooks`` shape (m x n_codes x dsub, position order)."""
+    rows = spark.read.parquet(path + PQ_CODEBOOK_SIDECAR).orderBy("j", "c").collect()
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r.j:
+            books.append([])
+        books[r.j].append([float(v) for v in r.vec])
+    return books
+
+
+def pq_knn_persisted(
+    spark,
+    path: str,
+    probes: DataFrame,
+    index: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    overfetch: int = 8,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a persisted IVFPQ index: probes route driver-side against
+    the stored bank (they are collected for the ADC LUTs anyway — the
+    pq_adc_topk/ivf_knn closure-probe contract), the scan reads ONLY the
+    routed cells' partitions (planning-time pruning on the `cell`
+    directory column) at m bytes per row, each probe ADC-scores ONLY its
+    own nprobe cells' members (the FAISS IVFPQ semantics, not a pruned
+    global scan), and the k*overfetch survivors re-score exactly against
+    the caller's full-dim source table. Output
+    ``(query_id, result_id, score, rank)``."""
+    from .dimred import _fulldim_rerank
+    from .knn import _load_centroid_bank
+
+    cent_vecs, cent_ids = _load_centroid_bank(spark, path)
+    codebooks = load_pq_codebooks(spark, path)
+    probes_pdf = probes.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    ).toPandas()
+    id_dt = dict(index.dtypes)[id_col]
+    qid_dt = dict(probes.dtypes)[query_id]
+    out_schema = f"query_id {qid_dt}, result_id {id_dt}, adist6 bigint"
+    if len(probes_pdf) == 0:
+        return spark.createDataFrame(
+            [], f"query_id {qid_dt}, result_id {id_dt}, score double, rank int"
+        )
+    # driver-side probe routing (cosine vs the stored bank, 6dp-then-rank
+    # with cent-id-asc ties — the _route_probes contract in NumPy)
+    C = np.asarray(cent_vecs, dtype=np.float64)  # (n_cells, d)
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in probes_pdf["query_vec"]]
+    )
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    sims = round_half_up_np(qn @ cn.T, SCORE_DECIMALS)  # (Q, n_cells)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    cell_ids = np.asarray(cent_ids, dtype=np.int64)
+    routed = cell_ids[order]  # (Q, nprobe)
+    qids, lut = _probe_lut(probes_pdf, codebooks)
+    m = lut.shape[1]
+    # per-cell probe membership for the kernel mask
+    probes_of_cell: dict[int, np.ndarray] = {}
+    for qi in range(len(qids)):
+        for cell in routed[qi]:
+            probes_of_cell.setdefault(int(cell), []).append(qi)
+    probes_of_cell = {c: np.asarray(v) for c, v in probes_of_cell.items()}
+    needed = sorted(probes_of_cell)
+
+    idx = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(c) for c in needed])
+    )
+
+    def score(batches):
+        ko = k * overfetch
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cell, grp in pdf.groupby("cell"):
+                qsel = probes_of_cell.get(int(cell))
+                if qsel is None or len(grp) == 0:
+                    continue
+                ids = grp["vec_id"].to_numpy()
+                cm = np.asarray(
+                    [np.asarray(c, dtype=np.int64) for c in grp["codes"]]
+                )
+                sub_lut = lut[qsel]  # (q, m, K)
+                adist = np.zeros((len(qsel), len(ids)), dtype=np.int64)
+                for j in range(m):
+                    adist += sub_lut[:, j, :][:, cm[:, j]]
+                comp = adist.astype(np.float64)
+                oid = np.argsort(ids, kind="stable")
+                idrank = np.empty(len(ids), dtype=np.float64)
+                idrank[oid] = np.arange(len(ids), dtype=np.float64)
+                comp = comp + idrank[None, :] / (2.0 * len(ids))
+                if exclude_self:
+                    comp = np.where(
+                        qids[qsel][:, None] == ids[None, :], np.inf, comp
+                    )
+                kk = min(ko, len(ids))
+                sel = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+                rows_q = np.repeat(qids[qsel], kk)
+                rows_id = ids[sel].ravel()
+                rows_d = np.take_along_axis(adist, sel, axis=1).ravel()
+                fin = np.isfinite(
+                    np.take_along_axis(comp, sel, axis=1).ravel()
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": rows_q[fin],
+                        "result_id": rows_id[fin],
+                        "adist6": rows_d[fin],
+                    }
+                )
+
+    cand_all = idx.select("vec_id", "codes", "cell").mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist6"), F.asc("result_id"))
+    cand = (
+        cand_all.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * overfetch)
+        .select("query_id", "result_id")
+    )
+    return _fulldim_rerank(
+        cand, probes, index, k, query_id, query_vec, id_col, vec_col
+    )

@@ -232,3 +232,64 @@ def test_pq_empty_probes(embeddings, books):
     codes = pq.pq_assign(embeddings, books)
     probes = _probes(embeddings).filter(F.col("query_id") < 0)
     assert pq.pq_adc_topk(probes, codes, books, KNN_K).count() == 0
+
+
+# ------------------------------------------------------------- IVFPQ (r10)
+
+
+def test_pq_persisted_all_cells_matches_inline(embeddings, books, tmp_path):
+    """With every cell probed (nprobe = n_centroids) the persisted IVFPQ
+    search scores exactly the pair set the inline pq_knn scores (cells
+    partition the corpus), so the rows must be IDENTICAL — the
+    ivf_knn_join_persisted equivalence precedent for the codes layout."""
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivfpq")
+    stored = pq.build_pq_index(
+        embeddings, path, m=M, n_codes=K, n_centroids=8, codebooks=books
+    )
+    assert stored == books
+    assert pq.load_pq_codebooks(spark, path) == books
+    probes = _probes(embeddings)
+    inline = sorted(map(tuple, pq.pq_knn(
+        probes, embeddings, KNN_K, codebooks=books, overfetch=OVERFETCH
+    ).collect()))
+    persisted = sorted(map(tuple, pq.pq_knn_persisted(
+        spark, path, probes, embeddings, KNN_K, nprobe=8, overfetch=OVERFETCH
+    ).collect()))
+    assert inline == persisted
+    assert len(inline) == 50 * KNN_K
+
+
+def test_pq_persisted_prunes_partitions_and_keeps_recall(
+    embeddings, books, tmp_path
+):
+    """nprobe < n_centroids: the codes scan must carry a planning-time
+    partition filter on `cell` (only the routed directories are read),
+    and the pruned search keeps useful recall vs exact."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        exact_knn,
+    )
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivfpq_pruned")
+    pq.build_pq_index(
+        embeddings, path, m=M, n_codes=K, n_centroids=8, codebooks=books
+    )
+    probes = _probes(embeddings)
+    out = pq.pq_knn_persisted(
+        spark, path, probes, embeddings, KNN_K, nprobe=3, overfetch=OVERFETCH
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    exact = {
+        (r.query_id, r.result_id)
+        for r in exact_knn(probes, embeddings, KNN_K).collect()
+    }
+    approx = {(r.query_id, r.result_id) for r in out.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # every probe comes back with a full k
+    import collections
+
+    per_q = collections.Counter(q for q, _ in approx)
+    assert len(per_q) == 50 and all(v == KNN_K for v in per_q.values())

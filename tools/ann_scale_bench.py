@@ -122,6 +122,11 @@ def main() -> None:
                     help="also build+time the PCAR+IVF composition")
     ap.add_argument("--pca-dim", type=int, default=16)
     ap.add_argument("--pca-overfetch", type=int, default=8)
+    ap.add_argument("--ivfpq", action="store_true",
+                    help="also build+time the persisted IVFPQ composition")
+    ap.add_argument("--pq-m", type=int, default=16)
+    ap.add_argument("--pq-codes", type=int, default=32)
+    ap.add_argument("--pq-overfetch", type=int, default=8)
     ap.add_argument("--kmeans-centroids", action="store_true",
                     help="also build an index under full-corpus Lloyd "
                     "centroids (cluster.kmeans_bank) and receipt the "
@@ -279,6 +284,50 @@ def main() -> None:
             "out_dim": args.pca_dim,
             "overfetch": args.pca_overfetch,
             "index_mb": dir_mb(pca_path),
+            "f32_index_mb": dir_mb(f32_path),
+        }
+
+    # r10: persisted IVFPQ — cell-pruned ADC over stored m-byte code rows
+    # + full-dim rerank against the source table
+    if args.ivfpq:
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.pq import (
+            build_pq_index,
+            pq_knn_persisted,
+        )
+
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.pq import (
+            train_pq_codebooks,
+        )
+
+        pq_path = f"{args.workdir}/ivfpq"
+        t0 = time.monotonic()
+        # refined codebooks + refined cell bank — the same training budget
+        # the f32 rows get (refine_iters=5 on an 8192 sample)
+        books = train_pq_codebooks(
+            raw, m=args.pq_m, n_codes=args.pq_codes, iters=5, sample=8192
+        )
+        build_pq_index(
+            raw, pq_path, m=args.pq_m, n_codes=args.pq_codes,
+            n_centroids=N_CLUSTERS, codebooks=books,
+            refine_iters=5, refine_sample=8192,
+        )
+        build_ivfpq = round(time.monotonic() - t0, 1)
+
+        def ivfpq_search():
+            return pq_knn_persisted(
+                spark, pq_path, probes, raw, args.k,
+                nprobe=args.nprobe, overfetch=args.pq_overfetch,
+            )
+
+        t, _ = timed(ivfpq_search)
+        results["ivfpq_persisted"] = {
+            "sec": t,
+            "recall": recall(exact_sets, topk_sets(ivfpq_search())),
+            "build_sec": build_ivfpq,
+            "m": args.pq_m,
+            "n_codes": args.pq_codes,
+            "overfetch": args.pq_overfetch,
+            "index_mb": dir_mb(pq_path),
             "f32_index_mb": dir_mb(f32_path),
         }
 
