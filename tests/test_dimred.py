@@ -185,3 +185,98 @@ def test_pca_ivf_persisted_matches_inline(embeddings, model, tmp_path):
     )
     assert inline == persisted
     assert len(inline) == 50 * 10
+
+
+def pca_ivf_sql(model, n_centroids: int = 16, nprobe: int = 4,
+                k: int = 10, overfetch: int = 8, dim: int = 64,
+                probe_pred: str = "vec_id < 50") -> str:
+    """STAGED r11 graded-entry oracle: the PCAR+IVF composition in full
+    ANSI SQL — baked-model projection of both sides, reduced-space IVF
+    (lowest-id reduced bank, 6dp-cosine routing/assignment with
+    cent-asc ties), per-probe candidates over own cells only, exact
+    full-dim rescore of the k*overfetch survivors."""
+    mean, components = model
+    mu = _arr(mean)
+    comps = ", ".join(
+        f"round(list_dot_product(c, {_arr(row)}), 6)" for row in components
+    )
+    cos = lambda a, b: (  # noqa: E731
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH xr AS (
+  SELECT vec_id, [{comps}] AS r, v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(range(1, {dim + 1}),
+                          i -> embedding[i]::DOUBLE - ({mu})[i]) AS c
+    FROM embeddings)
+),
+cents AS (SELECT vec_id AS cent_id, r AS cv FROM xr ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id AS result_id, r, cell FROM (
+    SELECT x.vec_id, x.r, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos('x.r', 'c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM xr x CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+qx AS (SELECT vec_id AS query_id, r AS qr, v AS qv FROM xr WHERE {probe_pred}),
+routed AS (
+  SELECT query_id, qr, cell FROM (
+    SELECT q.query_id, q.qr, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos('q.qr', 'c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM qx q CROSS JOIN cents c
+  ) WHERE rnk <= {nprobe}
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rs DESC, result_id ASC) AS rnk
+    FROM (
+      SELECT r.query_id, a.result_id, {cos('r.qr', 'a.r')} AS rs
+      FROM routed r JOIN assigned a ON a.cell = r.cell
+      WHERE a.result_id <> r.query_id
+    )
+  ) WHERE rnk <= {k * overfetch}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id, {cos('q.qv', 'x.v')} AS score
+  FROM cand c JOIN qx q ON q.query_id = c.query_id
+  JOIN xr x ON x.vec_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored) WHERE rank <= {k}"""
+
+
+def test_pca_ivf_matches_duckdb_replay(embeddings, model, sf_dir):
+    """The staged r11 differential: pca_ivf_knn vs the full-SQL replay."""
+    import duckdb
+
+    probes = embeddings.filter("vec_id < 50").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    got = sorted(
+        map(
+            tuple,
+            dimred.pca_ivf_knn(
+                probes, embeddings, 10, out_dim=OUT_DIM, overfetch=8,
+                n_centroids=16, nprobe=4, model=model,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), float(c), int(d))
+        for a, b, c, d in con.execute(pca_ivf_sql(model)).fetchall()
+    )
+    assert got == want
+    assert len(got) == 50 * 10

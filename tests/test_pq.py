@@ -293,3 +293,89 @@ def test_pq_persisted_prunes_partitions_and_keeps_recall(
 
     per_q = collections.Counter(q for q, _ in approx)
     assert len(per_q) == 50 and all(v == KNN_K for v in per_q.values())
+
+
+def ivfpq_sql(n_centroids: int = 8, nprobe: int = 8, k: int = KNN_K,
+              overfetch: int = OVERFETCH,
+              probe_pred: str = "vec_id < 50") -> str:
+    """STAGED r11 graded-entry oracle: the persisted IVFPQ composition in
+    full ANSI SQL — iters=0 codebooks + codes (the PQ_CTES replay),
+    full-dim lowest-id cell bank, 6dp-cosine routing/assignment with
+    cent-asc ties, per-probe ADC over own cells only, exact full-dim
+    rescore of the k*overfetch survivors."""
+    cos = lambda a, b: (  # noqa: E731
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH {PQ_ADC_CTES.replace("WHERE vec_id < 50", f"WHERE {probe_pred}")},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM x ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id AS result_id, cell FROM (
+    SELECT x.vec_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos('x.v', 'c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM x CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM q CROSS JOIN cents c
+  ) WHERE rnk <= {nprobe}
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT a.query_id, a.result_id,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY a.adist6 ASC, a.result_id ASC) AS rnk
+    FROM adc a
+    JOIN assigned m ON m.result_id = a.result_id
+    JOIN routed r ON r.query_id = a.query_id AND r.cell = m.cell
+    WHERE a.result_id <> a.query_id
+  ) WHERE rnk <= {k * overfetch}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id, {cos('q.qv', 'x.v')} AS score
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN x ON x.vec_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored) WHERE rank <= {k}"""
+
+
+def test_ivfpq_persisted_matches_duckdb_replay(
+    embeddings, books, sf_dir, tmp_path
+):
+    """The staged r11 differential: build_pq_index + pq_knn_persisted vs
+    the full-SQL replay at iters=0 codebooks, pruned nprobe < n_cells."""
+    import duckdb
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivfpq_oracle")
+    pq.build_pq_index(
+        embeddings, path, m=M, n_codes=K, n_centroids=8, codebooks=books
+    )
+    probes = _probes(embeddings)
+    got = sorted(
+        map(
+            tuple,
+            pq.pq_knn_persisted(
+                spark, path, probes, embeddings, KNN_K,
+                nprobe=3, overfetch=OVERFETCH,
+            ).collect(),
+        )
+    )
+    con = _con(sf_dir)
+    want = sorted(
+        (int(a), int(b), float(c), int(d))
+        for a, b, c, d in con.execute(
+            ivfpq_sql(n_centroids=8, nprobe=3)
+        ).fetchall()
+    )
+    assert got == want
