@@ -1133,8 +1133,8 @@ def upsert_ivf_index(
     assigned = _assign_cells(new_vectors, cent_vecs, cent_ids, id_col, vec_col).select(
         F.col("result_id").alias(id_col), F.col("vec").alias(vec_col), "cell"
     )
-    quantized = "q" in dict(spark.read.parquet(path).dtypes)
-    if quantized:
+    stored_dtypes = dict(spark.read.parquet(path).dtypes)
+    if "q" in stored_dtypes:
         from ..functions.vector import quantize_int8
 
         qd = quantize_int8(F.col(vec_col))
@@ -1143,6 +1143,22 @@ def upsert_ivf_index(
             qd["scale"].cast("float").alias("scale"),
             F.transform(qd["q"], lambda x: x.cast("tinyint")).alias("q"),
             "cell",
+        )
+    elif "codes" in stored_dtypes:
+        # IVFPQ layout (build_pq_index): re-encode the batch under the
+        # STORED codebooks — like the stored bank, they never retrain on
+        # upsert, so existing code rows stay comparable
+        from .pq import load_pq_codebooks, pq_assign_pandas
+
+        books = load_pq_codebooks(spark, path)
+        codes = pq_assign_pandas(
+            new_vectors, books, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col("vec_id").alias(id_col),
+            F.transform("codes", lambda c: c.cast("tinyint")).alias("codes"),
+        )
+        assigned = assigned.select(id_col, "cell").join(codes, id_col).select(
+            id_col, "codes", "cell"
         )
     # bounded by n_centroids, so the collect is driver-small by construction
     affected = {

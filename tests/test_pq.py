@@ -379,3 +379,65 @@ def test_ivfpq_persisted_matches_duckdb_replay(
         ).fetchall()
     )
     assert got == want
+
+
+def test_ivfpq_upsert_and_delete_maintenance(embeddings, books, tmp_path):
+    """r10: the maintenance triangle closes for the codes layout too —
+    upsert_ivf_index detects the IVFPQ schema and re-encodes the batch
+    under the STORED codebooks (replace + insert, affected-cells-only
+    rewrite); delete_from_ivf_index is schema-agnostic. Witness: after
+    upsert + delete the table equals a from-scratch build over the
+    updated corpus under the SAME codebooks and bank."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        delete_from_ivf_index,
+        load_centroid_bank,
+        upsert_ivf_index,
+    )
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivfpq_maint")
+    pq.build_pq_index(
+        embeddings, path, m=M, n_codes=K, n_centroids=8, codebooks=books
+    )
+    bank = load_centroid_bank(spark, path)
+
+    # batch: replace [100, 150) with REVERSED vectors, insert [10000, 10050)
+    repl = embeddings.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+    ).select("vec_id", F.reverse("embedding").alias("embedding"))
+    ins = embeddings.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    upsert_ivf_index(repl.unionByName(ins), path)
+    deleted = delete_from_ivf_index(
+        spark, path, spark.range(200, 250).select(F.col("id").alias("vec_id"))
+    )
+    assert deleted  # the planted ids existed
+
+    got = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+    # from-scratch reference over the updated corpus, same codebooks+bank
+    updated = (
+        embeddings.filter(
+            (F.col("vec_id") < 100)
+            | ((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+            | (F.col("vec_id") >= 250)
+        )
+        .select("vec_id", "embedding")
+        .unionByName(repl)
+        .unionByName(ins)
+    )
+    ref_path = str(tmp_path / "ivfpq_ref")
+    pq.build_pq_index(
+        updated, ref_path, m=M, n_codes=K, n_centroids=8,
+        codebooks=books, centroids=bank,
+    )
+    want = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in spark.read.parquet(ref_path).collect()
+    }
+    assert got == want
