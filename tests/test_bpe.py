@@ -346,3 +346,51 @@ def test_property_train_and_encode_match_python_oracle(texts, n):
     enc = {r.doc_id: list(r.pieces) for r in bpe.apply_bpe(docs, merges).collect()}
     for i, t in enumerate(texts):
         assert enc[i] == [p for w in _py_tokens(t) for p in _py_encode(w, ranked)]
+
+
+def bpe_vocab_sql(src_sql: str, num_merges: int = MERGES) -> str:
+    """STAGED r11 graded-entry oracle: the piece vocabulary from the
+    final training segmentation (h{num_merges}'s rendered column) —
+    per-piece word-type count and corpus frequency."""
+    ctes = [
+        f"""h0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt,
+         '·' || array_to_string(list_append(string_split(word, ''), '</w>'), '··') || '·' AS rendered
+  FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM ({src_sql}))
+  WHERE NOT contains(word, '·')
+  GROUP BY word
+)"""
+    ]
+    ctes += [_bpe_round_sql(f"h{k - 1}", k) for k in range(1, num_merges + 1)]
+    return (
+        "WITH\n" + ",\n".join(ctes) + f"""
+SELECT piece, count(DISTINCT word)::BIGINT AS n_words,
+       sum(cnt)::BIGINT AS total_cnt
+FROM (SELECT word, cnt,
+             unnest(string_split(trim(rendered, '·'), '··')) AS piece
+      FROM h{num_merges})
+GROUP BY piece"""
+    )
+
+
+def test_vocab_matches_duckdb_replay(documents, trained, sf_dir):
+    """The staged r11 differential: bpe_vocab over the trained histogram
+    vs the unrolled-SQL final segmentation."""
+    import duckdb
+
+    _, rep = trained
+    got = {
+        r.piece: (int(r.n_words), int(r.total_cnt))
+        for r in bpe.bpe_vocab(rep["histogram"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        p: (int(nw), int(tc))
+        for p, nw, tc in con.execute(
+            bpe_vocab_sql("SELECT text FROM documents", MERGES)
+        ).fetchall()
+    }
+    assert got == want

@@ -182,3 +182,40 @@ def test_w6_expr_survives_4_6m_bigram_scale(spark):
         F.expr(_W6_EXPR).alias("w6")
     ).collect()[0]
     assert row.w6 == 1_250_000  # ratio 1.25 in micro-units, exactly
+
+
+def dsir_select_sql(raw_sql: str, target_sql: str,
+                    keep_frac: float = 0.25) -> str:
+    """STAGED r11 graded-entry oracle: the selection leg — exact type-7
+    percentile cut on the integer micro-unit weights (quantile_cont is
+    Spark percentile's DuckDB twin, the quality_cutoff precedent),
+    boundary ties kept, survivors re-joined to the full doc rows."""
+    return f"""WITH w AS ({dsir_sql(raw_sql, target_sql)}),
+t AS (SELECT quantile_cont(weight6, {1.0 - keep_frac}) AS thr FROM w)
+SELECT d.*, w.weight FROM ({raw_sql}) d JOIN w ON w.doc_id = d.doc_id, t
+WHERE w.weight6 >= t.thr"""
+
+
+def test_select_matches_duckdb_replay(documents, sf_dir):
+    """The staged r11 differential: dsir_select vs the full-SQL replay
+    (weights + percentile threshold + tie-keeping filter + doc join)."""
+    target = documents.filter("doc_id % 5 = 0")
+    got = sorted(
+        (r.doc_id, r.text, r.weight)
+        for r in dsir_select(documents, target, keep_frac=0.25).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(r[0]), r[1], float(r[-1]))
+        for r in con.execute(
+            dsir_select_sql(
+                "SELECT doc_id, text FROM documents",
+                "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < documents.count()
