@@ -82,8 +82,47 @@ CHAIN_STRIDE = 100  # dup_groups_converged: one >3-diameter chain per stride
 CHAIN_LEN = 21  # chain diameter 20 — far beyond the fixed-3-round form
 
 
+_QUERY_SF_DIRS: set[str] = set()  # every scale dir queries() has loaded from
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _QUERY_SF_DIRS.add(os.path.realpath(sf_dir))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_sf_dir(what: str) -> str:
+    """Scale dir for python-side oracle fixtures (media_features / pca).
+    oracle_sql() takes no arguments, so the scale is threaded two ways
+    (r10 advisory — no more silent reliance on an implicit env default):
+
+    - $SF_DIR set: use it, but CROSS-CHECK against every sf_dir the Spark
+      builders actually loaded from in this process — a driver/oracle
+      scale disagreement raises loudly instead of silently baking
+      literals from the wrong fixture.
+    - $SF_DIR unset: inherit the ONE scale dir the Spark builders used
+      (consistent by construction); ambiguous multi-scale processes
+      raise; a standalone oracle build falls back to the driver's
+      correctness scale (sf0.01)."""
+    env = os.environ.get("SF_DIR")
+    if env is not None:
+        resolved = os.path.realpath(env)
+        if _QUERY_SF_DIRS and resolved not in _QUERY_SF_DIRS:
+            raise RuntimeError(
+                f"{what} oracle fixture scale mismatch: SF_DIR resolves to "
+                f"{resolved!r} but the Spark queries in this process read "
+                f"from {sorted(_QUERY_SF_DIRS)!r} — set SF_DIR to the "
+                "driver's sf_dir so the baked literals match the fixture"
+            )
+        return env
+    if len(_QUERY_SF_DIRS) == 1:
+        return next(iter(_QUERY_SF_DIRS))
+    if len(_QUERY_SF_DIRS) > 1:
+        raise RuntimeError(
+            f"{what} oracle fixture scale ambiguous: queries ran against "
+            f"{sorted(_QUERY_SF_DIRS)!r} in this process and SF_DIR is "
+            "unset — export SF_DIR to pick the graded scale"
+        )
+    return "/root/testdata/sf0.01"
 
 
 # ---------------------------------------------------------------------------
@@ -2361,11 +2400,25 @@ _PCA_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 def _bpe_merges(spark, sf_dir) -> DataFrame:
     """Session-scoped trained merge table (train_bpe's driver-side merge
     loop is eager by design — the dup_groups/corpus_prep exception class —
-    so both BPE entries and the bench share ONE training run)."""
+    so both BPE entries and the bench share ONE training run). The oracle
+    statically unrolls exactly BPE_MERGES rounds, but train_bpe(min_count)
+    stops early when the top pair count falls below the floor — assert the
+    fixture sustains every round so corpus drift surfaces as a loud
+    engine-side error, not an opaque oracle mismatch (r10 advisory)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     m = _BPE_MERGES_CACHE.get(key)
     if m is None:
-        m = ops.train_bpe(_t(spark, sf_dir, "documents"), num_merges=BPE_MERGES)
+        report: dict = {}
+        m = ops.train_bpe(
+            _t(spark, sf_dir, "documents"), num_merges=BPE_MERGES, report=report
+        )
+        if report["rounds"] != BPE_MERGES:
+            raise RuntimeError(
+                f"bpe fixture drift: train_bpe converged after "
+                f"{report['rounds']} rounds but the static SQL oracle "
+                f"unrolls {BPE_MERGES} ({sf_dir!r} no longer sustains "
+                "them — retune BPE_MERGES or min_count)"
+            )
         _BPE_MERGES_CACHE[key] = m
     return m
 
@@ -2412,6 +2465,29 @@ def q_bpe_encode(spark, sf_dir):
     replace-chain whose pattern/replacement come from scalar subqueries on
     each round's elected pair."""
     docs = _t(spark, sf_dir, "documents")
+    # fixture contract, checked lazily but LOUDLY: apply_bpe encodes every
+    # token (its Python merge walk handles the sentinel fine) while the
+    # SQL oracle's replace-chain rendering cannot represent tokens that
+    # contain the sentinel itself — so this entry is only graded on
+    # sentinel-free corpora. A future fixture with a '·' raises here at
+    # execution instead of surfacing as an opaque hash mismatch (r10
+    # advisory). raise_error stays inside the plan because text feeds the
+    # encoder, so Catalyst cannot prune the guard.
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").contains(ops.BPE_SEP),
+            F.raise_error(
+                F.lit(
+                    "bpe_encode fixture drift: sentinel '·' (U+00B7) "
+                    "found in documents.text — the SQL oracle cannot "
+                    "replay sentinel tokens (operators/bpe.py contract)"
+                )
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     enc = ops.apply_bpe(docs, _bpe_merges(spark, sf_dir))
     return enc.select(
         "doc_id",
@@ -2971,7 +3047,7 @@ def _media_features_fixture_sql() -> str:
         fake_feature,
     )
 
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = _fixture_sf_dir("media_features")
     path = f"{sf_dir}/documents.parquet"
     if not os.path.exists(path):
         raise FileNotFoundError(
@@ -3262,7 +3338,7 @@ def _pca_fixture_model() -> tuple[list[float], list[list[float]], int]:
     import numpy as _np
     import pyarrow.parquet as _pq
 
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = _fixture_sf_dir("pca")
     cached = _PCA_FIXTURE_CACHE.get(sf_dir)
     if cached is not None:
         return cached

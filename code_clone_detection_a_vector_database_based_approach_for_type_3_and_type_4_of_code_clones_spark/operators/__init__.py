@@ -76,8 +76,10 @@ from .lm import (  # noqa: F401
     train_bigram_lm,
 )
 from .bpe import (  # noqa: F401
+    SEP as BPE_SEP,
     apply_bpe,
     apply_bpe_expr,
+    bpe_vocab,
     train_bpe,
     word_histogram,
 )

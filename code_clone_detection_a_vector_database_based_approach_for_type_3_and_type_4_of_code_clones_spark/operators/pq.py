@@ -307,32 +307,33 @@ def pq_adc_topk(
             cm = np.asarray(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )  # (B, m)
+            # id-ascending column order ONCE, so a stable sort on the pure
+            # int64 adist matrix realizes the (adist asc, id asc) contract
+            # exactly — no float composite whose id fraction a >2^52 adist
+            # would absorb (r10 advisory)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            cm = cm[order]
             # (Q, B) integer ADC totals: gather each subspace's column
             adist = np.zeros((len(qids), len(ids)), dtype=np.int64)
             for j in range(m):
                 adist += lut[:, j, :][:, cm[:, j]]
-            if exclude_self:
-                self_mask = qids[:, None] == ids[None, :]
-            kk = min(k, len(ids))
-            # local top-k per query, (adist asc, id asc): argsort on the
-            # composite is safe because adist6 is integral — bias by the
-            # fractional id rank
-            order = np.argsort(ids, kind="stable")
-            idrank = np.empty(len(ids), dtype=np.float64)
-            idrank[order] = np.arange(len(ids), dtype=np.float64)
-            comp = adist.astype(np.float64) + idrank[None, :] / (2.0 * len(ids))
-            if exclude_self:
-                comp = np.where(self_mask, np.inf, comp)
-            sel = np.argpartition(comp, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+            # over-select one extra column when the self row may need
+            # dropping; extra local candidates never change the global
+            # (adist6, result_id) window top-k
+            kk = min(k + (1 if exclude_self else 0), len(ids))
+            sel = np.argsort(adist, axis=1, kind="stable")[:, :kk]  # (Q, kk)
             rows_q = np.repeat(qids, kk)
             rows_id = ids[sel].ravel()
             rows_d = np.take_along_axis(adist, sel, axis=1).ravel()
-            fin = np.isfinite(np.take_along_axis(comp, sel, axis=1).ravel())
+            if exclude_self:
+                keep = rows_q != rows_id
+                rows_q, rows_id, rows_d = rows_q[keep], rows_id[keep], rows_d[keep]
             yield pd.DataFrame(
                 {
-                    "query_id": rows_q[fin],
-                    "result_id": rows_id[fin],
-                    "adist6": rows_d[fin],
+                    "query_id": rows_q,
+                    "result_id": rows_id,
+                    "adist6": rows_d,
                 }
             )
 
@@ -633,32 +634,32 @@ def pq_knn_persisted(
                 cm = np.asarray(
                     [np.asarray(c, dtype=np.int64) for c in grp["codes"]]
                 )
+                # id-ascending columns + stable int argsort = exact
+                # (adist asc, id asc) local top-k (see pq_adc_topk note;
+                # r10 advisory: the old float composite lost its id
+                # fraction once adist6 exceeded ~2^52)
+                oid = np.argsort(ids, kind="stable")
+                ids = ids[oid]
+                cm = cm[oid]
                 sub_lut = lut[qsel]  # (q, m, K)
                 adist = np.zeros((len(qsel), len(ids)), dtype=np.int64)
                 for j in range(m):
                     adist += sub_lut[:, j, :][:, cm[:, j]]
-                comp = adist.astype(np.float64)
-                oid = np.argsort(ids, kind="stable")
-                idrank = np.empty(len(ids), dtype=np.float64)
-                idrank[oid] = np.arange(len(ids), dtype=np.float64)
-                comp = comp + idrank[None, :] / (2.0 * len(ids))
-                if exclude_self:
-                    comp = np.where(
-                        qids[qsel][:, None] == ids[None, :], np.inf, comp
-                    )
-                kk = min(ko, len(ids))
-                sel = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+                kk = min(ko + (1 if exclude_self else 0), len(ids))
+                sel = np.argsort(adist, axis=1, kind="stable")[:, :kk]
                 rows_q = np.repeat(qids[qsel], kk)
                 rows_id = ids[sel].ravel()
                 rows_d = np.take_along_axis(adist, sel, axis=1).ravel()
-                fin = np.isfinite(
-                    np.take_along_axis(comp, sel, axis=1).ravel()
-                )
+                if exclude_self:
+                    keep = rows_q != rows_id
+                    rows_q = rows_q[keep]
+                    rows_id = rows_id[keep]
+                    rows_d = rows_d[keep]
                 yield pd.DataFrame(
                     {
-                        "query_id": rows_q[fin],
-                        "result_id": rows_id[fin],
-                        "adist6": rows_d[fin],
+                        "query_id": rows_q,
+                        "result_id": rows_id,
+                        "adist6": rows_d,
                     }
                 )
 

@@ -156,6 +156,31 @@ def test_pq_adc_closure_matches_expression_twin(embeddings, books):
     assert len(fast) == 50 * KNN_K
 
 
+def test_adc_tiebreak_exact_beyond_2pow52(spark):
+    """r11 (r10 advisory): the (adist asc, id asc) contract must hold even
+    when adist6 exceeds 2^52. The old kernel broke ADC ties by adding a
+    <0.5 id-rank fraction to a float64 copy of the int64 distance — for
+    magnitudes past 2^52 the fraction was absorbed and the tie became
+    arbitrary. Two candidates with IDENTICAL codes tie exactly; the lower
+    id must win at any magnitude. RED under the float composite (ids
+    arrive in descending order inside one batch, so absorbed ties picked
+    the higher id), GREEN under the id-sorted stable integer argsort."""
+    big = 5.0e5
+    books_1sub = [[[big] * 4, [-big] * 4]]
+    probes = spark.createDataFrame(
+        [(0, [big] * 4)], "query_id long, query_vec array<double>"
+    )
+    codes = spark.createDataFrame(
+        [(2, [1]), (1, [1])], "vec_id long, codes array<int>"
+    ).coalesce(1)  # one Arrow batch, descending-id column order
+    out = pq.pq_adc_topk(
+        probes, codes, books_1sub, 1, exclude_self=False
+    ).collect()
+    assert [r.result_id for r in out][:1] == [1]
+    assert out[0].adist6 > 2**52  # the regime the float composite lost
+    assert out[0].rank == 1
+
+
 def test_pq_knn_matches_duckdb_oracle(embeddings, sf_dir, books):
     got = sorted(
         map(tuple, pq.pq_knn(_probes(embeddings), embeddings, KNN_K).collect())
