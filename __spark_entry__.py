@@ -2393,23 +2393,24 @@ KMEANS_K, KMEANS_ITERS = 8, 3
 TFIDF_P_DF_MIN = 3     # df_min > 2: exercises the norm-mass exactness branch
 TFIDF_P_COSINE = 0.4
 
-_BPE_MERGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BPE_MERGES_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _PCA_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 
 
-def _bpe_merges(spark, sf_dir) -> DataFrame:
-    """Session-scoped trained merge table (train_bpe's driver-side merge
-    loop is eager by design — the dup_groups/corpus_prep exception class —
-    so both BPE entries and the bench share ONE training run). The oracle
-    statically unrolls exactly BPE_MERGES rounds, but train_bpe(min_count)
-    stops early when the top pair count falls below the floor — assert the
-    fixture sustains every round so corpus drift surfaces as a loud
-    engine-side error, not an opaque oracle mismatch (r10 advisory)."""
+def _bpe_trained(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """Session-scoped BPE training run: ``(merges, final histogram)``
+    (train_bpe's driver-side merge loop is eager by design — the
+    dup_groups/corpus_prep exception class — so all three BPE entries and
+    the bench share ONE training run). The oracle statically unrolls
+    exactly BPE_MERGES rounds, but train_bpe(min_count) stops early when
+    the top pair count falls below the floor — assert the fixture
+    sustains every round so corpus drift surfaces as a loud engine-side
+    error, not an opaque oracle mismatch (r10 advisory)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    m = _BPE_MERGES_CACHE.get(key)
-    if m is None:
+    got = _BPE_MERGES_CACHE.get(key)
+    if got is None:
         report: dict = {}
-        m = ops.train_bpe(
+        merges = ops.train_bpe(
             _t(spark, sf_dir, "documents"), num_merges=BPE_MERGES, report=report
         )
         if report["rounds"] != BPE_MERGES:
@@ -2419,8 +2420,13 @@ def _bpe_merges(spark, sf_dir) -> DataFrame:
                 f"unrolls {BPE_MERGES} ({sf_dir!r} no longer sustains "
                 "them — retune BPE_MERGES or min_count)"
             )
-        _BPE_MERGES_CACHE[key] = m
-    return m
+        got = (merges, report["histogram"])
+        _BPE_MERGES_CACHE[key] = got
+    return got
+
+
+def _bpe_merges(spark, sf_dir) -> DataFrame:
+    return _bpe_trained(spark, sf_dir)[0]
 
 
 def _pca_model(spark, sf_dir) -> tuple:
@@ -2660,6 +2666,250 @@ def q_text_panel(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# r11 graded promotions (the four staged green differentials from r10 +
+# the IVFPQ maintenance UPSERT leg) and three registry folds
+# (simhash / lsh / strip — headroom under the 100-entry ceiling)
+# ---------------------------------------------------------------------------
+
+PCA_IVF_CENTROIDS, PCA_IVF_NPROBE, PCA_IVF_OVERFETCH = 16, 4, 8
+IVFPQ_CENTROIDS, IVFPQ_NPROBE = 8, 3
+DSIR_KEEP_FRAC = 0.25
+UPSERT_REPLACE_MOD = 10   # ivfpq upsert: replace vec_id % 10 == 0, reversed
+UPSERT_INSERT_N = 20      # ivfpq upsert: insert vec_id < 20 as id + 10_000_000
+UPSERT_INSERT_BASE = 10_000_000
+
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_IVFPQ_UPSERT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_pca_ivf(spark, sf_dir):
+    """NEW r11 — the PCAR+IVF composition (operators/dimred.py
+    pca_ivf_knn; the FAISS ``PCARx,IVFy`` production pretransform): both
+    sides project into the 16-dim reduced space, IVF routes/assigns THERE
+    (nprobe/n_centroids of the corpus pruned before any arithmetic), and
+    only the k*overfetch survivors touch the full-dim vectors for the
+    exact cosine rescore. 2M receipt: 96 MB index, recall 1.000, 3.4x
+    over exact (BASELINE.md). Staged green differential promoted from
+    tests/test_dimred.py::test_pca_ivf_matches_duckdb_replay; the oracle
+    bakes the INDEPENDENTLY retrained NumPy model literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.pca_ivf_knn(
+        probes,
+        emb,
+        KNN_K,
+        out_dim=PCA_OUT_DIM,
+        overfetch=PCA_IVF_OVERFETCH,
+        n_centroids=PCA_IVF_CENTROIDS,
+        nprobe=PCA_IVF_NPROBE,
+        model=_pca_model(spark, sf_dir),
+    )
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped persisted IVFPQ index (the _delete_index_path
+    pattern): built once per (application, sf_dir) with the iters=0
+    graded codebook config, then shared by q_ivfpq and the bench."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_ivfpq_"), "index")
+        ops.build_pq_index(
+            _t(spark, sf_dir, "embeddings"),
+            path,
+            m=PQ_M,
+            n_codes=PQ_CODES,
+            n_centroids=IVFPQ_CENTROIDS,
+        )
+        _IVFPQ_INDEX_CACHE[key] = path
+    return path
+
+
+def q_ivfpq(spark, sf_dir):
+    """NEW r11 — the persisted IVFPQ composition (operators/pq.py
+    build_pq_index + pq_knn_persisted; Jégou et al. 2011, the FAISS
+    ``IVFx,PQy`` index): cell-partitioned parquet storing ONLY the m code
+    bytes per row, planning-time partition pruning to the routed nprobe
+    cells, per-probe integer ADC over own cells only, exact full-dim
+    rescore of the k*overfetch survivors against the source table. 2M
+    receipt: 13.6-18.2 MB hot index vs 524 MB f32 (29-39x), recall 0.902
+    at 4.65 s vs 14.9 s exact (BASELINE.md). Staged green differential
+    promoted from tests/test_pq.py::test_ivfpq_persisted_matches_duckdb_
+    replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ops.pq_knn_persisted(
+        spark,
+        _ivfpq_index_path(spark, sf_dir),
+        probes,
+        emb,
+        KNN_K,
+        nprobe=IVFPQ_NPROBE,
+        overfetch=PQ_OVERFETCH,
+    )
+
+
+def _ivfpq_upsert_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped IVFPQ maintenance composition: build over the full
+    corpus, then ONE upsert batch through ``upsert_ivf_index``'s
+    schema-aware IVFPQ branch — replace every ``vec_id % 10 == 0`` with
+    its REVERSED vector (the codes must re-encode under the STORED
+    codebooks) and insert 20 fresh ids. Only affected cell partitions
+    rewrite (dynamic partition overwrite; the batch analog of Qdrant
+    upsert_points, reference bcb_utils.py:117-121)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVFPQ_UPSERT_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="ccd_ivfpq_up_"), "index")
+        emb = _t(spark, sf_dir, "embeddings")
+        ops.build_pq_index(
+            emb, path, m=PQ_M, n_codes=PQ_CODES, n_centroids=IVFPQ_CENTROIDS
+        )
+        repl = emb.filter(F.col("vec_id") % UPSERT_REPLACE_MOD == 0).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        ins = emb.filter(F.col("vec_id") < UPSERT_INSERT_N).select(
+            (F.col("vec_id") + UPSERT_INSERT_BASE).alias("vec_id"), "embedding"
+        )
+        ops.upsert_ivf_index(repl.unionByName(ins), path)
+        _IVFPQ_UPSERT_CACHE[key] = path
+    return path
+
+
+def q_ivfpq_upsert_survivors(spark, sf_dir):
+    """NEW r11 — the IVFPQ maintenance UPSERT leg graded (the r10
+    verdict's item 5: the schema-aware re-encode under STORED codebooks
+    was pytest-proven, now driver-graded): after ``_ivfpq_upsert_path``
+    builds and upserts, the persisted table must hold EXACTLY the
+    post-upsert rows — per (vec_id, cell, codes) — where replaced rows
+    carry the codes of their REVERSED vectors re-encoded under the
+    ORIGINAL-corpus codebooks and route against the IMMUTABLE
+    original-corpus centroid bank (upserts never retrain either). The
+    oracle replays codebook init, per-subspace assignment, and bank
+    routing over the updated corpus in full SQL; a stale code (missed
+    re-encode), a moved cell, or a dropped/duplicated row fails the
+    value hash."""
+    path = _ivfpq_upsert_path(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("int").cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """NEW r11 — the DSIR selection leg (operators/lm.py dsir_select; Xie
+    et al. 2023 §3.3): keep the top keep_frac of the raw corpus by DSIR
+    weight via an exact type-7 percentile cut on the integer micro-unit
+    weights (bit-exact cross-engine), broadcast 1-row threshold, map-only
+    filter — no global sort, boundary ties kept, so the plan scales like
+    a filter at 100 TB (swap percentile for approx_percentile there).
+    Staged green differential promoted from
+    tests/test_dsir.py::test_select_matches_duckdb_replay."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return ops.dsir_select(docs, target, keep_frac=DSIR_KEEP_FRAC)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """NEW r11 — the shipped-vocab extraction from the trained BPE
+    histogram (operators/bpe.py bpe_vocab): one explode + one map-side-
+    combined groupBy over the VOCAB-sized final segmentation — per-piece
+    word-type count and corpus frequency (what a tokenizer writes to its
+    vocab file). Shares the session-scoped training run with the other
+    BPE entries. Staged green differential promoted from
+    tests/test_bpe.py::test_vocab_matches_duckdb_replay; the oracle
+    unrolls the 12 training rounds and reads h12's rendered column."""
+    _, hist = _bpe_trained(spark, sf_dir)
+    return ops.bpe_vocab(hist)
+
+
+def q_simhash_panel(spark, sf_dir):
+    """NEW r11 — the composed fold of the simhash pair (`simhash` +
+    `simhash_near_dups`, both long-green) into ONE graded entry (the
+    knn_join_panel pattern; registry headroom under the 100-entry
+    ceiling). Both retired builders are re-invoked VERBATIM and
+    harmonized to ``section, n1, n2, n3``: sig rows carry (doc_id,
+    simhash, NULL), pair rows carry (doc_a, doc_b, hamming) — each folded
+    shape stays value-hash-proven per row."""
+    nb = F.lit(None).cast("bigint")
+    sig = q_simhash(spark, sf_dir).select(
+        F.lit("sig").alias("section"),
+        F.col("doc_id").cast("bigint").alias("n1"),
+        F.col("simhash").cast("bigint").alias("n2"),
+        nb.alias("n3"),
+    )
+    pairs = q_simhash_near_dups(spark, sf_dir).select(
+        F.lit("pairs").alias("section"),
+        F.col("doc_a").cast("bigint").alias("n1"),
+        F.col("doc_b").cast("bigint").alias("n2"),
+        F.col("hamming").cast("bigint").alias("n3"),
+    )
+    return sig.unionByName(pairs)
+
+
+def q_lsh_panel(spark, sf_dir):
+    """NEW r11 — the composed fold of the LSH pair (`lsh_pairs` +
+    `lsh_bucket_stats`, both long-green) into ONE graded entry.
+    Harmonized to ``section, k1, n1, n2, n3``: candidate-pair rows carry
+    (NULL, doc_a, doc_b, NULL); bucket rows carry (band_key, band_idx,
+    n_members, overflow as 0/1) — each folded shape stays
+    value-hash-proven per row, including the hot-bucket overflow flag."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
+    pairs = q_lsh_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("section"),
+        ns.alias("k1"),
+        F.col("doc_a").cast("bigint").alias("n1"),
+        F.col("doc_b").cast("bigint").alias("n2"),
+        nb.alias("n3"),
+    )
+    buckets = q_lsh_bucket_stats(spark, sf_dir).select(
+        F.lit("buckets").alias("section"),
+        F.col("band_key").alias("k1"),
+        F.col("band_idx").cast("bigint").alias("n1"),
+        F.col("n_members").cast("bigint").alias("n2"),
+        F.col("overflow").cast("bigint").alias("n3"),
+    )
+    return pairs.unionByName(buckets)
+
+
+def q_strip_panel(spark, sf_dir):
+    """NEW r11 — the composed fold of the substring-strip family
+    (`strip_runs` + `strip_fixpoint`, both long-green) into ONE graded
+    entry. The two retired builders share an output schema already
+    (doc_id, text, n_tokens_removed, n_runs_removed), so the fold is a
+    section tag over each builder invoked VERBATIM — single-pass strip
+    over the remix corpus, iterate-to-fixpoint strip over the junction
+    corpus (each row still value-hash-proven, including the round-2
+    junction removals that prove the fixpoint iterates)."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("section"),
+            "doc_id",
+            "text",
+            "n_tokens_removed",
+            "n_runs_removed",
+        )
+        for name, fn in (
+            ("runs", q_strip_runs),
+            ("fixpoint", q_strip_fixpoint),
+        )
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -2669,31 +2919,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-10 rotation: the 40-entry r9 tail (last green in
-    # CORRECTNESS_r08 — its rows age out of the union this round, so
-    # in-window is mandatory) re-enters the window MINUS eight retirements
-    # folded into composed panels this round (the relational_panel
-    # precedent): knn_join / knn_join_guarded / knn_join_pruned ->
-    # `knn_join_panel`, and token_stats / quality_scores / lang_id /
-    # doc_fingerprints / token_counts -> `text_panel` (every folded shape
-    # stays value-hash-proven per panel row). The 10 new r10 entries
-    # (never checked) follow — the seven staged r9-family promotions
-    # (bpe_merges, bpe_encode, dsir_weights, pca_vecs, pca_knn via the
-    # reduce-then-rerank path, pq_knn, kmeans_lloyd,
-    # tfidf_postings_pairs) plus the two panels — and 8 r9-green entries
-    # fill the window to exactly 50. Registry: 90 - 8 + 10 = 92.
+    # Round-11 rotation: the 42-entry r10 tail (last green in
+    # CORRECTNESS_r09 — its rows age out of the union this round, so
+    # in-window is mandatory) re-enters the window MINUS three retirements
+    # folded into composed panels this round (simhash_near_dups ->
+    # `simhash_panel`, strip_runs / strip_fixpoint -> `strip_panel`;
+    # their window-side partners simhash / lsh_pairs / lsh_bucket_stats
+    # retire with them into `simhash_panel` / `lsh_panel`). The 8 new r11
+    # entries (never checked) follow — the four staged r10 differentials
+    # promoted (pca_ivf, ivfpq, dsir_select, bpe_vocab), the IVFPQ
+    # maintenance leg (ivfpq_upsert_survivors), and the three folds —
+    # and 3 r10-green entries fill the window to exactly 50.
+    # Registry: 92 - 6 retired + 8 new = 94.
     return {
-        # --- due back in the window (the r9 tail minus the 8 folded) ---
+        # --- due back in the window (the r10 tail minus the 3 folded) ---
+        "media_features": q_media_features,
+        "knn_topk": q_knn_topk,
+        "knn_detailed": q_knn_detailed,
+        "query_stats": q_query_stats,
+        "ir_metrics_poj": q_ir_metrics_poj,
+        "ir_metrics_bcb": q_ir_metrics_bcb,
+        "clone_map": q_clone_map,
+        "snippet_extract": q_snippet_extract,
+        "uuid5_ids": q_uuid5_ids,
+        "deterministic_sample": q_deterministic_sample,
+        "top_tokens": q_top_tokens,
+        "asof_click": q_asof_click,
+        "minhash_sigs": q_minhash_sigs,
+        "hybrid_rrf": q_hybrid_rrf,
+        "boilerplate_clean": q_boilerplate_clean,
+        "kmv_tokens": q_kmv_tokens,
+        "semantic_dups": q_semantic_dups,
+        "corpus_prep_funnel": q_corpus_prep_funnel,
+        "cluster_top_terms": q_cluster_top_terms,
+        "dup_groups": q_dup_groups,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "click_attribution": q_click_attribution,
+        "repetition_stats": q_repetition_stats,
+        "quantized_embeddings": q_quantized_embeddings,
+        "contamination": q_contamination,
+        "shards_asof": q_shards_asof,
+        "knn_join_probe_guarded": q_knn_join_probe_guarded,
+        "index_ingest": q_index_ingest,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "containment_dups": q_containment_dups,
+        "canonical_docs": q_canonical_docs,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "bloom_tokens": q_bloom_tokens,
+        "novelty_scores": q_novelty_scores,
+        "semantic_contamination": q_semantic_contamination,
+        "relational_panel": q_relational_panel,
+        "snapshot_diff": q_snapshot_diff,
+        "ivf_delete_survivors": q_ivf_delete_survivors,
+        # --- new in r11 (never checked — must be in-window) ---
+        "pca_ivf": q_pca_ivf,
+        "ivfpq": q_ivfpq,
+        "ivfpq_upsert_survivors": q_ivfpq_upsert_survivors,
+        "dsir_select": q_dsir_select,
+        "bpe_vocab": q_bpe_vocab,
+        "simhash_panel": q_simhash_panel,
+        "lsh_panel": q_lsh_panel,
+        "strip_panel": q_strip_panel,
+        # --- r10-green fillers completing the window to 50 ---
+        "bm25_topk": q_bm25_topk,
+        "lookup_join": q_lookup_join,
+        "exact_dups": q_exact_dups,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r10; due back in r12) ---
         "mixture_sample": q_mixture_sample,
         "cms_token_counts": q_cms_token_counts,
         "doc_chunks": q_doc_chunks,
         "redacted_docs": q_redacted_docs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_docs": q_stratified_docs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "event_props": q_event_props,
         "bcb_e2e": q_bcb_e2e,
         "bcb_e2e_detailed": q_bcb_e2e_detailed,
@@ -2716,7 +3016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_asym": q_containment_asym,
         "substring_dups": q_substring_dups,
         "status_pivot": q_status_pivot,
-        # --- new in r10 (never checked — must be in-window) ---
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "dsir_weights": q_dsir_weights,
@@ -2727,59 +3026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_postings_pairs": q_tfidf_postings_pairs,
         "knn_join_panel": q_knn_join_panel,
         "text_panel": q_text_panel,
-        # --- r9-green fillers completing the window to 50 ---
-        "lookup_join": q_lookup_join,
-        "exact_dups": q_exact_dups,
-        "bm25_topk": q_bm25_topk,
         "normalized_embeddings": q_normalized_embeddings,
         "source_overlap": q_source_overlap,
         "sliding_events": q_sliding_events,
         "srp_near_dups": q_srp_near_dups,
         "frame_samples": q_frame_samples,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r09; due back in r11) ---
-        "media_features": q_media_features,
-        "knn_topk": q_knn_topk,
-        "knn_detailed": q_knn_detailed,
-        "query_stats": q_query_stats,
-        "ir_metrics_poj": q_ir_metrics_poj,
-        "ir_metrics_bcb": q_ir_metrics_bcb,
-        "clone_map": q_clone_map,
-        "snippet_extract": q_snippet_extract,
-        "uuid5_ids": q_uuid5_ids,
-        "deterministic_sample": q_deterministic_sample,
-        "top_tokens": q_top_tokens,
-        "asof_click": q_asof_click,
-        "minhash_sigs": q_minhash_sigs,
-        "hybrid_rrf": q_hybrid_rrf,
-        "boilerplate_clean": q_boilerplate_clean,
-        "kmv_tokens": q_kmv_tokens,
-        "semantic_dups": q_semantic_dups,
-        "corpus_prep_funnel": q_corpus_prep_funnel,
-        "cluster_top_terms": q_cluster_top_terms,
-        "dup_groups": q_dup_groups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "click_attribution": q_click_attribution,
-        "repetition_stats": q_repetition_stats,
-        "quantized_embeddings": q_quantized_embeddings,
-        "contamination": q_contamination,
-        "shards_asof": q_shards_asof,
-        "knn_join_probe_guarded": q_knn_join_probe_guarded,
-        "index_ingest": q_index_ingest,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "containment_dups": q_containment_dups,
-        "canonical_docs": q_canonical_docs,
-        "bigram_lm_scores": q_bigram_lm_scores,
-        "bloom_tokens": q_bloom_tokens,
-        "novelty_scores": q_novelty_scores,
-        "semantic_contamination": q_semantic_contamination,
-        "relational_panel": q_relational_panel,
-        "strip_runs": q_strip_runs,
-        "strip_fixpoint": q_strip_fixpoint,
-        "snapshot_diff": q_snapshot_diff,
-        "ivf_delete_survivors": q_ivf_delete_survivors,
     }
 
 
@@ -3439,19 +3690,18 @@ SELECT query_id, result_id, score, rank FROM (
   FROM rescored) WHERE rank <= {KNN_K}"""
 
 
-def _pq_knn_sql() -> str:
-    """PQ replay (tests/test_pq.py staged CTEs): iters=0 codebooks =
-    subvectors of the n_codes lowest-id vectors (fully SQL-derivable),
-    per-subspace nearest-code assignment (rounded-distance, code-asc
-    tie-break), integer ADC via the probe LUT, k*overfetch over-fetch,
-    exact cosine rescore."""
+def _pq_adc_ctes() -> str:
+    """Shared PQ CTE chain (x, cb, codes, q, lut, adc) — iters=0
+    codebooks = subvectors of the n_codes lowest-id vectors (fully
+    SQL-derivable), per-subspace nearest-code assignment
+    (rounded-distance, code-asc tie-break), integer ADC via the probe
+    LUT. Used by _pq_knn_sql (inline) and _ivfpq_sql (persisted)."""
     dsub = 64 // PQ_M
     dist = (
         "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
         " + list_dot_product(cvec, cvec)"
     )
-    return f"""
-WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (
   SELECT t.j, b.c, b.v[t.j * {dsub} + 1 : (t.j + 1) * {dsub}] AS cvec
   FROM (
@@ -3485,14 +3735,10 @@ adc AS (
         FROM codes CROSS JOIN range(0, {PQ_M}) t(j)) e
   JOIN lut l ON l.j = e.j AND l.c = e.c
   GROUP BY l.query_id, e.vec_id
-),
-cand AS (
-  SELECT query_id, result_id FROM (
-    SELECT query_id, result_id, row_number() OVER (
-      PARTITION BY query_id ORDER BY adist6 ASC, result_id ASC) AS rnk
-    FROM adc WHERE result_id <> query_id
-  ) WHERE rnk <= {KNN_K * PQ_OVERFETCH}
-),
+)"""
+
+
+_PQ_RESCORE_TAIL = """
 rescored AS (
   SELECT c.query_id, c.result_id,
          round(list_dot_product(q.qv, x.v) /
@@ -3504,7 +3750,208 @@ SELECT query_id, result_id, score, rank FROM (
   SELECT query_id, result_id, score, row_number() OVER (
     PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
   FROM rescored
-) WHERE rank <= {KNN_K}"""
+) WHERE rank <= {k}"""
+
+
+def _pq_knn_sql() -> str:
+    """PQ replay (tests/test_pq.py staged CTEs): the shared ADC chain,
+    k*overfetch over-fetch on (adist asc, id asc), exact cosine
+    rescore."""
+    return f"""
+WITH {_pq_adc_ctes()},
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist6 ASC, result_id ASC) AS rnk
+    FROM adc WHERE result_id <> query_id
+  ) WHERE rnk <= {KNN_K * PQ_OVERFETCH}
+),{_PQ_RESCORE_TAIL.format(k=KNN_K)}"""
+
+
+_SQL_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ivfpq_sql() -> str:
+    """Persisted IVFPQ replay (tests/test_pq.py ivfpq_sql, the staged r11
+    differential promoted): shared ADC chain + full-dim lowest-id cell
+    bank, 6dp-cosine routing/assignment with cent-asc ties, per-probe ADC
+    over OWN cells only (the FAISS IVFPQ semantics — not a pruned global
+    scan), exact full-dim rescore of the k*overfetch survivors."""
+    cos = _SQL_COS6
+    return f"""
+WITH {_pq_adc_ctes()},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM x ORDER BY vec_id LIMIT {IVFPQ_CENTROIDS}),
+assigned AS (
+  SELECT vec_id AS result_id, cell FROM (
+    SELECT x.vec_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos.format(a='x.v', b='c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM x CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM q CROSS JOIN cents c
+  ) WHERE rnk <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT a.query_id, a.result_id,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY a.adist6 ASC, a.result_id ASC) AS rnk
+    FROM adc a
+    JOIN assigned m ON m.result_id = a.result_id
+    JOIN routed r ON r.query_id = a.query_id AND r.cell = m.cell
+    WHERE a.result_id <> a.query_id
+  ) WHERE rnk <= {KNN_K * PQ_OVERFETCH}
+),{_PQ_RESCORE_TAIL.format(k=KNN_K)}"""
+
+
+def _ivfpq_upsert_sql() -> str:
+    """IVFPQ maintenance replay: the post-upsert table equals a
+    from-scratch encode of the UPDATED corpus under the ORIGINAL-corpus
+    codebooks and centroid bank (both sidecars are immutable across
+    upserts — pinned by tests/test_pq.py::test_ivfpq_upsert_and_delete_
+    maintenance). Updated corpus = every vec_id % MOD == 0 replaced by
+    its reversed vector + the 20 planted inserts."""
+    dsub = 64 // PQ_M
+    dist = (
+        "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
+        " + list_dot_product(cvec, cvec)"
+    )
+    cos = _SQL_COS6
+    return f"""
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT t.j, b.c, b.v[t.j * {dsub} + 1 : (t.j + 1) * {dsub}] AS cvec
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+    FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {PQ_CODES})
+  ) b CROSS JOIN range(0, {PQ_M}) t(j)
+),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM x ORDER BY vec_id LIMIT {IVFPQ_CENTROIDS}),
+upd AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {UPSERT_REPLACE_MOD} = 0 THEN list_reverse(v)
+              ELSE v END AS v
+  FROM x
+  UNION ALL
+  SELECT vec_id + {UPSERT_INSERT_BASE}, v FROM x WHERE vec_id < {UPSERT_INSERT_N}
+),
+newcodes AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY round(d, 6) ASC, c ASC) AS rnk
+    FROM (
+      SELECT u.vec_id, cb.j, cb.c, {dist} AS d
+      FROM upd u CROSS JOIN cb
+      CROSS JOIN LATERAL (SELECT u.v[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}] AS sub) s
+    )
+  ) WHERE rnk = 1 GROUP BY vec_id
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {cos.format(a='u.v', b='c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM upd u CROSS JOIN cents c
+  ) WHERE rnk = 1
+)
+SELECT n.vec_id, l.cell,
+       array_to_string(list_transform(n.codes, c -> c::VARCHAR), ',') AS codes_csv
+FROM newcodes n JOIN cells l USING (vec_id)"""
+
+
+def _pca_ivf_sql() -> str:
+    """PCAR+IVF replay (tests/test_dimred.py pca_ivf_sql, the staged r11
+    differential promoted): baked-model projection of both sides
+    (independent NumPy retrain — the pca_vecs fixture), reduced-space IVF
+    (lowest-id reduced bank, 6dp-cosine routing/assignment with cent-asc
+    ties), per-probe candidates over own cells only, exact FULL-dim
+    rescore of the k*overfetch survivors."""
+    center, proj = _pca_comps_sql()
+    cos = _SQL_COS6
+    return f"""
+WITH xr AS (
+  SELECT vec_id, [{proj}] AS r, v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {center} AS c FROM embeddings)
+),
+cents AS (SELECT vec_id AS cent_id, r AS cv FROM xr ORDER BY vec_id LIMIT {PCA_IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id AS result_id, r, cell FROM (
+    SELECT x.vec_id, x.r, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {cos.format(a='x.r', b='c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM xr x CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+qx AS (SELECT vec_id AS query_id, r AS qr, v AS qv FROM xr WHERE vec_id < {ANN_PROBES}),
+routed AS (
+  SELECT query_id, qr, cell FROM (
+    SELECT q.query_id, q.qr, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qr', b='c.cv')} DESC, c.cent_id ASC) AS rnk
+    FROM qx q CROSS JOIN cents c
+  ) WHERE rnk <= {PCA_IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rs DESC, result_id ASC) AS rnk
+    FROM (
+      SELECT r.query_id, a.result_id, {cos.format(a='r.qr', b='a.r')} AS rs
+      FROM routed r JOIN assigned a ON a.cell = r.cell
+      WHERE a.result_id <> r.query_id
+    )
+  ) WHERE rnk <= {KNN_K * PCA_IVF_OVERFETCH}
+),
+rescored AS (
+  SELECT c.query_id, c.result_id, {cos.format(a='q.qv', b='x.v')} AS score
+  FROM cand c JOIN qx q ON q.query_id = c.query_id
+  JOIN xr x ON x.vec_id = c.result_id
+)
+SELECT query_id, result_id, score, rank FROM (
+  SELECT query_id, result_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, result_id ASC) AS rank
+  FROM rescored) WHERE rank <= {KNN_K}"""
+
+
+def _dsir_select_sql() -> str:
+    """DSIR selection replay (tests/test_dsir.py dsir_select_sql, the
+    staged r11 differential promoted): the weights replay + exact type-7
+    percentile cut on the integer micro-unit weights (quantile_cont is
+    Spark percentile's DuckDB twin — the quality_cutoff precedent),
+    boundary ties kept, survivors re-joined to the full doc rows."""
+    return f"""
+WITH w AS (SELECT * FROM ({_dsir_weights_sql()}
+)),
+t AS (SELECT quantile_cont(weight6, {1.0 - DSIR_KEEP_FRAC}) AS thr FROM w)
+SELECT d.*, w.weight FROM documents d JOIN w ON w.doc_id = d.doc_id, t
+WHERE w.weight6 >= t.thr"""
+
+
+def _bpe_vocab_sql() -> str:
+    """Vocab-extraction replay (tests/test_bpe.py bpe_vocab_sql, the
+    staged r11 differential promoted): the 12 unrolled training rounds'
+    final segmentation (h12's rendered column) exploded to pieces —
+    per-piece word-type count and corpus frequency."""
+    return (
+        "WITH\n" + _bpe_train_ctes(BPE_MERGES) + f"""
+SELECT piece, count(DISTINCT word)::BIGINT AS n_words,
+       sum(cnt)::BIGINT AS total_cnt
+FROM (SELECT word, cnt,
+             unnest(string_split(trim(rendered, '·'), '··')) AS piece
+      FROM h{BPE_MERGES})
+GROUP BY piece"""
+    )
 
 
 _KM_COS = (
@@ -5047,6 +5494,46 @@ FROM base b CROSS JOIN (VALUES ('plain'), ('guarded'), ('pruned')) s(section)"""
     for _retired in (
         "token_stats", "quality_scores", "lang_id", "doc_fingerprints",
         "token_counts",
+    ):
+        del sql[_retired]
+
+    # --- r11 promotions: the staged r10 differentials, now graded ------
+    sql["pca_ivf"] = _pca_ivf_sql()
+    sql["ivfpq"] = _ivfpq_sql()
+    sql["ivfpq_upsert_survivors"] = _ivfpq_upsert_sql()
+    sql["dsir_select"] = _dsir_select_sql()
+    sql["bpe_vocab"] = _bpe_vocab_sql()
+
+    # --- r11 folds: each retired entry's PROVEN oracle SQL wrapped ----
+    # VERBATIM as a section subquery (the text_panel pattern), so no
+    # folded shape's semantics change on either side.
+    sql["simhash_panel"] = (
+        f"SELECT 'sig' AS section, doc_id::BIGINT AS n1,"
+        f" simhash::BIGINT AS n2, NULL::BIGINT AS n3 FROM ({sql['simhash']}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'pairs' AS section, doc_a::BIGINT AS n1,"
+        f" doc_b::BIGINT AS n2, hamming::BIGINT AS n3"
+        f" FROM ({sql['simhash_near_dups']}\n)"
+    )
+    sql["lsh_panel"] = (
+        f"SELECT 'pairs' AS section, NULL::VARCHAR AS k1,"
+        f" doc_a::BIGINT AS n1, doc_b::BIGINT AS n2, NULL::BIGINT AS n3"
+        f" FROM ({sql['lsh_pairs']}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'buckets' AS section, band_key AS k1, band_idx::BIGINT AS n1,"
+        f" n_members::BIGINT AS n2, overflow::BIGINT AS n3"
+        f" FROM ({sql['lsh_bucket_stats']}\n)"
+    )
+    sql["strip_panel"] = (
+        f"SELECT 'runs' AS section, doc_id, text, n_tokens_removed,"
+        f" n_runs_removed FROM ({sql['strip_runs']}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'fixpoint' AS section, doc_id, text, n_tokens_removed,"
+        f" n_runs_removed FROM ({sql['strip_fixpoint']}\n)"
+    )
+    for _retired in (
+        "simhash", "simhash_near_dups", "lsh_pairs", "lsh_bucket_stats",
+        "strip_runs", "strip_fixpoint",
     ):
         del sql[_retired]
 
