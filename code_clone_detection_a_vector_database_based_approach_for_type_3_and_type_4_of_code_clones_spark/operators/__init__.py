@@ -30,6 +30,7 @@ from .relational import (  # noqa: F401
     heavy_hitters,
     latest_per_key,
     mixture_sample,
+    temperature_sample,
     ngram_contamination,
     salted_key_counts,
     snapshot_diff,
@@ -40,6 +41,9 @@ from .sketch import (  # noqa: F401
     bloom_probe,
     count_min_build,
     count_min_estimate,
+    hll_build,
+    hll_estimate,
+    hll_merge,
     kmv_build,
     kmv_estimate,
     kmv_merge,

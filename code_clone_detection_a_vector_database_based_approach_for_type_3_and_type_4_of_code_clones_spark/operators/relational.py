@@ -285,3 +285,80 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select("doc_id", "status", "old_sha", "new_sha")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    keep_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (r11; the multilingual /
+    data-recipe move, e.g. mT5 and the LLaMA crawl mix): resample so the
+    source distribution follows ``q_s \\propto p_s^(1/T)`` — T=1 keeps the
+    natural proportions, T -> inf approaches uniform-over-sources —
+    targeting ``keep_frac`` of the corpus overall. Unlike
+    ``mixture_sample`` (caller-provided static weights), the rates are
+    DERIVED from the observed source counts: one tiny groupBy, flatten,
+    normalize, then the same portable-hash micro-unit keep filter.
+
+    Cross-engine determinism is pinned the fixed-point way: the flattened
+    masses round to a 1e-9 grid FIRST (``pw9`` BIGINT), the normalizer is
+    their EXACT integer sum, and the final per-source rate rounds to
+    micro-units before the hash compare — so the oracle replays the keep
+    set bit-for-bit and float summation order never matters. Rates cap at
+    1.0 (down-sampling form; up-sampling duplication is a different
+    operator). Scale shape: two source-sized aggregates broadcast back;
+    the corpus itself sees ONE map-side hash filter — at 100 TB this
+    costs a column-pruned scan, never a shuffle of the data rows.
+
+    Output: all ``df`` columns + ``mix_rate DOUBLE`` (the applied rate in
+    exact micro-units).
+    """
+    from ..functions.ids import stable_hash64
+
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_s")
+    )
+    tot = counts.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
+    powed = counts.join(F.broadcast(tot)).withColumn(
+        "pw9",
+        F.round(
+            F.pow(
+                F.col("n_s").cast("double") / F.col("n_tot").cast("double"),
+                1.0 / float(temperature),
+            )
+            * 1e9
+        ).cast("bigint"),
+    )
+    z = powed.agg(F.sum("pw9").cast("bigint").alias("z9"))
+    rates = (
+        powed.join(F.broadcast(z))
+        .select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.lit(float(keep_frac))
+                        * F.col("n_tot").cast("double")
+                        * (F.col("pw9").cast("double") / F.col("z9").cast("double"))
+                    )
+                    / F.col("n_s").cast("double"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("thresh6"),
+        )
+    )
+    h = stable_hash64(
+        F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h < F.col("thresh6"))
+        .withColumn("mix_rate", F.col("thresh6").cast("double") / 1e6)
+        .drop("thresh6")
+    )

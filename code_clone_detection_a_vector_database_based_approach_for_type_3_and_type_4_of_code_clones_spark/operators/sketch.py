@@ -301,3 +301,126 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, key: Column | str,
         .agg((F.count_if(F.col("set_")) == F.count("*")).alias("bloom_hit"))
     )
     return hits
+
+
+# --- HyperLogLog ------------------------------------------------------------
+# Same design brief as CMS/KMV/Bloom: Spark ships approx_count_distinct
+# (HLL++) but its sketch is opaque and its estimate engine-specific — not
+# verifiable cross-engine, not mergeable relationally. This HLL keeps the
+# sketch as a ``(group..., bucket, reg)`` TABLE built on the engine-portable
+# 60-bit stable_hash64, so registers replay exactly in ANSI SQL, shards
+# merge with a groupBy-max (the defining HLL property), and the estimate is
+# computed from EXACT integer register sums so the only floats are one
+# division, one add, and (in the small-range branch) one ln — identical
+# expression shape both engines, rounded to 6dp.
+#
+# Layout: bucket = h mod 2^p (m = 2^p registers), w = h >> p uniform on
+# [0, 2^(60-p)); reg = rho(w) = (60 - p) - nbits(w) + 1, where nbits(w) =
+# length(bin(w)) in BOTH engines (minimal binary rendering, no leading
+# zeros), and rho(0) = 60 - p + 1. At 100 TB the sketch is the whole point:
+# distinct-token / distinct-shingle cardinality per source without the
+# exact COUNT(DISTINCT) shuffle — the build's shuffle carries at most
+# groups x m registers regardless of corpus size, and per-shard sketches
+# compose by max.
+
+HLL_P = 8                    # 2^8 = 256 registers per group
+HLL_ALPHA = {                # alpha_m for the standard bias correction
+    16: 0.673, 32: 0.697, 64: 0.709,
+}
+
+
+def _hll_alpha(m: int) -> float:
+    return HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_build(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Build the per-group HLL register table over ``key``.
+
+    Output: ``group_cols..., bucket BIGINT, reg INT`` — only touched
+    buckets materialize (absent buckets are implicitly reg=0, accounted
+    for by ``hll_estimate``). One explode-free map pass + one
+    map-side-combinable groupBy-max; the shuffle carries at most
+    groups x 2^p rows per map partition."""
+    m = 1 << p
+    kc = F.col(key) if isinstance(key, str) else key
+    h = stable_hash64(kc)
+    # integer shift, NOT h/m: a double round-trip would lose low bits for
+    # h > 2^53 (stable_hash64 is uniform on [0, 2^60))
+    w = F.shiftright(h, p)
+    nbits = F.length(F.bin(F.col("w")))
+    rho = (
+        F.when(F.col("w") == 0, F.lit(60 - p + 1))
+        .otherwise(F.lit(60 - p + 1) - nbits)
+        .cast("int")
+    )
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            (h % m).alias("bucket"),
+            w.alias("w"),
+        )
+        .select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge two HLL register tables over the same key domain: per-bucket
+    max. Exactly ``hll_build`` of the concatenated inputs (the lossless-
+    union property that makes HLL the distributed distinct-counter —
+    proven in tests), so shard sketches compose with one tiny shuffle."""
+    u = a.select(*group_cols, "bucket", "reg").unionByName(
+        b.select(*group_cols, "bucket", "reg")
+    )
+    return u.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: tuple[str, ...] = (), p: int = HLL_P
+) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    The harmonic sum is computed EXACTLY in integers: sum over touched
+    registers of 2^(60-p+1-reg) is a BIGINT (reg >= 1 bounds each term at
+    2^(60-p); 2^p terms keep the sum far inside 2^63), then ONE float
+    division by 2^(60-p+1) and ONE add of the untouched-register count
+    reconstruct sum(2^-reg) bit-identically in both engines. Standard
+    corrections: raw = alpha*m^2/sum; raw <= 2.5m with empty registers ->
+    linear counting m*ln(m/zeros) (the single ln; rounded 6dp).
+
+    Output: ``group_cols..., n_touched BIGINT, reg_sum BIGINT,
+    est_distinct DOUBLE`` (6dp)."""
+    m = 1 << p
+    maxr = 60 - p + 1
+    grouped = sketch.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count("*").cast("bigint").alias("n_touched"),
+        F.sum("reg").cast("bigint").alias("reg_sum"),
+        # SQL-form shiftleft: the pyspark wrapper only takes a literal
+        # shift amount, the SQL function takes an expression
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxr} - reg)")
+        ).cast("bigint").alias("inv_sum_scaled"),
+    )
+    zeros = (F.lit(m) - F.col("n_touched")).cast("double")
+    inv_sum = F.col("inv_sum_scaled").cast("double") / F.lit(
+        float(1 << maxr)
+    ) + zeros
+    raw = F.lit(_hll_alpha(m) * m * m) / inv_sum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return grouped.select(
+        *group_cols,
+        "n_touched",
+        "reg_sum",
+        F.round(est, 6).alias("est_distinct"),
+    )

@@ -345,3 +345,100 @@ WHERE status IS NOT NULL
     assert got == want
     # non-vacuous: all three statuses occur
     assert {s for _, s, _, _ in got} == {"added", "removed", "changed"}
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample (r11; staged r12 graded-entry differential)
+
+_TS_H60 = "('0x' || substr(sha256({e}), 1, 15))::UBIGINT::BIGINT"
+
+
+def temperature_sample_sql(temperature: float = 2.0,
+                           keep_frac: float = 0.5) -> str:
+    """STAGED r12 graded-entry oracle: the full temperature-mixture
+    replay — source counts, 1e-9-grid flattened masses, EXACT integer
+    normalizer, micro-unit rate threshold, portable-hash keep filter."""
+    h = _TS_H60.format(e="d.source || ':' || d.doc_id")
+    return f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+t AS (SELECT sum(n_s)::BIGINT AS n_tot FROM c),
+p AS (SELECT source, n_s, n_tot,
+             round(pow(n_s::DOUBLE / n_tot::DOUBLE, {1.0 / temperature!r}) * 1e9)::BIGINT AS pw9
+      FROM c, t),
+z AS (SELECT sum(pw9)::BIGINT AS z9 FROM p),
+r AS (SELECT source,
+             round(least(1.0, ({float(keep_frac)!r} * n_tot::DOUBLE *
+                              (pw9::DOUBLE / z9::DOUBLE)) / n_s::DOUBLE) * 1e6)::BIGINT AS thresh6
+      FROM p, z)
+SELECT d.*, r.thresh6 / 1e6 AS mix_rate
+FROM documents d JOIN r USING (source)
+WHERE ({h}) % 1000000 < r.thresh6"""
+
+
+def test_temperature_sample_matches_duckdb_replay(spark, sf_dir):
+    """The staged r12 differential: temperature_sample vs the full-SQL
+    replay — every kept row and its applied rate value-identical."""
+    import duckdb
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.source, r.mix_rate)
+        for r in temperature_sample(docs).select(
+            "doc_id", "source", "mix_rate"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(r[0]), r[1], float(r[2]))
+        for r in con.execute(
+            "SELECT doc_id, source, mix_rate FROM ("
+            + temperature_sample_sql()
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+
+def test_temperature_flattens_toward_uniform(spark, sf_dir):
+    """T=4 must pull the kept-set source shares closer to uniform than
+    the input shares (the operator's whole point; needs a SKEWED input —
+    the fixture's sources are exactly uniform, where flattening is a
+    no-op by construction), and T=1 must keep the natural proportions
+    (rate = keep_frac for every source)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "web") for i in range(800)]
+        + [(i + 1000, "books") for i in range(150)]
+        + [(i + 2000, "code") for i in range(50)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    n_src = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    tot = sum(n_src.values())
+    kept = {r.source: r.n for r in
+            temperature_sample(docs, temperature=4.0).groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    ktot = sum(kept.values())
+    m = len(n_src)
+    dev_in = sum(abs(v / tot - 1 / m) for v in n_src.values())
+    dev_out = sum(abs(kept.get(s, 0) / ktot - 1 / m) for s in n_src)
+    assert dev_out < dev_in, (dev_in, dev_out)
+    # the scarce source is protected: its rate caps at 1.0 (kept whole)
+    assert kept["code"] == 50
+    # T=1 keeps natural proportions: rate == keep_frac for every source
+    t1 = {r.source: r.mix_rate for r in
+          temperature_sample(docs, temperature=1.0).select(
+              "source", "mix_rate").distinct().collect()}
+    for s, rate in t1.items():
+        assert abs(rate - 0.5) < 1e-6, (s, rate)

@@ -207,3 +207,162 @@ def test_bloom_occupancy_flags_saturation(spark):
         r.bloom_hit for r in bloom_probe(sized, others, "k", m=m).collect()
     )
     assert fp_hits <= 2000 * 0.01 * 3  # generous slack over the 1% target
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (r11; staged r12 graded-entry differential)
+
+import hashlib
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+    HLL_P,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+_SQL_H60 = "('0x' || substr(sha256({e}), 1, 15))::UBIGINT::BIGINT"
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(keys, p=HLL_P):
+    m = 1 << p
+    regs = {}
+    for key in keys:
+        h = _py_h60(key)
+        b, w = h % m, h >> p
+        rho = (60 - p + 1) if w == 0 else (60 - p + 1) - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_oracle(spark):
+    keys = [f"tok{i}" for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.bucket: r.reg for r in hll_build(df, "k").collect()}
+    assert got == _py_registers(keys)
+
+
+def test_hll_merge_equals_rebuild(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(400)], "k string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(200, 600)], "k string"
+    )
+    merged = {
+        (r.bucket, r.reg)
+        for r in hll_merge(hll_build(a, "k"), hll_build(b, "k")).collect()
+    }
+    full = {
+        (r.bucket, r.reg) for r in hll_build(a.unionByName(b), "k").collect()
+    }
+    assert merged == full
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    """Deterministic, so the values are pinned (not just bounded): the
+    standard error at m=256 is ~6.5%; the 40-key case must route through
+    the linear-counting branch (est <= 2.5m with empty registers)."""
+    big = spark.createDataFrame([(f"k{i}",) for i in range(5000)], "k string")
+    est = hll_estimate(hll_build(big, "k")).collect()[0]
+    assert abs(est.est_distinct - 5000) / 5000 < 0.10, est.est_distinct
+    small = spark.createDataFrame([(f"s{i}",) for i in range(40)], "k string")
+    row = hll_estimate(hll_build(small, "k")).collect()[0]
+    assert row.n_touched <= 40
+    assert abs(row.est_distinct - 40) / 40 < 0.15, row.est_distinct
+
+
+def test_hll_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"k{i}") for i in range(500)], "g string, k string"
+    )
+    out = {
+        r.g: r.est_distinct
+        for r in hll_estimate(
+            hll_build(df, "k", group_cols=("g",)), group_cols=("g",)
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        assert abs(out[g] - 250) / 250 < 0.15, (g, out[g])
+
+
+def hll_tokens_sql(p: int = HLL_P) -> str:
+    """STAGED r12 graded-entry oracle: per-source distinct-token HLL —
+    registers AND the estimate replayed in full ANSI SQL (integer-exact
+    harmonic sum, one division + one add + the linear-counting ln,
+    rounded 6dp — the hll_estimate contract)."""
+    m = 1 << p
+    maxr = 60 - p + 1
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m  # one FLOAT literal:
+    # DuckDB parses `0.718... * 256 * 256` as DECIMAL and overflows
+    h = _SQL_H60.format(e="t")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKS}) AS t FROM documents
+),
+hashed AS (SELECT source, {h} AS h FROM tok),
+regs AS (
+  SELECT source, h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) = 0 THEN {maxr}
+                  ELSE {maxr} - length(bin(h >> {p})) END)::INT AS reg
+  FROM hashed GROUP BY source, h % {m}
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_touched,
+         sum(reg)::BIGINT AS reg_sum,
+         sum((1::BIGINT << ({maxr} - reg)))::BIGINT AS inv_scaled
+  FROM regs GROUP BY source
+)
+SELECT source, n_touched, reg_sum,
+       round(CASE WHEN {alpha_mm!r} /
+                       (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
+                       <= {2.5 * m!r}
+                  AND n_touched < {m}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_touched)::DOUBLE)
+             ELSE {alpha_mm!r} /
+                  (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
+             END, 6) AS est_distinct
+FROM agg"""
+
+
+def test_hll_tokens_matches_duckdb_replay(documents, sf_dir):
+    """The staged r12 differential: per-source token HLL (build + merge-
+    free estimate) vs the full-SQL replay, registers value-checked via
+    (n_touched, reg_sum) and the 6dp estimate compared exactly."""
+    import duckdb
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    toks = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    got = {
+        r.source: (r.n_touched, r.reg_sum, r.est_distinct)
+        for r in hll_estimate(
+            hll_build(toks, "t", group_cols=("source",)),
+            group_cols=("source",),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        r[0]: (int(r[1]), int(r[2]), float(r[3]))
+        for r in con.execute(hll_tokens_sql()).fetchall()
+    }
+    assert got == want
+    # sanity: estimates within the m=256 error envelope of exact
+    exact = {
+        r.source: r.n
+        for r in toks.groupBy("source")
+        .agg(F.count_distinct("t").alias("n"))
+        .collect()
+    }
+    for s, n in exact.items():
+        assert abs(got[s][2] - n) / n < 0.15, (s, got[s][2], n)
