@@ -333,6 +333,24 @@ def _hll_alpha(m: int) -> float:
     return HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def hll_cols(key: Column, p: int = HLL_P) -> tuple[Column, Column]:
+    """The per-occurrence ``(bucket, rho)`` column pair — the ONE source
+    of truth shared by ``hll_build`` and the streaming register twin
+    (``streaming.events.streaming_hourly_distinct_registers``), so batch
+    and stream cannot drift. Integer shift, NOT h/m: a double round-trip
+    would lose low bits for h > 2^53 (stable_hash64 is uniform on
+    [0, 2^60))."""
+    m = 1 << p
+    h = stable_hash64(key)
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(60 - p + 1))
+        .otherwise(F.lit(60 - p + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (h % m), rho
+
+
 def hll_build(
     df: DataFrame,
     key: Column | str,
@@ -346,25 +364,14 @@ def hll_build(
     for by ``hll_estimate``). One explode-free map pass + one
     map-side-combinable groupBy-max; the shuffle carries at most
     groups x 2^p rows per map partition."""
-    m = 1 << p
     kc = F.col(key) if isinstance(key, str) else key
-    h = stable_hash64(kc)
-    # integer shift, NOT h/m: a double round-trip would lose low bits for
-    # h > 2^53 (stable_hash64 is uniform on [0, 2^60))
-    w = F.shiftright(h, p)
-    nbits = F.length(F.bin(F.col("w")))
-    rho = (
-        F.when(F.col("w") == 0, F.lit(60 - p + 1))
-        .otherwise(F.lit(60 - p + 1) - nbits)
-        .cast("int")
-    )
+    bucket, rho = hll_cols(kc, p)
     return (
         df.select(
             *[F.col(g) for g in group_cols],
-            (h % m).alias("bucket"),
-            w.alias("w"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
         )
-        .select(*group_cols, "bucket", rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )

@@ -379,3 +379,72 @@ def click_purchase_join_stream(
     return purchases.join(clicks, cond, "inner").select(
         "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
     )
+
+
+def streaming_hourly_distinct_registers(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    p: int | None = None,
+) -> DataFrame:
+    """Streaming HLL register maintenance (r11): per (hour, event_type)
+    distinct-USER sketch as a watermark-bounded windowed aggregation —
+    ``max`` over the portable-hash rho is associative and monotone, so
+    late rows within the watermark fold into existing registers and the
+    state per window is bounded at 2^p register rows regardless of event
+    volume. The ESTIMATE is deliberately NOT in the stream: readers run
+    ``operators.sketch.hll_estimate`` over the register sink (a cheap
+    groups-sized batch query), which is the production serving shape —
+    the stream maintains the sketch, queries estimate; register tables
+    from different streams/shards compose via ``hll_merge``.
+
+    The (bucket, rho) derivation is ``operators.sketch.hll_cols`` — the
+    SAME expressions as the batch ``hll_build``, so stream==batch holds
+    register-for-register (pinned in tests/test_streaming.py).
+
+    Output (streaming): ``hour TIMESTAMP, event_type, bucket BIGINT,
+    reg INT``.
+    """
+    from ..operators.sketch import HLL_P, hll_cols
+
+    bucket, rho = hll_cols(F.col("user_id").cast("string"), p or HLL_P)
+    with_time = _event_stream(spark, events_dir)
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", "1 hour"),
+            F.col("event_type"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.max(rho).alias("reg"))
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "bucket",
+            "reg",
+        )
+    )
+
+
+def hourly_distinct_registers_batch(events: DataFrame,
+                                    p: int | None = None) -> DataFrame:
+    """Batch twin of ``streaming_hourly_distinct_registers`` over a
+    ``ts``-normalized events frame (``sources.events.load_events_micros``):
+    identical grouping and identical ``hll_cols`` expressions, so the two
+    forms are register-identical on the same input."""
+    from ..operators.sketch import HLL_P, hll_cols
+
+    bucket, rho = hll_cols(F.col("user_id").cast("string"), p or HLL_P)
+    hour = F.timestamp_micros(
+        (F.col("ts") - (F.col("ts") % (3600 * US_PER_SEC))).cast("bigint")
+    )
+    return (
+        events.select(
+            hour.alias("hour"),
+            "event_type",
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("hour", "event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )

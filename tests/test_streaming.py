@@ -807,3 +807,69 @@ def test_lm_score_stream_matches_batch(spark, tmp_path, documents):
         for r in bigram_lm_scores(docs, model, vocab).collect()
     }
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path, sf_dir):
+    """r11 streaming HLL twin: the watermark-bounded windowed max over
+    (bucket, rho) must equal the batch register build EXACTLY — register
+    for register — and the batch estimate over the streamed registers
+    must land inside the m=256 error envelope of the exact per-window
+    distinct-user count."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        hll_estimate,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        hourly_distinct_registers_batch,
+        streaming_hourly_distinct_registers,
+    )
+
+    events_dir = tmp_path / "events_hll_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    regs = streaming_hourly_distinct_registers(spark, str(events_dir))
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM hll_regs_test")
+    got = {
+        (r.hour, r.event_type, r.bucket): r.reg for r in streamed.collect()
+    }
+
+    ev = load_events_micros(spark, sf_dir)
+    want = {
+        (r.hour, r.event_type, r.bucket): r.reg
+        for r in hourly_distinct_registers_batch(ev).collect()
+    }
+    assert got == want  # register-for-register, the hll_cols shared-expr pin
+
+    est = {
+        (r.hour, r.event_type): r.est_distinct
+        for r in hll_estimate(
+            streamed, group_cols=("hour", "event_type")
+        ).collect()
+    }
+    # exact per-window distinct users, computed independently
+    from pyspark.sql import functions as FF
+
+    hour = FF.timestamp_micros(
+        (FF.col("ts") - (FF.col("ts") % (3600 * 1_000_000))).cast("bigint")
+    )
+    exact = {
+        (r.hour, r.event_type): r.n
+        for r in ev.select(hour.alias("hour"), "event_type", "user_id")
+        .groupBy("hour", "event_type")
+        .agg(FF.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / max(n, 1) < 0.25, (k, est[k], n)
