@@ -3690,36 +3690,60 @@ SELECT query_id, result_id, score, rank FROM (
   FROM rescored) WHERE rank <= {KNN_K}"""
 
 
-def _pq_adc_ctes() -> str:
-    """Shared PQ CTE chain (x, cb, codes, q, lut, adc) — iters=0
-    codebooks = subvectors of the n_codes lowest-id vectors (fully
-    SQL-derivable), per-subspace nearest-code assignment
-    (rounded-distance, code-asc tie-break), integer ADC via the probe
-    LUT. Used by _pq_knn_sql (inline) and _ivfpq_sql (persisted)."""
-    dsub = 64 // PQ_M
-    dist = (
-        "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
-        " + list_dot_product(cvec, cvec)"
-    )
+_PQ_DSUB = 64 // PQ_M
+_PQ_DIST = (
+    "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
+    " + list_dot_product(cvec, cvec)"
+)
+
+
+def _pq_base_ctes() -> str:
+    """The ONE SQL encoding of the iters=0 codebook contract (x, cb):
+    codebooks = subvectors of the n_codes lowest-id vectors. Shared by
+    _pq_adc_ctes (-> pq_knn/ivfpq) AND _ivfpq_upsert_sql, so a codebook
+    retune cannot leave the two graded paths on different codebooks."""
     return f"""x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (
-  SELECT t.j, b.c, b.v[t.j * {dsub} + 1 : (t.j + 1) * {dsub}] AS cvec
+  SELECT t.j, b.c, b.v[t.j * {_PQ_DSUB} + 1 : (t.j + 1) * {_PQ_DSUB}] AS cvec
   FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
     FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {PQ_CODES})
   ) b CROSS JOIN range(0, {PQ_M}) t(j)
-),
-codes AS (
+)"""
+
+
+def _pq_codes_cte(src: str, out: str) -> str:
+    """Per-subspace nearest-code assignment (rounded-distance, code-asc
+    tie-break) of relation ``src`` (vec_id, v) into CTE ``out``."""
+    return f"""{out} AS (
   SELECT vec_id, list(c ORDER BY j) AS codes FROM (
     SELECT vec_id, j, c, row_number() OVER (
       PARTITION BY vec_id, j ORDER BY round(d, 6) ASC, c ASC) AS rnk
     FROM (
-      SELECT x.vec_id, cb.j, cb.c, {dist} AS d
-      FROM x CROSS JOIN cb
-      CROSS JOIN LATERAL (SELECT x.v[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}] AS sub) s
+      SELECT s0.vec_id, cb.j, cb.c, {_PQ_DIST} AS d
+      FROM {src} s0 CROSS JOIN cb
+      CROSS JOIN LATERAL (SELECT s0.v[cb.j * {_PQ_DSUB} + 1 : (cb.j + 1) * {_PQ_DSUB}] AS sub) s
     )
   ) WHERE rnk = 1 GROUP BY vec_id
-),
+)"""
+
+
+def _pq_cents_cte() -> str:
+    """The full-dim lowest-id IVFPQ cell bank (shared by _ivfpq_sql and
+    _ivfpq_upsert_sql — the bank is immutable across upserts)."""
+    return (
+        "cents AS (SELECT vec_id AS cent_id, v AS cv FROM x "
+        f"ORDER BY vec_id LIMIT {IVFPQ_CENTROIDS})"
+    )
+
+
+def _pq_adc_ctes() -> str:
+    """Shared PQ CTE chain (x, cb, codes, q, lut, adc) — the iters=0
+    codebook contract + integer ADC via the probe LUT. Used by
+    _pq_knn_sql (inline) and _ivfpq_sql (persisted)."""
+    dsub = _PQ_DSUB
+    return f"""{_pq_base_ctes()},
+{_pq_codes_cte('x', 'codes')},
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id < {ANN_PROBES}),
 lut AS (
@@ -3783,7 +3807,7 @@ def _ivfpq_sql() -> str:
     cos = _SQL_COS6
     return f"""
 WITH {_pq_adc_ctes()},
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM x ORDER BY vec_id LIMIT {IVFPQ_CENTROIDS}),
+{_pq_cents_cte()},
 assigned AS (
   SELECT vec_id AS result_id, cell FROM (
     SELECT x.vec_id, c.cent_id AS cell,
@@ -3819,23 +3843,13 @@ def _ivfpq_upsert_sql() -> str:
     codebooks and centroid bank (both sidecars are immutable across
     upserts — pinned by tests/test_pq.py::test_ivfpq_upsert_and_delete_
     maintenance). Updated corpus = every vec_id % MOD == 0 replaced by
-    its reversed vector + the 20 planted inserts."""
-    dsub = 64 // PQ_M
-    dist = (
-        "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cvec)"
-        " + list_dot_product(cvec, cvec)"
-    )
+    its reversed vector + the 20 planted inserts. The codebook (x, cb),
+    cell bank, and code-assignment CTEs are the SAME builders _ivfpq_sql
+    uses (one SQL encoding of each contract)."""
     cos = _SQL_COS6
     return f"""
-WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb AS (
-  SELECT t.j, b.c, b.v[t.j * {dsub} + 1 : (t.j + 1) * {dsub}] AS cvec
-  FROM (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-    FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {PQ_CODES})
-  ) b CROSS JOIN range(0, {PQ_M}) t(j)
-),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM x ORDER BY vec_id LIMIT {IVFPQ_CENTROIDS}),
+WITH {_pq_base_ctes()},
+{_pq_cents_cte()},
 upd AS (
   SELECT vec_id,
          CASE WHEN vec_id % {UPSERT_REPLACE_MOD} = 0 THEN list_reverse(v)
@@ -3844,17 +3858,7 @@ upd AS (
   UNION ALL
   SELECT vec_id + {UPSERT_INSERT_BASE}, v FROM x WHERE vec_id < {UPSERT_INSERT_N}
 ),
-newcodes AS (
-  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
-    SELECT vec_id, j, c, row_number() OVER (
-      PARTITION BY vec_id, j ORDER BY round(d, 6) ASC, c ASC) AS rnk
-    FROM (
-      SELECT u.vec_id, cb.j, cb.c, {dist} AS d
-      FROM upd u CROSS JOIN cb
-      CROSS JOIN LATERAL (SELECT u.v[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}] AS sub) s
-    )
-  ) WHERE rnk = 1 GROUP BY vec_id
-),
+{_pq_codes_cte('upd', 'newcodes')},
 cells AS (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, c.cent_id AS cell,

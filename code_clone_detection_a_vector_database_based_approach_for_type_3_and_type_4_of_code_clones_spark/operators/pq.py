@@ -266,6 +266,27 @@ def _probe_lut(
     return qids, lut
 
 
+def _adc_local_topk(adist: np.ndarray, kk: int) -> np.ndarray:
+    """Exact (adist asc, id asc) local top-``kk`` column selection over an
+    id-ascending-column int64 distance matrix — shared by both ADC
+    kernels. Fast path: a single argpartition on the EXACT integer
+    composite ``adist * B + col_idx`` (strictly lexicographic because
+    columns are id-ascending), O(B) per row. The composite is used only
+    when it provably cannot overflow int64; the astronomical-distance
+    regime (adist_max > (2^63-1-B)/B) falls back to a stable argsort,
+    which is exact at any magnitude (the r11 tie-break contract — no
+    float composite anywhere, see tests/test_pq.py
+    test_adc_tiebreak_exact_beyond_2pow52)."""
+    n = adist.shape[1]
+    if kk >= n:
+        return np.argsort(adist, axis=1, kind="stable")[:, :kk]
+    maxd = int(adist.max()) if adist.size else 0
+    if maxd <= (np.iinfo(np.int64).max - (n - 1)) // n:
+        comp = adist * np.int64(n) + np.arange(n, dtype=np.int64)[None, :]
+        return np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+    return np.argsort(adist, axis=1, kind="stable")[:, :kk]
+
+
 def pq_adc_topk(
     probes: DataFrame,
     codes: DataFrame,
@@ -322,7 +343,7 @@ def pq_adc_topk(
             # dropping; extra local candidates never change the global
             # (adist6, result_id) window top-k
             kk = min(k + (1 if exclude_self else 0), len(ids))
-            sel = np.argsort(adist, axis=1, kind="stable")[:, :kk]  # (Q, kk)
+            sel = _adc_local_topk(adist, kk)  # (Q, kk)
             rows_q = np.repeat(qids, kk)
             rows_id = ids[sel].ravel()
             rows_d = np.take_along_axis(adist, sel, axis=1).ravel()
@@ -646,7 +667,7 @@ def pq_knn_persisted(
                 for j in range(m):
                     adist += sub_lut[:, j, :][:, cm[:, j]]
                 kk = min(ko + (1 if exclude_self else 0), len(ids))
-                sel = np.argsort(adist, axis=1, kind="stable")[:, :kk]
+                sel = _adc_local_topk(adist, kk)
                 rows_q = np.repeat(qids[qsel], kk)
                 rows_id = ids[sel].ravel()
                 rows_d = np.take_along_axis(adist, sel, axis=1).ravel()

@@ -350,15 +350,16 @@ WHERE status IS NOT NULL
 # ---------------------------------------------------------------------------
 # temperature_sample (r11; staged r12 graded-entry differential)
 
-_TS_H60 = "('0x' || substr(sha256({e}), 1, 15))::UBIGINT::BIGINT"
-
-
 def temperature_sample_sql(temperature: float = 2.0,
                            keep_frac: float = 0.5) -> str:
     """STAGED r12 graded-entry oracle: the full temperature-mixture
     replay — source counts, 1e-9-grid flattened masses, EXACT integer
     normalizer, micro-unit rate threshold, portable-hash keep filter."""
-    h = _TS_H60.format(e="d.source || ':' || d.doc_id")
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
+        stable_hash64_sql,
+    )
+
+    h = stable_hash64_sql("d.source || ':' || d.doc_id")
     return f"""
 WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
 t AS (SELECT sum(n_s)::BIGINT AS n_tot FROM c),

@@ -214,6 +214,10 @@ def test_bloom_occupancy_flags_saturation(spark):
 
 import hashlib
 
+from conftest import hll_estimate_sql
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
+    stable_hash64_sql,
+)
 from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
     HLL_P,
     hll_build,
@@ -221,7 +225,6 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
     hll_merge,
 )
 
-_SQL_H60 = "('0x' || substr(sha256({e}), 1, 15))::UBIGINT::BIGINT"
 _SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
 
 
@@ -291,41 +294,13 @@ def test_hll_groups_are_independent(spark):
 
 def hll_tokens_sql(p: int = HLL_P) -> str:
     """STAGED r12 graded-entry oracle: per-source distinct-token HLL —
-    registers AND the estimate replayed in full ANSI SQL (integer-exact
-    harmonic sum, one division + one add + the linear-counting ln,
-    rounded 6dp — the hll_estimate contract)."""
-    m = 1 << p
-    maxr = 60 - p + 1
-    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m  # one FLOAT literal:
-    # DuckDB parses `0.718... * 256 * 256` as DECIMAL and overflows
-    h = _SQL_H60.format(e="t")
-    return f"""
-WITH tok AS (
-  SELECT source, unnest({_SQL_TOKS}) AS t FROM documents
-),
-hashed AS (SELECT source, {h} AS h FROM tok),
-regs AS (
-  SELECT source, h % {m} AS bucket,
-         max(CASE WHEN (h >> {p}) = 0 THEN {maxr}
-                  ELSE {maxr} - length(bin(h >> {p})) END)::INT AS reg
-  FROM hashed GROUP BY source, h % {m}
-),
-agg AS (
-  SELECT source, count(*)::BIGINT AS n_touched,
-         sum(reg)::BIGINT AS reg_sum,
-         sum((1::BIGINT << ({maxr} - reg)))::BIGINT AS inv_scaled
-  FROM regs GROUP BY source
-)
-SELECT source, n_touched, reg_sum,
-       round(CASE WHEN {alpha_mm!r} /
-                       (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
-                       <= {2.5 * m!r}
-                  AND n_touched < {m}
-             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_touched)::DOUBLE)
-             ELSE {alpha_mm!r} /
-                  (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
-             END, 6) AS est_distinct
-FROM agg"""
+    registers AND the estimate replayed in full ANSI SQL via the SHARED
+    conftest renderer of the hll_estimate contract (integer-exact
+    harmonic sum, linear-counting branch, 6dp)."""
+    h = stable_hash64_sql("t")
+    hashed = f"""SELECT source, {h} AS h
+  FROM (SELECT source, unnest({_SQL_TOKS}) AS t FROM documents)"""
+    return hll_estimate_sql(hashed, ["source"], p)
 
 
 def test_hll_tokens_matches_duckdb_replay(documents, sf_dir):

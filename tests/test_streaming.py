@@ -877,41 +877,21 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path, sf_dir):
 
 def events_hourly_distinct_sql(p: int = 8) -> str:
     """STAGED r12 graded-entry oracle: per-(hour, event_type)
-    distinct-user HLL — registers and the integer-exact estimate replayed
-    in full ANSI SQL over the events table (epoch_us hour bucketing, the
-    hll_tokens_sql estimate contract)."""
-    m = 1 << p
-    maxr = 60 - p + 1
-    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
-    h60 = "('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT"
-    return f"""
-WITH ev AS (
-  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
-         {h60} AS h
-  FROM events
-),
-regs AS (
-  SELECT hour_epoch, event_type, h % {m} AS bucket,
-         max(CASE WHEN (h >> {p}) = 0 THEN {maxr}
-                  ELSE {maxr} - length(bin(h >> {p})) END)::INT AS reg
-  FROM ev GROUP BY 1, 2, 3
-),
-agg AS (
-  SELECT hour_epoch, event_type, count(*)::BIGINT AS n_touched,
-         sum(reg)::BIGINT AS reg_sum,
-         sum((1::BIGINT << ({maxr} - reg)))::BIGINT AS inv_scaled
-  FROM regs GROUP BY 1, 2
-)
-SELECT hour_epoch, event_type, n_touched, reg_sum,
-       round(CASE WHEN {alpha_mm!r} /
-                       (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
-                       <= {2.5 * m!r}
-                  AND n_touched < {m}
-             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_touched)::DOUBLE)
-             ELSE {alpha_mm!r} /
-                  (inv_scaled::DOUBLE / {float(1 << maxr)!r} + ({m} - n_touched)::DOUBLE)
-             END, 6) AS est_distinct
-FROM agg"""
+    distinct-user HLL over the events table (epoch_us hour bucketing) —
+    rendered through the SHARED conftest hll_estimate_sql, so this and
+    the hll_tokens oracle can never assert different correction math."""
+    from conftest import hll_estimate_sql
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
+        stable_hash64_sql,
+    )
+
+    h = stable_hash64_sql("user_id::VARCHAR")
+    hashed = (
+        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,"
+        f" event_type, {h} AS h FROM events"
+    )
+    return hll_estimate_sql(hashed, ["hour_epoch", "event_type"], p)
 
 
 def test_events_hourly_distinct_matches_duckdb_replay(spark, sf_dir):
