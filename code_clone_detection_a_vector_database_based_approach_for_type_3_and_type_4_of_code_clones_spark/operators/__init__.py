@@ -68,6 +68,11 @@ from .retrieval import (  # noqa: F401
     bm25_topk,
     rrf_fuse,
 )
+from .classify import (  # noqa: F401
+    doc_features,
+    linear_filter_scores,
+    train_linear_filter,
+)
 from .cleanse import (  # noqa: F401
     boilerplate_lines,
     line_document_frequency,

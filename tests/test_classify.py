@@ -1,0 +1,227 @@
+"""Linear quality filter (operators/classify.py): exact-integer training
+parity with a pure-Python oracle, deterministic separation of a planted
+low-quality class, class-balance and guard properties, and the STAGED r12
+full-SQL differential (features + statically-unrolled training rounds +
+final scores — the kmeans_lloyd precedent)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators import (  # noqa: E402
+    classify as C,
+)
+
+# planted low-quality twins: digit-spam suffix (the machine-generated /
+# numeric-boilerplate archetype) — shifts digit_ratio from exactly 0 to
+# positive and dilutes alpha/stopword mass, all replayable in SQL
+SPAM = " 000 111 222 333 444 555 666 777 888 999" * 4
+NEG_BASE = 6_000_000
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _planted(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    neg = docs.select(
+        (F.col("doc_id") + NEG_BASE).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(SPAM)).alias("text"),
+    )
+    corpus = docs.unionByName(neg)
+    labels = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") < NEG_BASE, 1).otherwise(-1).alias("y"),
+    )
+    return corpus, labels
+
+
+def test_training_matches_python_oracle(spark, sf_dir):
+    """The trainer's per-round arithmetic is EXACT integers, so a pure-
+    Python replay over the collected feature rows must reproduce the
+    weight vector bit-for-bit."""
+    corpus, labels = _planted(spark, sf_dir)
+    feats = C.doc_features(corpus)
+    rep: dict = {}
+    w6 = C.train_linear_filter(feats, labels, report=rep)
+
+    rows = [
+        (int(r.doc_id), [int(r[f"f{j}"]) for j in range(len(C.FEATURES))])
+        for r in feats.collect()
+    ]
+    y = {int(r.doc_id): int(r.y) for r in labels.collect()}
+    n_pos = sum(1 for d, _ in rows if y[d] == 1)
+    n_neg = len(rows) - n_pos
+    k = len(C.FEATURES)
+    w = [0] * k
+    thresh = C.M6 * C.M6
+    viols = []
+    for _ in range(C.CLS_ITERS):
+        gp, gn, nv = [0] * k, [0] * k, 0
+        for d, f in rows:
+            dot = sum(w[j] * f[j] for j in range(k))
+            if y[d] * dot < thresh:
+                nv += 1
+                tgt = gp if y[d] == 1 else gn
+                for j in range(k):
+                    tgt[j] += f[j]
+        viols.append(nv)
+        for j in range(k):
+            step = C._trunc_div(gp[j], n_pos) - C._trunc_div(gn[j], n_neg)
+            w[j] += C._trunc_div(step * C.ETA_NUM, C.ETA_DEN)
+    assert w6 == w
+    assert rep["violations"] == viols
+    assert rep["n_pos"] == n_pos and rep["n_neg"] == n_neg
+
+
+def test_planted_spam_is_separated(spark, sf_dir):
+    """Deterministic, so the outcome is pinned, not just bounded: after
+    CLS_ITERS balanced rounds the filter must keep essentially all clean
+    docs and reject essentially all digit-spam twins."""
+    corpus, labels = _planted(spark, sf_dir)
+    feats = C.doc_features(corpus)
+    w6 = C.train_linear_filter(feats, labels)
+    out = C.linear_filter_scores(feats, w6).join(labels, "doc_id")
+    agg = out.select(
+        F.avg(F.when((F.col("y") == 1) == F.col("keep"), 1.0).otherwise(0.0))
+        .alias("acc"),
+        F.avg(F.when(F.col("y") == 1, F.col("keep").cast("double"))).alias(
+            "pos_kept"
+        ),
+        F.avg(F.when(F.col("y") == -1, F.col("keep").cast("double"))).alias(
+            "neg_kept"
+        ),
+    ).collect()[0]
+    assert agg.acc >= 0.99, agg
+    assert agg.pos_kept >= 0.99, agg
+    assert agg.neg_kept <= 0.01, agg
+
+
+def test_single_class_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    feats = C.doc_features(docs)
+    labels = docs.select("doc_id", F.lit(1).alias("y"))
+    with pytest.raises(ValueError, match="both classes"):
+        C.train_linear_filter(feats, labels)
+
+
+# ------------------------------------------------------------------ SQL
+
+
+def _features_sql(src: str) -> str:
+    """DuckDB twin of doc_features over relation ``src`` (doc_id, text)."""
+    stop = ", ".join(
+        f"'{w}'"
+        for w in __import__(
+            "code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text",
+            fromlist=["STOPWORDS_EN"],
+        ).STOPWORDS_EN
+    )
+    r6 = lambda num, den: (  # noqa: E731
+        f"CASE WHEN {den} > 0 THEN ({num} * 1000000) // {den} ELSE 0 END"
+    )
+    return f"""
+  SELECT doc_id,
+         1000000::BIGINT AS f0,
+         ({r6('n_alpha', 'n_chars')})::BIGINT AS f1,
+         ({r6('n_digit', 'n_chars')})::BIGINT AS f2,
+         ({r6('n_punct', 'n_chars')})::BIGINT AS f3,
+         ({r6('stop_hits', 'n_tok')})::BIGINT AS f4,
+         least((n_tok * 1000000) // {C.LEN_SAT_TOKENS}, 1000000)::BIGINT AS f5,
+         least({r6('sum_len', f'(n_tok * {C.AVG_LEN_SAT})')}, 1000000)::BIGINT AS f6
+  FROM (
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tok,
+           length(text)::BIGINT AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+           length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::BIGINT AS n_punct,
+           len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS stop_hits,
+           coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)::BIGINT AS sum_len
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM ({src}))
+  )"""
+
+
+def quality_filter_sql(iters: int = C.CLS_ITERS) -> str:
+    """STAGED r12 graded-entry oracle: the planted corpus, the feature
+    build, EVERY balanced hinge round statically unrolled (per-class
+    violator sums, trunc-div mean gradients with sign-split CASE), and
+    the final map-side scores — all in ANSI SQL."""
+    k = len(C.FEATURES)
+    tdiv = lambda v, d: (  # noqa: E731
+        f"CASE WHEN ({v}) >= 0 THEN ({v}) // ({d}) ELSE -((-({v})) // ({d})) END"
+    )
+    src = f"""SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {NEG_BASE}, text || '{SPAM}' FROM documents"""
+    # MATERIALIZED everywhere a CTE is referenced by every unrolled round
+    # (the _bpe_train_ctes lesson: default inlining re-evaluates the whole
+    # upstream chain per round — exponential plan + fd exhaustion)
+    parts = [
+        f"corpus AS MATERIALIZED ({src})",
+        f"feats AS MATERIALIZED ({_features_sql('SELECT * FROM corpus')})",
+        f"lab AS (SELECT doc_id, CASE WHEN doc_id < {NEG_BASE} THEN 1 ELSE -1 END AS y FROM corpus)",
+        "fx AS MATERIALIZED (SELECT f.*, l.y FROM feats f JOIN lab l USING (doc_id))",
+        "cnt AS MATERIALIZED (SELECT count_if(y = 1)::BIGINT AS np, count_if(y = -1)::BIGINT AS nn FROM fx)",
+        "w0 AS MATERIALIZED (SELECT " + ", ".join(f"0::BIGINT AS w{j}" for j in range(k)) + ")",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        dot = " + ".join(f"{prev}.w{j} * fx.f{j}" for j in range(k))
+        gsums = ", ".join(
+            f"sum(CASE WHEN viol AND y = 1 THEN f{j} ELSE 0 END)::BIGINT AS gp{j}, "
+            f"sum(CASE WHEN viol AND y = -1 THEN f{j} ELSE 0 END)::BIGINT AS gn{j}"
+            for j in range(k)
+        )
+        def _upd(j: int) -> str:
+            step = (
+                f"(({tdiv(f'g.gp{j}', 'cnt.np')}) - "
+                f"({tdiv(f'g.gn{j}', 'cnt.nn')}))"
+            )
+            return (
+                f"{prev}.w{j} + ({tdiv(f'{step} * {C.ETA_NUM}', C.ETA_DEN)})"
+                f" AS w{j}"
+            )
+
+        newws = ", ".join(_upd(j) for j in range(k))
+        parts.append(
+            f"""v{t} AS (
+  SELECT fx.*, (y * ({dot})) < 1000000000000 AS viol FROM fx, {prev}
+),
+g{t} AS MATERIALIZED (SELECT {gsums} FROM v{t}),
+w{t} AS MATERIALIZED (SELECT {newws} FROM {prev}, g{t} g, cnt)"""
+        )
+    dot_final = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT f.doc_id, ({dot_final})::BIGINT AS score12,
+       ({dot_final}) >= 0 AS keep
+FROM feats f, w{iters} w"""
+    )
+
+
+def test_quality_filter_matches_duckdb_replay(spark, sf_dir):
+    """The staged r12 differential: features + trained weights + scores
+    vs the fully-unrolled SQL replay — every doc's exact integer margin
+    and keep decision identical."""
+    corpus, labels = _planted(spark, sf_dir)
+    feats = C.doc_features(corpus)
+    w6 = C.train_linear_filter(feats, labels)
+    got = sorted(
+        (int(r.doc_id), int(r.score12), bool(r.keep))
+        for r in C.linear_filter_scores(feats, w6).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), bool(c))
+        for a, b, c in con.execute(quality_filter_sql()).fetchall()
+    )
+    assert got == want
