@@ -74,6 +74,7 @@ def corpus_prep(
     substring_run_n: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep_frac: float = 0.25,
+    quality_train: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the 7-stage prep over ``docs (doc_id, text, lang, source)``.
 
@@ -102,6 +103,17 @@ def corpus_prep(
     mixture sampling (domain selection first, source balancing on what
     survives it). Default None keeps the graded plan byte-identical
     (branch, not filter); accounting gains ``n_dsir_kept`` only in this
+    mode.
+
+    ``quality_train`` (opt-in stage 5.4): the LEARNED quality filter
+    (operators/classify.py — the CCNet classifier stage): a labeled
+    frame ``(doc_id, text, y in {+1,-1})`` trains the class-balanced
+    hinge filter (eager by design: CLS_ITERS bounded collects, the
+    dup_groups exception class), every base row is scored map-side, and
+    survivors additionally require a non-negative integer margin. Runs
+    before DSIR when both are on (DSIR then trains on the
+    classifier-cleaned pool). Default None keeps the graded plan
+    byte-identical; accounting gains ``n_qualfilter_kept`` only in this
     mode.
     - ``near_groups``: the stage-3 ``duplicate_groups`` output
       ``(doc_id, group_id, is_keeper)`` — downstream consumers (e.g. a
@@ -238,6 +250,35 @@ def corpus_prep(
         & F.col("not_contaminated")
     )
 
+    # stage 5.4 (opt-in, ``quality_train``): the learned quality filter.
+    # Training is eager (CLS_ITERS bounded 2K+2-integer collects); the
+    # corpus itself only pays ONE map-side feature+score projection and a
+    # broadcast-shaped join of the (doc_id, keep) frame back onto base.
+    # Docs outside the pool are already dropped by earlier gates — the
+    # flag only refines the conjunction (the dsir_ok pattern).
+    if quality_train is not None:
+        from ..operators.classify import (
+            doc_features,
+            linear_filter_scores,
+            train_linear_filter,
+        )
+
+        w6 = train_linear_filter(
+            doc_features(quality_train),
+            quality_train.select("doc_id", "y"),
+        )
+        qflags = linear_filter_scores(doc_features(base), w6).select(
+            "doc_id", F.col("keep").alias("qualfilter_ok")
+        )
+        base = persist_bounded(
+            base.join(qflags, "doc_id", "left").withColumn(
+                "qualfilter_ok",
+                F.coalesce(F.col("qualfilter_ok"), F.lit(False)),
+            ),
+            eager=False,
+        )
+        gate_conj = gate_conj & F.col("qualfilter_ok")
+
     # stage 5.5 (opt-in, ``dsir_target``): DSIR importance selection over
     # the gate-surviving pool. The pool filter reads the PERSISTED base,
     # so the weights pipeline (raw-LM train + two model joins) never
@@ -277,6 +318,9 @@ def corpus_prep(
         )
     else:
         survivors = base.filter(gate_conj)
+    if quality_train is not None:
+        # same schema-stability rule for the classifier flag
+        survivors = survivors.drop("qualfilter_ok")
 
     # stage 6: deterministic mixture sampling (map-side filter)
     sampled = (
@@ -313,6 +357,13 @@ def corpus_prep(
             F.sum("n_substr_tokens_removed")
             .cast("bigint")
             .alias("n_substr_tokens_removed")
+        )
+    if quality_train is not None:
+        # same schema-stability rule as substring mode
+        agg_cols.append(
+            F.sum((k4 & F.col("qualfilter_ok")).cast("long"))
+            .cast("bigint")
+            .alias("n_qualfilter_kept")
         )
     if dsir_target is not None:
         # same schema-stability rule as substring mode

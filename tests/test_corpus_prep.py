@@ -215,3 +215,39 @@ def test_corpus_prep_dsir_mode_selects_target_domain(spark):
     out_default = corpus_prep(docs, boilerplate_min_df=99)
     assert "n_dsir_kept" not in out_default["accounting"].columns
     assert out_default["accounting"].collect()[0].n_sampled == 4
+
+
+def test_corpus_prep_quality_filter_mode(spark):
+    """Opt-in stage 5.4 (quality_train): a labeled train frame (clean
+    positives vs digit-spam negatives) gates the corpus through the
+    learned linear filter — the spam-shaped corpus doc is dropped, clean
+    docs survive, accounting gains n_qualfilter_kept, and the default
+    mode's docs schema and accounting are unchanged."""
+    spam_tail = " 000 111 222 333 444 555 666 777 888 999" * 4
+    clean_b = ("the quiet garden behind the house is full of tall trees "
+               "and the children play there in the warm afternoon while "
+               "the birds sing in the hedge near the old stone wall")
+    docs = spark.createDataFrame(
+        [(0, BODY, "en", "web"), (1, clean_b, "en", "web"),
+         (2, clean_b + spam_tail, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    # labeled training frame: the same registers, disjoint ids
+    train = spark.createDataFrame(
+        [(100, BODY, 1), (101, clean_b, 1),
+         (102, BODY + spam_tail, -1), (103, clean_b + spam_tail, -1)],
+        "doc_id long, text string, y int",
+    )
+    out = corpus_prep(docs, boilerplate_min_df=99, quality_train=train)
+    kept = {r.doc_id for r in out["docs"].select("doc_id").collect()}
+    assert kept == {0, 1}
+    acc = out["accounting"].collect()[0]
+    assert acc.n_qualfilter_kept == 2
+    assert acc.n_input == 3 and acc.n_sampled == 2
+    # helper flag never leaks into the returned docs frame
+    assert "qualfilter_ok" not in out["docs"].columns
+    # default mode unchanged: no classifier column, all three survive
+    out_default = corpus_prep(docs, boilerplate_min_df=99)
+    assert "n_qualfilter_kept" not in out_default["accounting"].columns
+    assert out_default["accounting"].collect()[0].n_sampled == 3
+    assert out_default["docs"].columns == out["docs"].columns
