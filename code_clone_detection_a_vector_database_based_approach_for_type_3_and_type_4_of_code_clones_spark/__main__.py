@@ -111,6 +111,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dsir_keep_frac", type=float, default=0.25,
                    help="corpus: fraction kept by DSIR selection "
                         "(only with --dsir_target_parquet)")
+    p.add_argument("--quality_train_parquet", default=None,
+                   help="corpus: opt-in learned quality filter — parquet "
+                        "of labeled docs (doc_id, text, y in {+1,-1}); "
+                        "trains the class-balanced hinge filter and gates "
+                        "survivors on its integer margin (the CCNet "
+                        "classifier stage; default off)")
     return p
 
 
@@ -211,6 +217,11 @@ def run(argv: list[str] | None = None) -> dict:
                 else None
             ),
             dsir_keep_frac=args.dsir_keep_frac,
+            quality_train=(
+                spark.read.parquet(args.quality_train_parquet)
+                if args.quality_train_parquet
+                else None
+            ),
         )
         acc = res["accounting"].first().asDict()
         per_split: dict[str, int] = {}

@@ -179,6 +179,44 @@ def test_cli_corpus_substring_mode(spark, tmp_path, sf_dir):
     assert sum(res["per_split"].values()) == acc["n_sampled"]
 
 
+def test_cli_corpus_quality_filter_mode(spark, tmp_path, sf_dir):
+    """--quality_train_parquet threads through prepare_and_ship into the
+    funnel's learned-filter stage: a labeled frame (fixture docs as
+    positives, digit-spam twins as negatives) trains the hinge filter,
+    the accounting gains n_qualfilter_kept, and the clean fixture corpus
+    survives the gate (exact separation is pinned in test_classify /
+    test_corpus_prep; presence and plumbing are the contract here)."""
+    from pyspark.sql import functions as F
+
+    out_dir = tmp_path / "shipped_qual"
+    out_dir.mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spam = " 000 111 222 333 444 555 666 777 888 999" * 4
+    train = (
+        docs.limit(50).select("doc_id", "text", F.lit(1).alias("y"))
+        .unionByName(
+            docs.limit(50).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(spam)).alias("text"),
+                F.lit(-1).alias("y"),
+            )
+        )
+    )
+    train_path = str(tmp_path / "qual_train.parquet")
+    train.write.parquet(train_path)
+    res = run([
+        "--dataset", "corpus",
+        "--docs_parquet", f"{sf_dir}/documents.parquet",
+        "--output_dir", str(out_dir),
+        "--n_shards", "2",
+        "--quality_train_parquet", train_path,
+    ])
+    acc = res["accounting"]
+    assert "n_qualfilter_kept" in acc
+    assert acc["n_qualfilter_kept"] > 0  # the clean corpus passes the gate
+    assert sum(res["per_split"].values()) == acc["n_sampled"]
+
+
 def test_cli_corpus_missing_args_fail_fast():
     with pytest.raises(SystemExit, match="docs_parquet"):
         run(["--dataset", "corpus"])
