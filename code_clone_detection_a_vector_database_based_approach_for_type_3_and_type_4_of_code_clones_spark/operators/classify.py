@@ -62,6 +62,13 @@ ETA_NUM, ETA_DEN = 1, 2  # eta = 0.5 / n_docs per round, integer-rational
 LEN_SAT_TOKENS = 100     # length saturates at 100 tokens (C4/Gopher-style)
 AVG_LEN_SAT = 20         # average token length saturates at 20 chars
 
+# The per-class violator feature sums are BIGINT and each feature is at
+# most 1e6, so a sum over more than ~(2^63-1)/1e6 violator docs can wrap
+# silently. Training sets past this bound must switch the gradient sums
+# to DECIMAL(38,0) (and the oracle's ::BIGINT casts with them); the guard
+# in train_linear_filter makes the boundary loud instead of silent.
+GRAD_SAFE_DOCS = (2**63 - 1) // M6  # ~9.22e12 labeled docs
+
 
 def _r6(num: str, den: str) -> str:
     """Positive-domain micro-unit ratio as SQL text: ``(num*1e6) div den``
@@ -137,7 +144,22 @@ def train_linear_filter(
     map-side-combinable aggregate; only 2K+2 BIGINTs (per-class violator
     feature sums + counts) reach the driver per round (bounded like the
     k-means bank). Pass ``report`` to receive ``violations`` (per-round
-    counts) and ``n_pos``/``n_neg``."""
+    counts) and ``n_pos``/``n_neg``.
+
+    Input contract, enforced loudly (all checks run on the persisted
+    joined frame, so they cost counts, not extra corpus scans):
+
+    - every joined label is exactly +1 or -1 — a stray 0/NULL row would
+      otherwise be a perpetual margin violator that inflates the reported
+      violation counts while contributing to neither class gradient;
+    - ``labels`` carries each doc_id at most once — a duplicate would fan
+      the join out and silently double-count that document's gradient;
+    - the labeled-doc count stays under ``GRAD_SAFE_DOCS`` — past it the
+      BIGINT per-class gradient sums can wrap silently (remediation:
+      DECIMAL(38,0) sums; see the constant's comment). Violators are a
+      subset of labeled docs, so this one upfront check bounds every
+      round's sums.
+    """
     df = features.join(labels, "doc_id").persist()
     n_pos = df.filter(F.col("y") == 1).count()
     n_neg = df.filter(F.col("y") == -1).count()
@@ -145,6 +167,27 @@ def train_linear_filter(
         raise ValueError(
             f"train_linear_filter: need both classes (n_pos={n_pos}, "
             f"n_neg={n_neg})"
+        )
+    n_all = df.count()
+    if n_all != n_pos + n_neg:
+        raise ValueError(
+            f"train_linear_filter: {n_all - n_pos - n_neg} labeled rows "
+            "have y outside {+1, -1} (each would be a perpetual margin "
+            "violator contributing to neither class gradient)"
+        )
+    n_ids = df.select("doc_id").distinct().count()
+    if n_all != n_ids:
+        raise ValueError(
+            f"train_linear_filter: labels join fanned out ({n_all} joined "
+            f"rows over {n_ids} distinct doc_ids) — duplicate doc_ids in "
+            "labels would double-count those documents' gradients"
+        )
+    if n_all > GRAD_SAFE_DOCS:
+        raise ValueError(
+            f"train_linear_filter: {n_all} labeled docs exceeds "
+            f"GRAD_SAFE_DOCS={GRAD_SAFE_DOCS}; the BIGINT per-class "
+            "gradient sums could wrap silently — switch the sums (and the "
+            "SQL oracle's casts) to DECIMAL(38,0) for corpora this large"
         )
     k = len(FEATURES)
     w6 = [0] * k

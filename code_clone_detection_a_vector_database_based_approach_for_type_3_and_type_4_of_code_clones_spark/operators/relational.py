@@ -12,8 +12,35 @@ hash bucket regardless of how AQE splits partitions).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _round_half_up_guarded(x: float, what: str, ulps: int = 4) -> int:
+    """HALF-UP round of a non-negative double to int, REFUSING values
+    within ``ulps`` ULPs of the ``.5`` rounding boundary.
+
+    Used where a decision-feeding integer is derived through a
+    transcendental (``temperature_sample``'s ``pw9``): libm ``pow``
+    implementations agree only to ~1 ULP, so a mass sitting at the
+    boundary could round differently across engines and silently flip the
+    keep set. Values certified by this guard round identically under ANY
+    IEEE double implementation within ``ulps`` ULPs — fixture/corpus
+    drift onto a boundary fails loudly instead (the ``_bpe_merges``
+    report-assertion pattern)."""
+    f = math.floor(x)
+    frac = x - f  # exact: f is within a factor of 2 of x for x >= 1
+    if abs(frac - 0.5) <= ulps * max(math.ulp(x), 5e-324):
+        raise ValueError(
+            f"temperature_sample: {what} = {x!r} sits within {ulps} ULPs "
+            "of a .5 rounding boundary — a half-ULP libm disagreement "
+            "could flip the rounded integer across engines; perturb the "
+            "temperature/keep_frac or use an exact-rational formulation"
+        )
+    return int(f) + 1 if frac > 0.5 else int(f)
 
 
 def as_of_join(
@@ -309,49 +336,76 @@ def temperature_sample(
     micro-units before the hash compare — so the oracle replays the keep
     set bit-for-bit and float summation order never matters. Rates cap at
     1.0 (down-sampling form; up-sampling duplication is a different
-    operator). Scale shape: two source-sized aggregates broadcast back;
-    the corpus itself sees ONE map-side hash filter — at 100 TB this
-    costs a column-pruned scan, never a shuffle of the data rows.
+    operator).
+
+    ``pw9`` is the ONE decision-feeding integer in the engine derived
+    from a transcendental (``pow``), so its rounding boundary is GUARDED:
+    the per-source counts (bounded by the number of sources — the same
+    scale the broadcast rates table already was) are collected and the
+    flattened masses computed driver-side with an explicit 4-ULP
+    exclusion zone around every ``.5`` boundary. Any fixture/corpus whose
+    mass lands inside the zone raises loudly instead of risking a silent
+    cross-engine flip from a half-ULP libm disagreement (DuckDB replays
+    ``pow`` with its own libm; everything downstream of the certified
+    integers is correctly-rounded IEEE arithmetic on identical inputs,
+    hence bit-identical). The derived rates re-enter the plan as a
+    literal broadcast frame.
+
+    ``source_col`` must be non-null: a NULL source would get its own
+    count group (and a rate) but the inner equi-join can never match it,
+    silently excluding those docs regardless of ``keep_frac`` — so NULLs
+    raise instead (the ``mixture_sample`` contract).
+
+    Scale shape: ONE source-sized aggregate collected to the driver, then
+    the corpus sees ONE map-side broadcast-join + hash filter — at 100 TB
+    this costs a column-pruned scan, never a shuffle of the data rows.
 
     Output: all ``df`` columns + ``mix_rate DOUBLE`` (the applied rate in
     exact micro-units).
     """
     from ..functions.ids import stable_hash64
 
-    counts = df.groupBy(source_col).agg(
-        F.count("*").cast("bigint").alias("n_s")
+    rows = (
+        df.groupBy(source_col)
+        .agg(F.count("*").cast("bigint").alias("n_s"))
+        .collect()
     )
-    tot = counts.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
-    powed = counts.join(F.broadcast(tot)).withColumn(
-        "pw9",
-        F.round(
-            F.pow(
-                F.col("n_s").cast("double") / F.col("n_tot").cast("double"),
-                1.0 / float(temperature),
-            )
-            * 1e9
-        ).cast("bigint"),
-    )
-    z = powed.agg(F.sum("pw9").cast("bigint").alias("z9"))
-    rates = (
-        powed.join(F.broadcast(z))
-        .select(
-            source_col,
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    (
-                        F.lit(float(keep_frac))
-                        * F.col("n_tot").cast("double")
-                        * (F.col("pw9").cast("double") / F.col("z9").cast("double"))
-                    )
-                    / F.col("n_s").cast("double"),
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("thresh6"),
+    if any(r[source_col] is None for r in rows):
+        raise ValueError(
+            f"temperature_sample: NULL values in {source_col!r} — the "
+            "rate join can never match them, so those docs would be "
+            "silently dropped; filter or fill the source column first"
         )
+    n_tot = sum(int(r["n_s"]) for r in rows)
+    inv_t = 1.0 / float(temperature)
+    rate_rows = []
+    for r in rows:
+        n_s = int(r["n_s"])
+        pw9 = _round_half_up_guarded(
+            (n_s / n_tot) ** inv_t * 1e9, f"pw9[{r[source_col]!r}]"
+        )
+        rate_rows.append((r[source_col], n_s, pw9))
+    z9 = sum(p for _, _, p in rate_rows)
+    rates_local = [
+        (
+            src,
+            _round_half_up_guarded(
+                min(1.0, (float(keep_frac) * float(n_tot) * (pw9 / z9)) / n_s)
+                * 1e6,
+                f"thresh6[{src!r}]",
+            ),
+        )
+        for src, n_s, pw9 in rate_rows
+    ]
+    src_field = df.schema[source_col]
+    rates = df.sparkSession.createDataFrame(
+        rates_local,
+        T.StructType(
+            [
+                T.StructField(source_col, src_field.dataType),
+                T.StructField("thresh6", T.LongType()),
+            ]
+        ),
     )
     h = stable_hash64(
         F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))

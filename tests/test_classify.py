@@ -244,3 +244,38 @@ def test_plan_shapes_no_python_udf_no_cartesian(spark, sf_dir):
     for p in plans:
         assert "BatchEvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+def test_invalid_label_value_raises(spark, sf_dir):
+    """r12 input-contract guard: a label outside {+1, -1} (the classic 0)
+    would be a perpetual margin violator feeding neither class gradient —
+    the trainer must refuse it loudly."""
+    corpus, labels = _planted(spark, sf_dir)
+    bad = labels.withColumn(
+        "y", F.when(F.col("doc_id") % 97 == 0, 0).otherwise(F.col("y"))
+    )
+    with pytest.raises(ValueError, match="outside"):
+        C.train_linear_filter(C.doc_features(corpus), bad, iters=1)
+
+
+def test_duplicate_label_rows_raise(spark, sf_dir):
+    """r12 input-contract guard: duplicate doc_ids in labels fan the join
+    out and double-count those documents' gradients — refuse loudly."""
+    corpus, labels = _planted(spark, sf_dir)
+    dup = labels.unionByName(labels.limit(3))
+    with pytest.raises(ValueError, match="fanned out"):
+        C.train_linear_filter(C.doc_features(corpus), dup, iters=1)
+
+
+def test_gradient_bigint_bound_guard(spark, sf_dir, monkeypatch):
+    """r12 overflow guard: past GRAD_SAFE_DOCS labeled docs the BIGINT
+    per-class gradient sums can wrap silently. The near-overflow round is
+    constructed by shrinking the bound under the fixture corpus (red),
+    and the documented remediation must be named in the error; the real
+    bound passes (green) — every other test in this file."""
+    corpus, labels = _planted(spark, sf_dir)
+    feats = C.doc_features(corpus)
+    monkeypatch.setattr(C, "GRAD_SAFE_DOCS", 10)
+    with pytest.raises(ValueError, match="DECIMAL\\(38,0\\)"):
+        C.train_linear_filter(feats, labels, iters=1)
+    assert (2**63 - 1) // C.M6 > 9_000_000_000_000  # the real bound's scale

@@ -443,3 +443,40 @@ def test_temperature_flattens_toward_uniform(spark, sf_dir):
               "source", "mix_rate").distinct().collect()}
     for s, rate in t1.items():
         assert abs(rate - 0.5) < 1e-6, (s, rate)
+
+
+def test_temperature_sample_null_source_raises(spark, sf_dir):
+    """r12 contract guard (ADVICE): a NULL source gets its own count
+    group and rate, but the inner rate join can never match it — those
+    docs would silently vanish regardless of keep_frac. Refuse loudly
+    (the mixture_sample contract)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 101 == 0, None).otherwise(F.col("source")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_sample(docs)
+
+
+def test_round_half_up_guard_refuses_boundary():
+    """r12 pow-boundary guard (the r11 verdict's one decision-feeding
+    transcendental): values within 4 ULPs of a .5 boundary raise; values
+    clear of it round half-up exactly."""
+    import math
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        _round_half_up_guarded,
+    )
+
+    with pytest.raises(ValueError, match="ULPs"):
+        _round_half_up_guarded(2.5, "exact boundary")
+    with pytest.raises(ValueError, match="ULPs"):
+        _round_half_up_guarded(2.5 + 2 * math.ulp(2.5), "inside the zone")
+    assert _round_half_up_guarded(2.5 + 1e-9, "above") == 3
+    assert _round_half_up_guarded(2.5 - 1e-9, "below") == 2
+    assert _round_half_up_guarded(7.0, "integer") == 7
+    assert _round_half_up_guarded(0.0, "zero") == 0
