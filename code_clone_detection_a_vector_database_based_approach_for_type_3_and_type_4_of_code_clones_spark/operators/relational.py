@@ -416,3 +416,32 @@ def temperature_sample(
         .withColumn("mix_rate", F.col("thresh6").cast("double") / 1e6)
         .drop("thresh6")
     )
+
+
+def temperature_sample_duckdb_sql(
+    temperature: float = 2.0, keep_frac: float = 0.5
+) -> str:
+    """The DuckDB rendering of ``temperature_sample`` over view
+    ``documents`` (kept adjacent so the two definitions can't drift):
+    source counts, 1e-9-grid flattened masses, EXACT integer normalizer,
+    micro-unit rate threshold, portable-hash keep filter. The engine
+    derives pw9/thresh6 driver-side under the ULP guard above; this
+    replay recomputes them with DuckDB's own ``pow`` — the guard is what
+    certifies both land on the same integers."""
+    from ..functions.ids import stable_hash64_sql
+
+    h = stable_hash64_sql("d.source || ':' || d.doc_id")
+    return f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+t AS (SELECT sum(n_s)::BIGINT AS n_tot FROM c),
+p AS (SELECT source, n_s, n_tot,
+             round(pow(n_s::DOUBLE / n_tot::DOUBLE, {1.0 / temperature!r}) * 1e9)::BIGINT AS pw9
+      FROM c, t),
+z AS (SELECT sum(pw9)::BIGINT AS z9 FROM p),
+r AS (SELECT source,
+             round(least(1.0, ({float(keep_frac)!r} * n_tot::DOUBLE *
+                              (pw9::DOUBLE / z9::DOUBLE)) / n_s::DOUBLE) * 1e6)::BIGINT AS thresh6
+      FROM p, z)
+SELECT d.*, r.thresh6 / 1e6 AS mix_rate
+FROM documents d JOIN r USING (source)
+WHERE ({h}) % 1000000 < r.thresh6"""

@@ -431,3 +431,49 @@ def hll_estimate(
         "reg_sum",
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+def hll_estimate_duckdb_sql(
+    hashed_cte: str, group_cols: tuple[str, ...] | list[str], p: int = HLL_P
+) -> str:
+    """The ONE DuckDB rendering of the HLL register build + estimate
+    contract above (``hll_build``/``hll_estimate``), kept adjacent so the
+    two definitions can't drift (the ``stable_hash64_sql`` convention).
+    Shared by every HLL oracle — the graded ``hll_tokens`` /
+    ``events_hourly_distinct`` entries in ``__spark_entry__`` AND the
+    pytest differentials (via ``tests/conftest.hll_estimate_sql``) — so a
+    change to the correction logic cannot leave one oracle asserting
+    stale math.
+
+    ``hashed_cte``: SQL producing ``group_cols..., h`` (h = the portable
+    60-bit hash — render it with ``functions.ids.stable_hash64_sql``,
+    never a fresh literal). Output: ``group_cols..., n_touched, reg_sum,
+    est_distinct`` (6dp)."""
+    m, maxr = 1 << p, 60 - p + 1
+    alpha_mm = _hll_alpha(m) * m * m  # ONE float literal: DuckDB parses
+    # `0.718... * 256 * 256` as DECIMAL and overflows
+    g = ", ".join(group_cols)
+    est = (
+        f"{alpha_mm!r} / (inv_scaled::DOUBLE / {float(1 << maxr)!r}"
+        f" + ({m} - n_touched)::DOUBLE)"
+    )
+    return f"""
+WITH hashed AS ({hashed_cte}),
+regs AS (
+  SELECT {g}, h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) = 0 THEN {maxr}
+                  ELSE {maxr} - length(bin(h >> {p})) END)::INT AS reg
+  FROM hashed GROUP BY {g}, h % {m}
+),
+agg AS (
+  SELECT {g}, count(*)::BIGINT AS n_touched,
+         sum(reg)::BIGINT AS reg_sum,
+         sum((1::BIGINT << ({maxr} - reg)))::BIGINT AS inv_scaled
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, n_touched, reg_sum,
+       round(CASE WHEN {est} <= {2.5 * m!r} AND n_touched < {m}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_touched)::DOUBLE)
+             ELSE {est}
+             END, 6) AS est_distinct
+FROM agg"""

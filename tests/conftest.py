@@ -41,41 +41,15 @@ def documents(spark, sf_dir):
 
 def hll_estimate_sql(hashed_cte: str, group_cols: list[str],
                      p: int = 8) -> str:
-    """The ONE DuckDB rendering of the engine's HLL register build +
-    estimate contract (operators/sketch.py hll_build/hll_estimate),
-    shared by every HLL oracle (test_sketch's staged `hll_tokens_sql`,
-    test_streaming's staged `events_hourly_distinct_sql`) so a change to
-    the correction logic cannot leave one oracle asserting stale math.
-
-    ``hashed_cte``: SQL producing ``group_cols..., h`` (h = the portable
-    60-bit hash — render it with functions.ids.stable_hash64_sql, never a
-    fresh literal). Output: ``group_cols..., n_touched, reg_sum,
-    est_distinct`` (6dp)."""
-    m, maxr = 1 << p, 60 - p + 1
-    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m  # ONE float literal:
-    # DuckDB parses `0.718... * 256 * 256` as DECIMAL and overflows
-    g = ", ".join(group_cols)
-    est = (
-        f"{alpha_mm!r} / (inv_scaled::DOUBLE / {float(1 << maxr)!r}"
-        f" + ({m} - n_touched)::DOUBLE)"
+    """Delegates to the engine's ONE DuckDB rendering of the HLL
+    register build + estimate contract
+    (operators/sketch.py::hll_estimate_duckdb_sql — kept adjacent to the
+    Spark definitions so they can't drift). Every pytest HLL oracle
+    (test_sketch's `hll_tokens_sql`, test_streaming's
+    `events_hourly_distinct_sql`) and the graded-entry oracles in
+    __spark_entry__ therefore assert the same math."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        hll_estimate_duckdb_sql,
     )
-    return f"""
-WITH hashed AS ({hashed_cte}),
-regs AS (
-  SELECT {g}, h % {m} AS bucket,
-         max(CASE WHEN (h >> {p}) = 0 THEN {maxr}
-                  ELSE {maxr} - length(bin(h >> {p})) END)::INT AS reg
-  FROM hashed GROUP BY {g}, h % {m}
-),
-agg AS (
-  SELECT {g}, count(*)::BIGINT AS n_touched,
-         sum(reg)::BIGINT AS reg_sum,
-         sum((1::BIGINT << ({maxr} - reg)))::BIGINT AS inv_scaled
-  FROM regs GROUP BY {g}
-)
-SELECT {g}, n_touched, reg_sum,
-       round(CASE WHEN {est} <= {2.5 * m!r} AND n_touched < {m}
-             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_touched)::DOUBLE)
-             ELSE {est}
-             END, 6) AS est_distinct
-FROM agg"""
+
+    return hll_estimate_duckdb_sql(hashed_cte, group_cols, p)

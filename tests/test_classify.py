@@ -17,28 +17,17 @@ from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4
     classify as C,
 )
 
-# planted low-quality twins: digit-spam suffix (the machine-generated /
-# numeric-boilerplate archetype) — shifts digit_ratio from exactly 0 to
-# positive and dilutes alpha/stopword mass, all replayable in SQL
-SPAM = " 000 111 222 333 444 555 666 777 888 999" * 4
-NEG_BASE = 6_000_000
-_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+# The planted-twin shape and BOTH SQL renderers live in the engine
+# (operators/classify.py — the stable_hash64_sql "adjacent definitions"
+# convention) so this differential and the graded-entry oracle in
+# __spark_entry__ can never assert different math.
+SPAM = C.SPAM_SUFFIX
+NEG_BASE = C.PLANTED_NEG_BASE
 
 
 def _planted(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    neg = docs.select(
-        (F.col("doc_id") + NEG_BASE).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(SPAM)).alias("text"),
-    )
-    corpus = docs.unionByName(neg)
-    labels = corpus.select(
-        "doc_id",
-        F.when(F.col("doc_id") < NEG_BASE, 1).otherwise(-1).alias("y"),
-    )
-    return corpus, labels
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.planted_corpus(docs)
 
 
 def test_training_matches_python_oracle(spark, sf_dir):
@@ -114,95 +103,14 @@ def test_single_class_raises(spark, sf_dir):
 
 
 def _features_sql(src: str) -> str:
-    """DuckDB twin of doc_features over relation ``src`` (doc_id, text)."""
-    stop = ", ".join(
-        f"'{w}'"
-        for w in __import__(
-            "code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text",
-            fromlist=["STOPWORDS_EN"],
-        ).STOPWORDS_EN
-    )
-    r6 = lambda num, den: (  # noqa: E731
-        f"CASE WHEN {den} > 0 THEN ({num} * 1000000) // {den} ELSE 0 END"
-    )
-    return f"""
-  SELECT doc_id,
-         1000000::BIGINT AS f0,
-         ({r6('n_alpha', 'n_chars')})::BIGINT AS f1,
-         ({r6('n_digit', 'n_chars')})::BIGINT AS f2,
-         ({r6('n_punct', 'n_chars')})::BIGINT AS f3,
-         ({r6('stop_hits', 'n_tok')})::BIGINT AS f4,
-         least((n_tok * 1000000) // {C.LEN_SAT_TOKENS}, 1000000)::BIGINT AS f5,
-         least({r6('sum_len', f'(n_tok * {C.AVG_LEN_SAT})')}, 1000000)::BIGINT AS f6
-  FROM (
-    SELECT doc_id,
-           len(toks)::BIGINT AS n_tok,
-           length(text)::BIGINT AS n_chars,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
-           length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::BIGINT AS n_punct,
-           len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS stop_hits,
-           coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)::BIGINT AS sum_len
-    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM ({src}))
-  )"""
+    """Delegates to the engine's renderer (operators/classify.py)."""
+    return C.doc_features_duckdb_sql(src)
 
 
 def quality_filter_sql(iters: int = C.CLS_ITERS) -> str:
-    """STAGED r12 graded-entry oracle: the planted corpus, the feature
-    build, EVERY balanced hinge round statically unrolled (per-class
-    violator sums, trunc-div mean gradients with sign-split CASE), and
-    the final map-side scores — all in ANSI SQL."""
-    k = len(C.FEATURES)
-    tdiv = lambda v, d: (  # noqa: E731
-        f"CASE WHEN ({v}) >= 0 THEN ({v}) // ({d}) ELSE -((-({v})) // ({d})) END"
-    )
-    src = f"""SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + {NEG_BASE}, text || '{SPAM}' FROM documents"""
-    # MATERIALIZED everywhere a CTE is referenced by every unrolled round
-    # (the _bpe_train_ctes lesson: default inlining re-evaluates the whole
-    # upstream chain per round — exponential plan + fd exhaustion)
-    parts = [
-        f"corpus AS MATERIALIZED ({src})",
-        f"feats AS MATERIALIZED ({_features_sql('SELECT * FROM corpus')})",
-        f"lab AS (SELECT doc_id, CASE WHEN doc_id < {NEG_BASE} THEN 1 ELSE -1 END AS y FROM corpus)",
-        "fx AS MATERIALIZED (SELECT f.*, l.y FROM feats f JOIN lab l USING (doc_id))",
-        "cnt AS MATERIALIZED (SELECT count_if(y = 1)::BIGINT AS np, count_if(y = -1)::BIGINT AS nn FROM fx)",
-        "w0 AS MATERIALIZED (SELECT " + ", ".join(f"0::BIGINT AS w{j}" for j in range(k)) + ")",
-    ]
-    for t in range(1, iters + 1):
-        prev = f"w{t - 1}"
-        dot = " + ".join(f"{prev}.w{j} * fx.f{j}" for j in range(k))
-        gsums = ", ".join(
-            f"sum(CASE WHEN viol AND y = 1 THEN f{j} ELSE 0 END)::BIGINT AS gp{j}, "
-            f"sum(CASE WHEN viol AND y = -1 THEN f{j} ELSE 0 END)::BIGINT AS gn{j}"
-            for j in range(k)
-        )
-        def _upd(j: int) -> str:
-            step = (
-                f"(({tdiv(f'g.gp{j}', 'cnt.np')}) - "
-                f"({tdiv(f'g.gn{j}', 'cnt.nn')}))"
-            )
-            return (
-                f"{prev}.w{j} + ({tdiv(f'{step} * {C.ETA_NUM}', C.ETA_DEN)})"
-                f" AS w{j}"
-            )
-
-        newws = ", ".join(_upd(j) for j in range(k))
-        parts.append(
-            f"""v{t} AS (
-  SELECT fx.*, (y * ({dot})) < 1000000000000 AS viol FROM fx, {prev}
-),
-g{t} AS MATERIALIZED (SELECT {gsums} FROM v{t}),
-w{t} AS MATERIALIZED (SELECT {newws} FROM {prev}, g{t} g, cnt)"""
-        )
-    dot_final = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
-    return (
-        "WITH " + ",\n".join(parts) + f"""
-SELECT f.doc_id, ({dot_final})::BIGINT AS score12,
-       ({dot_final}) >= 0 AS keep
-FROM feats f, w{iters} w"""
-    )
+    """Delegates to the engine's graded-entry renderer
+    (operators/classify.py::quality_filter_duckdb_sql)."""
+    return C.quality_filter_duckdb_sql(iters)
 
 
 def test_quality_filter_matches_duckdb_replay(spark, sf_dir):

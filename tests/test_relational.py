@@ -352,28 +352,15 @@ WHERE status IS NOT NULL
 
 def temperature_sample_sql(temperature: float = 2.0,
                            keep_frac: float = 0.5) -> str:
-    """STAGED r12 graded-entry oracle: the full temperature-mixture
-    replay — source counts, 1e-9-grid flattened masses, EXACT integer
-    normalizer, micro-unit rate threshold, portable-hash keep filter."""
-    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.ids import (
-        stable_hash64_sql,
+    """Delegates to the engine's renderer
+    (operators/relational.py::temperature_sample_duckdb_sql) so this
+    differential and the graded-entry oracle in __spark_entry__ can never
+    assert different math."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        temperature_sample_duckdb_sql,
     )
 
-    h = stable_hash64_sql("d.source || ':' || d.doc_id")
-    return f"""
-WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
-t AS (SELECT sum(n_s)::BIGINT AS n_tot FROM c),
-p AS (SELECT source, n_s, n_tot,
-             round(pow(n_s::DOUBLE / n_tot::DOUBLE, {1.0 / temperature!r}) * 1e9)::BIGINT AS pw9
-      FROM c, t),
-z AS (SELECT sum(pw9)::BIGINT AS z9 FROM p),
-r AS (SELECT source,
-             round(least(1.0, ({float(keep_frac)!r} * n_tot::DOUBLE *
-                              (pw9::DOUBLE / z9::DOUBLE)) / n_s::DOUBLE) * 1e6)::BIGINT AS thresh6
-      FROM p, z)
-SELECT d.*, r.thresh6 / 1e6 AS mix_rate
-FROM documents d JOIN r USING (source)
-WHERE ({h}) % 1000000 < r.thresh6"""
+    return temperature_sample_duckdb_sql(temperature, keep_frac)
 
 
 def test_temperature_sample_matches_duckdb_replay(spark, sf_dir):
