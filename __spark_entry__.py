@@ -2910,6 +2910,176 @@ def q_strip_panel(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+HLL_TOKENS_P = 8  # 256 registers per source (operators.sketch.HLL_P)
+
+
+def q_hll_tokens(spark, sf_dir):
+    """NEW r12 (promoted from the staged r11 differential): per-source
+    distinct-token cardinality via relational HyperLogLog — registers
+    (n_touched, reg_sum) AND the 6dp estimate value-hash-proven. The
+    100 TB story: the build's shuffle carries at most groups x 2^p
+    register rows regardless of corpus size (vs the every-distinct-pair
+    shuffle of exact COUNT(DISTINCT) — 2.2x at 48M tokens, BASELINE.md),
+    and per-shard sketches compose by max (merge==rebuild EXACT,
+    tests/test_sketch.py)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    return ops.hll_estimate(
+        ops.hll_build(toks, "t", group_cols=("source",)),
+        group_cols=("source",),
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """NEW r12 (promoted from the staged r11 differential): temperature-
+    flattened mixture sampling (the mT5 / data-recipe move) — rates
+    DERIVED from observed source counts via q_s ~ p_s^(1/T), replayed
+    bit-for-bit through the 1e-9-grid fixed-point derivation. The pw9
+    rounding boundary is ULP-GUARDED engine-side (the r11 verdict's one
+    decision-feeding transcendental), so fixture drift onto a boundary
+    fails loudly instead of flipping the cross-engine hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.temperature_sample(docs).select("doc_id", "source", "mix_rate")
+
+
+def q_quality_filter(spark, sf_dir):
+    """NEW r12 (promoted from the staged r11 differential): the learned
+    quality filter (the CCNet/fastText-classifier stage) trained END TO
+    END inside the graded entry — micro-int features over the planted
+    digit-spam twin corpus, CLS_ITERS balanced hinge rounds (each ONE
+    map-side-combinable aggregate; 2K+2 ints to the driver — the
+    kmeans_lloyd bounded-collect pattern), then map-side scoring. The
+    oracle statically unrolls every training round in ANSI SQL, so the
+    exact integer margins and keep decisions are value-hash-proven.
+    Build executes the training jobs (the kmeans/bpe eager-build
+    exception family in COVERAGE.md's pre-artifact-gate note)."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.classify import (
+        doc_features,
+        linear_filter_scores,
+        planted_corpus,
+        train_linear_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus, labels = planted_corpus(docs)
+    feats = doc_features(corpus)
+    w6 = train_linear_filter(feats, labels)
+    return linear_filter_scores(feats, w6)
+
+
+def q_events_hourly_distinct(spark, sf_dir):
+    """NEW r12 (promoted from the staged r11 differential): per-(hour,
+    event_type) distinct-user HLL over events — the batch twin of the
+    r11 streaming register maintenance (stream==batch register-for-
+    register, tests/test_streaming.py), sharing hll_cols with hll_build
+    so batch/stream/graded-entry can't drift. State per window is
+    bounded at 2^p register rows regardless of event volume."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        hourly_distinct_registers_batch,
+    )
+
+    ev = load_events_micros(spark, sf_dir)
+    regs = hourly_distinct_registers_batch(ev).select(
+        F.col("hour").cast("bigint").alias("hour_epoch"),
+        "event_type",
+        "bucket",
+        "reg",
+    )
+    return ops.hll_estimate(regs, group_cols=("hour_epoch", "event_type"))
+
+
+_BM25_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _bm25_index_path(spark, sf_dir) -> str:
+    """Persisted BM25 index (postings/df/stats parquet trio) built once
+    per (application, sf_dir) — the build-once/query-many split."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = tempfile.mkdtemp(prefix="ccd_bm25_")
+        docs = _t(spark, sf_dir, "documents")
+        idx = ops.bm25_index(docs)
+        for name, frame in idx.items():
+            frame.write.mode("overwrite").parquet(os.path.join(path, name))
+        _BM25_INDEX_CACHE[key] = path
+    return path
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """NEW r12 (promoted; the r10 verdict's structural fix for the
+    bm25_topk bench row): BM25 served from the PERSISTED index — the
+    postings/df/stats trio written to parquet and reloaded, so the
+    corpus passes are paid once per snapshot while queries replan only
+    the (small) probe side. Persisted==inline is pinned by
+    tests/test_retrieval.py::test_bm25_prebuilt_index_matches_inline;
+    the oracle is the proven inline SQL (same scores by that contract).
+    At 100 TB the postings table is disk-bucketed by term; the probe
+    join touches only matched terms' postings."""
+    path = _bm25_index_path(spark, sf_dir)
+    idx = {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in ("postings", "df", "stats")
+    }
+    docs = _t(spark, sf_dir, "documents")
+    return ops.bm25_topk(
+        None, _bm25_probes(docs), k=BM25_K, idf="ratio", index=idx
+    )
+
+
+def q_srp_panel(spark, sf_dir):
+    """NEW r12 — the composed fold of the SRP pair (`srp_near_dups` +
+    `srp_verified_dups`, both long-green) into ONE graded entry (the r11
+    panel pattern; registry headroom under the 100-entry ceiling). Both
+    retired builders are re-invoked VERBATIM and share a native schema
+    (doc_a, doc_b, cosine) already, so the fold is a section tag:
+    `planted` = the deterministic re-inserted perturbations at the 0.98
+    threshold, `raw` = the production shape over the raw embeddings at
+    EMB_NEARDUP_THRESHOLD — each row stays value-hash-proven."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("section"), "doc_a", "doc_b", "cosine"
+        )
+        for name, fn in (
+            ("planted", q_srp_near_dups),
+            ("raw", q_srp_verified_dups),
+        )
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def q_containment_panel(spark, sf_dir):
+    """NEW r12 — the composed fold of the containment pair
+    (`containment_dups` + `containment_asym`, both long-green) into ONE
+    graded entry. Both retired builders are re-invoked VERBATIM and share
+    a native schema (doc_a, doc_b, containment_a, containment_b,
+    containment), so the fold is a section tag: `lsh` = MinHash-LSH
+    candidates verified with two-directional containment, `asym` = the
+    size-aware bottom-k sketch candidates (the Jaccard-invisible
+    quoted-subset path) through the same verify tail."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("section"),
+            "doc_a",
+            "doc_b",
+            "containment_a",
+            "containment_b",
+            "containment",
+        )
+        for name, fn in (
+            ("lsh", q_containment_dups),
+            ("asym", q_containment_asym),
+        )
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the correctness driver checks the FIRST 50 entries,
     # so never-checked / recently-added queries sit inside the window and
@@ -2919,20 +3089,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENFORCED by tests/test_entry_contract.py::test_rotation_invariant
     # against the committed CORRECTNESS_r{N}.json artifacts: every tail
     # entry must have a fully-green row in the union of the last two.
-    # Round-11 rotation: the 42-entry r10 tail (last green in
-    # CORRECTNESS_r09 — its rows age out of the union this round, so
+    # Round-12 rotation: the 44-entry r11 tail (last green in
+    # CORRECTNESS_r10 — its rows age out of the union this round, so
     # in-window is mandatory) re-enters the window MINUS three retirements
-    # folded into composed panels this round (simhash_near_dups ->
-    # `simhash_panel`, strip_runs / strip_fixpoint -> `strip_panel`;
-    # their window-side partners simhash / lsh_pairs / lsh_bucket_stats
-    # retire with them into `simhash_panel` / `lsh_panel`). The 8 new r11
-    # entries (never checked) follow — the four staged r10 differentials
-    # promoted (pca_ivf, ivfpq, dsir_select, bpe_vocab), the IVFPQ
-    # maintenance leg (ivfpq_upsert_survivors), and the three folds —
-    # and 3 r10-green entries fill the window to exactly 50.
-    # Registry: 92 - 6 retired + 8 new = 94.
+    # folded into composed panels this round (srp_near_dups +
+    # srp_verified_dups -> `srp_panel`; containment_asym with its
+    # window-side partner containment_dups -> `containment_panel`).
+    # The 7 new r12 entries (never checked) follow — the five staged r11
+    # differentials promoted (hll_tokens, temperature_mix, quality_filter,
+    # events_hourly_distinct, bm25_indexed) and the two folds — and 2
+    # r11-green entries fill the window to exactly 50 (bm25_topk pulled
+    # forward alongside its new persisted twin; pca_ivf for a second
+    # consecutive green on the newest big composition).
+    # Registry: 94 - 4 retired + 7 new = 97.
     return {
-        # --- due back in the window (the r10 tail minus the 3 folded) ---
+        # --- due back in the window (the r11 tail minus the 3 folded) ---
+        "mixture_sample": q_mixture_sample,
+        "cms_token_counts": q_cms_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "redacted_docs": q_redacted_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_docs": q_stratified_docs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "event_props": q_event_props,
+        "bcb_e2e": q_bcb_e2e,
+        "bcb_e2e_detailed": q_bcb_e2e_detailed,
+        "poj_e2e": q_poj_e2e,
+        "ivf_knn_quantized": q_ivf_knn_quantized,
+        "dup_groups_converged": q_dup_groups_converged,
+        "history_rejects": q_history_rejects,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "shard_stats": q_shard_stats,
+        "packed_sequences": q_packed_sequences,
+        "dataset_split": q_dataset_split,
+        "quality_cutoff": q_quality_cutoff,
+        "leakage_split": q_leakage_split,
+        "zorder_keys": q_zorder_keys,
+        "ivf_knn": q_ivf_knn,
+        "doc_knn": q_doc_knn,
+        "ann_recall": q_ann_recall,
+        "tpch_kpi": q_tpch_kpi,
+        "substring_dups": q_substring_dups,
+        "status_pivot": q_status_pivot,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "dsir_weights": q_dsir_weights,
+        "pca_vecs": q_pca_vecs,
+        "pca_knn": q_pca_knn,
+        "pq_knn": q_pq_knn,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "tfidf_postings_pairs": q_tfidf_postings_pairs,
+        "knn_join_panel": q_knn_join_panel,
+        "text_panel": q_text_panel,
+        "normalized_embeddings": q_normalized_embeddings,
+        "source_overlap": q_source_overlap,
+        "sliding_events": q_sliding_events,
+        "frame_samples": q_frame_samples,
+        # --- new in r12 (never checked — must be in-window) ---
+        "hll_tokens": q_hll_tokens,
+        "temperature_mix": q_temperature_mix,
+        "quality_filter": q_quality_filter,
+        "events_hourly_distinct": q_events_hourly_distinct,
+        "bm25_indexed": q_bm25_indexed,
+        "srp_panel": q_srp_panel,
+        "containment_panel": q_containment_panel,
+        # --- r11-green fillers completing the window to 50 ---
+        "bm25_topk": q_bm25_topk,
+        "pca_ivf": q_pca_ivf,
+        # --- rotated out of the 50-query correctness window this round
+        #     (all green in CORRECTNESS_r11; due back in r13) ---
         "media_features": q_media_features,
         "knn_topk": q_knn_topk,
         "knn_detailed": q_knn_detailed,
@@ -2963,7 +3188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_probe_guarded": q_knn_join_probe_guarded,
         "index_ingest": q_index_ingest,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "containment_dups": q_containment_dups,
         "canonical_docs": q_canonical_docs,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bloom_tokens": q_bloom_tokens,
@@ -2972,8 +3196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_panel": q_relational_panel,
         "snapshot_diff": q_snapshot_diff,
         "ivf_delete_survivors": q_ivf_delete_survivors,
-        # --- new in r11 (never checked — must be in-window) ---
-        "pca_ivf": q_pca_ivf,
         "ivfpq": q_ivfpq,
         "ivfpq_upsert_survivors": q_ivfpq_upsert_survivors,
         "dsir_select": q_dsir_select,
@@ -2981,56 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_panel": q_simhash_panel,
         "lsh_panel": q_lsh_panel,
         "strip_panel": q_strip_panel,
-        # --- r10-green fillers completing the window to 50 ---
-        "bm25_topk": q_bm25_topk,
         "lookup_join": q_lookup_join,
         "exact_dups": q_exact_dups,
-        # --- rotated out of the 50-query correctness window this round
-        #     (all green in CORRECTNESS_r10; due back in r12) ---
-        "mixture_sample": q_mixture_sample,
-        "cms_token_counts": q_cms_token_counts,
-        "doc_chunks": q_doc_chunks,
-        "redacted_docs": q_redacted_docs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_docs": q_stratified_docs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "event_props": q_event_props,
-        "bcb_e2e": q_bcb_e2e,
-        "bcb_e2e_detailed": q_bcb_e2e_detailed,
-        "poj_e2e": q_poj_e2e,
-        "ivf_knn_quantized": q_ivf_knn_quantized,
-        "dup_groups_converged": q_dup_groups_converged,
-        "history_rejects": q_history_rejects,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "shard_stats": q_shard_stats,
-        "packed_sequences": q_packed_sequences,
-        "dataset_split": q_dataset_split,
-        "quality_cutoff": q_quality_cutoff,
-        "leakage_split": q_leakage_split,
-        "zorder_keys": q_zorder_keys,
-        "ivf_knn": q_ivf_knn,
-        "doc_knn": q_doc_knn,
-        "ann_recall": q_ann_recall,
-        "srp_verified_dups": q_srp_verified_dups,
-        "tpch_kpi": q_tpch_kpi,
-        "containment_asym": q_containment_asym,
-        "substring_dups": q_substring_dups,
-        "status_pivot": q_status_pivot,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "dsir_weights": q_dsir_weights,
-        "pca_vecs": q_pca_vecs,
-        "pca_knn": q_pca_knn,
-        "pq_knn": q_pq_knn,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "tfidf_postings_pairs": q_tfidf_postings_pairs,
-        "knn_join_panel": q_knn_join_panel,
-        "text_panel": q_text_panel,
-        "normalized_embeddings": q_normalized_embeddings,
-        "source_overlap": q_source_overlap,
-        "sliding_events": q_sliding_events,
-        "srp_near_dups": q_srp_near_dups,
-        "frame_samples": q_frame_samples,
     }
 
 
@@ -5535,9 +5709,66 @@ FROM base b CROSS JOIN (VALUES ('plain'), ('guarded'), ('pruned')) s(section)"""
         f"SELECT 'fixpoint' AS section, doc_id, text, n_tokens_removed,"
         f" n_runs_removed FROM ({sql['strip_fixpoint']}\n)"
     )
+    # --- r12 promotions: the five staged r11 differentials, each ------
+    # rendered through the ONE engine-side renderer its pytest
+    # differential also delegates to (operators/sketch.py, relational.py,
+    # classify.py) — graded entry and test can never assert different math.
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.classify import (
+        quality_filter_duckdb_sql,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.relational import (
+        temperature_sample_duckdb_sql,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        hll_estimate_duckdb_sql,
+    )
+
+    sql["hll_tokens"] = hll_estimate_duckdb_sql(
+        f"""SELECT source, {_HASH60('t')} AS h
+  FROM (SELECT source, unnest({_TOKENS}) AS t FROM documents)""",
+        ["source"],
+        HLL_TOKENS_P,
+    )
+    sql["temperature_mix"] = (
+        "SELECT doc_id, source, mix_rate FROM ("
+        + temperature_sample_duckdb_sql()
+        + "\n)"
+    )
+    sql["quality_filter"] = quality_filter_duckdb_sql()
+    sql["events_hourly_distinct"] = hll_estimate_duckdb_sql(
+        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,"
+        f" event_type, {_HASH60('user_id::VARCHAR')} AS h FROM events",
+        ["hour_epoch", "event_type"],
+        HLL_TOKENS_P,
+    )
+    # persisted==inline is the operator contract
+    # (tests/test_retrieval.py::test_bm25_prebuilt_index_matches_inline),
+    # so the persisted entry's oracle IS the proven inline SQL
+    sql["bm25_indexed"] = sql["bm25_topk"]
+
+    # --- r12 folds: each retired entry's PROVEN oracle SQL wrapped ----
+    # VERBATIM as a section subquery (the r11 panel pattern), so no
+    # folded shape's semantics change on either side.
+    sql["srp_panel"] = (
+        f"SELECT 'planted' AS section, doc_a, doc_b, cosine"
+        f" FROM ({sql['srp_near_dups']}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'raw' AS section, doc_a, doc_b, cosine"
+        f" FROM ({sql['srp_verified_dups']}\n)"
+    )
+    sql["containment_panel"] = (
+        f"SELECT 'lsh' AS section, doc_a, doc_b, containment_a,"
+        f" containment_b, containment FROM ({sql['containment_dups']}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'asym' AS section, doc_a, doc_b, containment_a,"
+        f" containment_b, containment FROM ({sql['containment_asym']}\n)"
+    )
     for _retired in (
         "simhash", "simhash_near_dups", "lsh_pairs", "lsh_bucket_stats",
         "strip_runs", "strip_fixpoint",
+        # r12 retirements (folded into srp_panel / containment_panel)
+        "srp_near_dups", "srp_verified_dups",
+        "containment_dups", "containment_asym",
     ):
         del sql[_retired]
 
