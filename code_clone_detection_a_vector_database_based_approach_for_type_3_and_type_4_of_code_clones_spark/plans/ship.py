@@ -54,10 +54,21 @@ def prepare_and_ship(
     leakage_jaccard: float = 0.5,
     leakage_bands: int = 8,
     leakage_max_bucket: int | None = None,
+    quality_train: DataFrame | None = None,
     **prep_kwargs,
 ) -> dict:
     """Run the 7-stage funnel, split the survivors leakage-safely, and
     write ``{out_dir}/{split}/shard=<k>/`` parquet shards.
+
+    ``quality_train`` (opt-in; a labeled ``doc_id, text, y`` frame with y
+    in {+1, -1}) turns on the funnel's LEARNED quality filter (stage 5.4,
+    plans/corpus_prep): the hinge classifier trains on it eagerly
+    (CLS_ITERS bounded 2K+2-integer collects), then gates the corpus with
+    one map-side score projection before the split/export. Named here —
+    not just reachable through ``**prep_kwargs`` — because the nightly
+    ship IS the lifecycle where a production pipeline applies its quality
+    model; default off, and the default path's output is byte-identical
+    with or without the parameter (pinned in tests/test_ship.py).
 
     Returns ``{"splits", "manifest", "accounting", "written"}``:
 
@@ -71,7 +82,9 @@ def prepare_and_ship(
       calling this function writes the shards).
     """
     fractions = fractions or DEFAULT_FRACTIONS
-    prep = corpus_prep(docs, eval_docs=eval_docs, **prep_kwargs)
+    prep = corpus_prep(
+        docs, eval_docs=eval_docs, quality_train=quality_train, **prep_kwargs
+    )
     meta_cols = tuple(
         c for c in ("lang", "source") if c in prep["docs"].columns
     )
