@@ -71,6 +71,7 @@ from .retrieval import (  # noqa: F401
 from .classify import (  # noqa: F401
     doc_features,
     linear_filter_scores,
+    planted_corpus,
     train_linear_filter,
 )
 from .cleanse import (  # noqa: F401
@@ -82,7 +83,10 @@ from .lm import (  # noqa: F401
     bigram_lm_scores,
     dsir_select,
     dsir_weights,
+    kn_lm_scores,
+    perplexity_buckets,
     train_bigram_lm,
+    train_kn_bigram_lm,
 )
 from .bpe import (  # noqa: F401
     SEP as BPE_SEP,

@@ -33,7 +33,7 @@ well-defined nonzero probability for unseen bigrams via the left join's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -280,3 +280,284 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame,
     return raw_docs.join(
         kept.withColumnRenamed("doc_id", id_col), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM + CCNet perplexity bucketing (r12;
+# staged r13 graded-entry candidate). The CCNet pipeline's actual gate is
+# not a raw LM score but a BUCKETED one: train a smoothed LM on clean
+# text, score the crawl, split into head/middle/tail by score percentile,
+# keep head (+middle). Kneser-Ney is the standard smoothing for that LM;
+# its quantities are ALL integer counts, so — unlike add-one's double
+# division — the whole probability is one exact rational and the engine's
+# micro-unit grid needs NO floating point anywhere:
+#
+#   p_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+#                 + D * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(*,*)
+#
+# with D = 3/4 (the conventional 0.75 as an exact rational). Over the
+# common denominator 4*c(w1)*N1+(*,*):
+#
+#   num = max(4c - 3, 0) * N1+(*,*) + 3 * N1+(w1,*) * N1+(*,w2)
+#   den = 4 * c(w1) * N1+(*,*)
+#   p6  = (2*num*1e6 + den) div (2*den)        -- exact half-up round
+#
+# (products in DECIMAL(38,0) — the _W6_EXPR precedent: at 1e10 bigram
+# types and 1e12-count contexts the BIGINT product wraps). An unseen
+# context (w1 not in the model) backs off to the continuation
+# distribution alone: p = N1+(*,w2)/N1+(*,*); an unseen w2 contributes 0
+# (mean-PROB aggregation, not log — the module-docstring surrogate).
+# Because every p6 is exact-rational, the full train -> score -> bucket
+# chain replays bit-for-bit in ANSI SQL with zero transcendentals and
+# zero doubles before the final display division.
+
+KN_D_NUM, KN_D_DEN = 3, 4  # absolute discount D = 3/4, exact rational
+
+
+def train_kn_bigram_lm(
+    train_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the interpolated-KN bigram model.
+
+    Returns ``(model, ctx, cont, totals)``:
+
+    - ``model``: ``w1, w2, c_big`` — bigram counts;
+    - ``ctx``: ``w1, c_uni, n1p_w1`` — per-context total and distinct-
+      continuation count N1+(w1,*) (the margin table scorers join on w1
+      alone, the bigram_lm unigrams precedent);
+    - ``cont``: ``w2, n1p_dot`` — continuation counts N1+(*,w2);
+    - ``totals``: 1-row ``n1p_tot`` = N1+(*,*) (distinct bigram types),
+      broadcast by the scorer, never collected — train+score+bucket
+      compose into one lazy plan (the analyze-only-gate contract).
+
+    Scale shape: ONE corpus shuffle on the bigram key; every later
+    aggregate is bounded by the bigram-TYPE table, not the corpus.
+    """
+    bigrams = _doc_bigrams(train_docs, text_col, id_col)
+    model = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_big")
+    )
+    ctx = model.groupBy("w1").agg(
+        F.sum("c_big").cast("bigint").alias("c_uni"),
+        F.count("*").cast("bigint").alias("n1p_w1"),
+    )
+    cont = model.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("n1p_dot")
+    )
+    totals = model.agg(F.count("*").cast("bigint").alias("n1p_tot"))
+    return model, ctx, cont, totals
+
+
+def _kn_p6_expr(dialect: str) -> str:
+    """The one exact-rational p6 expression over the joined row (c_big /
+    c_uni / n1p_w1 nullable on unseen context, n1p_dot nullable, n1p_tot
+    always present), rendered per engine: Spark widens the products to
+    DECIMAL(38,0) and floors with `div`; DuckDB widens to HUGEINT and
+    floors with `//` (its `//` on DECIMAL is true division — the
+    INT128 path is the exact one). ONE function renders both so the
+    Spark plan and the oracle can never encode different arithmetic."""
+    if dialect == "spark":
+        big = "cast({0} as decimal(38,0))"
+        div = "div"
+    elif dialect == "duckdb":
+        big = "({0})::HUGEINT"
+        div = "//"
+    else:
+        raise ValueError(dialect)
+    b = big.format
+    return (
+        "CASE WHEN c_uni IS NOT NULL THEN "
+        f"(2 * (greatest(4 * coalesce(c_big, 0) - 3, 0) * {b('n1p_tot')} "
+        f"+ 3 * {b('n1p_w1')} * coalesce(n1p_dot, 0)) * 1000000 "
+        f"+ 4 * {b('c_uni')} * n1p_tot) "
+        f"{div} (8 * {b('c_uni')} * n1p_tot) "
+        "WHEN n1p_dot IS NOT NULL THEN "
+        f"(2 * {b('n1p_dot')} * 1000000 + n1p_tot) "
+        f"{div} (2 * {b('n1p_tot')}) "
+        "ELSE 0 END"
+    )
+
+
+def kn_lm_scores(
+    score_docs: DataFrame,
+    model: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a trained KN model: mean interpolated-KN
+    bigram probability per doc, every step exact-integer (see the block
+    comment above). Three hash joins (bigram key, w1 margin, w2
+    continuation) + one broadcast of the 1-row totals; the per-doc
+    aggregate sums BIGINT micro-units, order-independent.
+
+    Output: ``doc_id, n_bigrams, kn_score6 BIGINT, kn_score DOUBLE`` for
+    EVERY input doc (0-bigram docs score 0 and land in the tail bucket
+    rather than disappearing). ``kn_score6`` is the decision-feeding
+    micro-unit integer ``perplexity_buckets`` consumes; ``kn_score`` is
+    its display form, the exact mean ``(2*sum_p6 + n) div (2n) / 1e6``.
+    """
+    bigrams = _doc_bigrams(score_docs, text_col, id_col)
+    p6 = F.expr(_kn_p6_expr("spark")).cast("bigint")
+    scored = (
+        bigrams.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(p6).cast("bigint").alias("sum_p6"),
+        )
+    )
+    score6 = F.expr("(2 * sum_p6 + n_bigrams) div (2 * n_bigrams)")
+    return (
+        score_docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce(
+                F.when(F.col("n_bigrams") > 0, score6), F.lit(0)
+            ).cast("bigint").alias("kn_score6"),
+            F.coalesce(
+                F.when(F.col("n_bigrams") > 0, score6 / F.lit(1000000.0)),
+                F.lit(0.0),
+            ).alias("kn_score"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "kn_score6",
+    head_num: int = 1,
+    head_den: int = 3,
+    tail_num: int = 1,
+    tail_den: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split by LM-score percentile, exact and
+    scale-shaped. Targets are exact rationals (default thirds):
+    ``h = (n * head_num) div head_den`` docs in the head, ``t`` likewise
+    in the tail.
+
+    The cut is VALUE-based, not rank-based, so it needs no corpus-wide
+    sort: the score histogram is bounded by the micro-unit grid (at most
+    1e6 + 1 distinct ``score6`` values REGARDLESS of corpus size), the
+    running totals run on that value-bounded table (the heavy_hitters
+    single-partition-over-bounded-rows class, not a corpus window), and
+    the two thresholds broadcast back for a map-side CASE. Ties at a
+    threshold all take that threshold's bucket, so bucket sizes can
+    exceed their targets by the boundary tie mass — the deterministic,
+    SQL-replayable reading of "top third" (and CCNet's own: its cuts are
+    score values). Precedence head > tail > middle makes degenerate
+    (near-constant) score distributions well-defined.
+
+    Output: ``scored`` + ``bucket`` ('head' | 'middle' | 'tail').
+    """
+    hist = scored.groupBy(score_col).agg(F.count("*").cast("bigint").alias("c"))
+    w_hi = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lo = Window.orderBy(F.col(score_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col(score_col).alias("v"),
+        F.sum("c").over(w_hi).alias("cum_hi"),
+        F.sum("c").over(w_lo).alias("cum_lo"),
+    )
+    n_tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    marked = cum.join(F.broadcast(n_tot))
+    t_head = marked.filter(
+        F.col("cum_hi") >= F.expr(f"(n * {int(head_num)}) div {int(head_den)}")
+    ).agg(F.max("v").alias("t_head"))
+    t_tail = marked.filter(
+        F.col("cum_lo") >= F.expr(f"(n * {int(tail_num)}) div {int(tail_den)}")
+    ).agg(F.min("v").alias("t_tail"))
+    bucket = (
+        F.when(F.col(score_col) >= F.col("t_head"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("t_tail"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.join(F.broadcast(t_head))
+        .join(F.broadcast(t_tail))
+        .withColumn("bucket", bucket)
+        .drop("t_head", "t_tail")
+    )
+
+
+def kn_lm_buckets_duckdb_sql(
+    head_num: int = 1, head_den: int = 3,
+    tail_num: int = 1, tail_den: int = 3,
+) -> str:
+    """The DuckDB rendering of the full KN chain over view ``documents``
+    — train on documents, score documents, bucket by exact value-based
+    thirds (kept adjacent so the definitions can't drift; shared by the
+    pytest differential and any future graded entry). Output:
+    ``doc_id, n_bigrams, kn_score6, kn_score, bucket``."""
+    toks = (
+        r"list_filter(string_split_regex(lower(text), '\s+'),"
+        r" t -> t <> '')"
+    )
+    p6 = _kn_p6_expr("duckdb")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+bigrams AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM tk WHERE len(toks) >= 2
+  )
+),
+model AS (SELECT w1, w2, count(*)::BIGINT AS c_big FROM bigrams GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c_big)::BIGINT AS c_uni, count(*)::BIGINT AS n1p_w1
+        FROM model GROUP BY 1),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p_dot FROM model GROUP BY 1),
+totals AS (SELECT count(*)::BIGINT AS n1p_tot FROM model),
+joined AS (
+  SELECT b.doc_id, m.c_big, x.c_uni, x.n1p_w1, c.n1p_dot, t.n1p_tot
+  FROM bigrams b
+  LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+  LEFT JOIN ctx x ON x.w1 = b.w1
+  LEFT JOIN cont c ON c.w2 = b.w2
+  CROSS JOIN totals t
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(({p6})::BIGINT)::BIGINT AS sum_p6
+  FROM joined GROUP BY 1
+),
+scores AS (
+  SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(CASE WHEN a.n_bigrams > 0
+                  THEN (2 * a.sum_p6 + a.n_bigrams) // (2 * a.n_bigrams)
+                  END, 0)::BIGINT AS kn_score6,
+         coalesce(CASE WHEN a.n_bigrams > 0
+                  THEN ((2 * a.sum_p6 + a.n_bigrams) // (2 * a.n_bigrams))
+                       / 1000000.0 END, 0.0) AS kn_score
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+),
+hist AS (SELECT kn_score6 AS v, count(*)::BIGINT AS c FROM scores GROUP BY 1),
+cum AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum_hi,
+         sum(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_lo
+  FROM hist
+),
+n AS (SELECT sum(c)::BIGINT AS n FROM hist),
+th AS (SELECT max(v) AS t_head FROM cum, n
+       WHERE cum_hi >= (n * {int(head_num)}) // {int(head_den)}),
+tl AS (SELECT min(v) AS t_tail FROM cum, n
+       WHERE cum_lo >= (n * {int(tail_num)}) // {int(tail_den)})
+SELECT s.doc_id, s.n_bigrams, s.kn_score6, s.kn_score,
+       CASE WHEN s.kn_score6 >= th.t_head THEN 'head'
+            WHEN s.kn_score6 <= tl.t_tail THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM scores s, th, tl"""
