@@ -44,6 +44,9 @@ from .sketch import (  # noqa: F401
     hll_build,
     hll_estimate,
     hll_merge,
+    vhist_build,
+    vhist_merge,
+    vhist_quantiles,
     kmv_build,
     kmv_estimate,
     kmv_merge,

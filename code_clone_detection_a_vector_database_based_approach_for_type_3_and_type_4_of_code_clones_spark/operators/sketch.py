@@ -477,3 +477,169 @@ SELECT {g}, n_touched, reg_sum,
              ELSE {est}
              END, 6) AS est_distinct
 FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable exact value-histogram quantiles (r12; staged r13 graded-entry
+# candidate) — the QUANTILES rung of the sketch family (counts: CMS;
+# distinct: HLL/KMV; membership: Bloom). Spark's exact `percentile`
+# buffers every row per group and `approx_percentile` (Greenwald-Khanna)
+# is not SQL-replayable; for the integer-valued columns this engine
+# actually measures (micro-unit scores bounded by the 1e6 grid, token
+# counts, byte lengths) the honest 100 TB shape is a VALUE histogram:
+# the shuffle carries (group, value) partial counts — bounded by value
+# CARDINALITY, never row count — per-shard histograms merge by count
+# ADDITION (merge == rebuild EXACT, the hll_merge property), and the
+# type-7 quantile extraction is exact integer arithmetic over the tiny
+# merged table. Interpolation happens once, in a fixed-operand-order
+# double expression over identical integers, so it is bit-identical
+# cross-engine.
+
+
+def vhist_build(
+    df: DataFrame,
+    col: Column | str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group value histogram over an integer-valued column: ONE
+    map-side-combinable groupBy. Output: ``group_cols..., v BIGINT,
+    c BIGINT``."""
+    vc = (F.col(col) if isinstance(col, str) else col).cast("bigint")
+    return (
+        df.select(*[F.col(g) for g in group_cols], vc.alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def vhist_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge two histograms: per-(group, value) count sum — exactly
+    ``vhist_build`` of the concatenated inputs (pinned in tests), so
+    shard/stream histograms compose with one tiny shuffle."""
+    u = a.select(*group_cols, "v", "c").unionByName(
+        b.select(*group_cols, "v", "c")
+    )
+    return u.groupBy(*group_cols, "v").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def vhist_quantiles(
+    hist: DataFrame,
+    qs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact type-7 (linear-interpolated) quantiles per group from a
+    value histogram. ``qs`` are exact rationals ``(num, den)`` — the
+    target rank ``h = (n-1) * num / den`` splits into integer arithmetic
+    ``k = h_num div den``, ``rem = h_num mod den``, and the result is
+    ``x[k] + rem/den * (x[k+1] - x[k])`` (numpy/DuckDB ``quantile_cont``
+    semantics; ``rem == 0`` needs no upper order statistic).
+
+    Relational shape: per-group running counts over the value-BOUNDED
+    histogram (the heavy_hitters bounded-window class), an equi-join of
+    the tiny (group x qs) target frame, and min-aggregations that select
+    the two order statistics — no corpus-wide sort, no per-group row
+    buffering.
+
+    Output: ``group_cols..., q DOUBLE, value DOUBLE`` (value rounded
+    6dp)."""
+    gb = [F.col(g) for g in group_cols]
+    w = Window.partitionBy(*gb).orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        *gb, "v", F.sum("c").over(w).alias("cum")
+    )
+    n = hist.groupBy(*gb).agg(F.sum("c").cast("bigint").alias("n"))
+    targets = None
+    for num, den in qs:
+        t = n.select(
+            *gb,
+            (F.lit(float(num)) / F.lit(float(den))).alias("q"),
+            F.expr(f"((n - 1) * {int(num)}) div {int(den)}").alias("k"),
+            F.expr(f"((n - 1) * {int(num)}) % {int(den)}").alias("rem"),
+            F.lit(int(den)).alias("den"),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    joined = cum.join(F.broadcast(targets), list(group_cols)) if group_cols \
+        else cum.crossJoin(F.broadcast(targets))
+    lo = (
+        joined.filter(F.col("cum") >= F.col("k") + 1)
+        .groupBy(*gb, "q", "rem", "den")
+        .agg(F.min("v").alias("x_lo"))
+    )
+    hi = (
+        joined.filter(F.col("cum") >= F.col("k") + 2)
+        .groupBy(*gb, "q")
+        .agg(F.min("v").alias("x_hi"))
+    )
+    val = F.round(
+        F.col("x_lo")
+        + (F.col("rem").cast("double") / F.col("den").cast("double"))
+        * (F.coalesce(F.col("x_hi"), F.col("x_lo")) - F.col("x_lo"))
+        .cast("double"),
+        6,
+    )
+    return lo.join(hi, [*group_cols, "q"], "left").select(
+        *gb, "q", val.alias("value")
+    )
+
+
+def vhist_quantiles_duckdb_sql(
+    src: str,
+    value_expr: str,
+    group_cols: tuple[str, ...] = (),
+    qs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+) -> str:
+    """The DuckDB rendering of ``vhist_build`` + ``vhist_quantiles`` over
+    relation ``src`` (kept adjacent so the definitions can't drift).
+    ``value_expr`` is the integer value SQL; output matches the Spark
+    operator: ``group_cols..., q, value``."""
+    g = ", ".join(group_cols)
+    gc = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    join_on = (
+        " AND ".join(f"c.{x} = t.{x}" for x in group_cols)
+        if group_cols
+        else "TRUE"
+    )
+    tsel = " UNION ALL ".join(
+        f"""SELECT {gc}{float(num) / float(den)!r} AS q,
+           ((n - 1) * {int(num)}) // {int(den)} AS k,
+           ((n - 1) * {int(num)}) % {int(den)} AS rem,
+           {int(den)} AS den
+    FROM n"""
+        for num, den in qs
+    )
+    return f"""
+WITH hist AS (
+  SELECT {gc}({value_expr})::BIGINT AS v, count(*)::BIGINT AS c
+  FROM ({src}) GROUP BY {g + ', ' if g else ''}v
+),
+cum AS (
+  SELECT {gc}v,
+         sum(c) OVER ({part}ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+n AS (SELECT {gc}sum(c)::BIGINT AS n FROM hist {('GROUP BY ' + g) if g else ''}),
+targets AS ({tsel}),
+lo AS (
+  SELECT {('c.' + ', c.'.join(group_cols) + ', ') if group_cols else ''}t.q, t.rem, t.den,
+         min(c.v) AS x_lo
+  FROM cum c JOIN targets t ON {join_on}
+  WHERE c.cum >= t.k + 1
+  GROUP BY {('c.' + ', c.'.join(group_cols) + ', ') if group_cols else ''}t.q, t.rem, t.den
+),
+hi AS (
+  SELECT {('c.' + ', c.'.join(group_cols) + ', ') if group_cols else ''}t.q,
+         min(c.v) AS x_hi
+  FROM cum c JOIN targets t ON {join_on}
+  WHERE c.cum >= t.k + 2
+  GROUP BY {('c.' + ', c.'.join(group_cols) + ', ') if group_cols else ''}t.q
+)
+SELECT {('lo.' + ', lo.'.join(group_cols) + ', ') if group_cols else ''}lo.q,
+       round(lo.x_lo + (lo.rem::DOUBLE / lo.den::DOUBLE)
+             * (coalesce(hi.x_hi, lo.x_lo) - lo.x_lo)::DOUBLE, 6) AS value
+FROM lo LEFT JOIN hi
+  ON {(' AND '.join(f'lo.{x} = hi.{x}' for x in group_cols) + ' AND ') if group_cols else ''}lo.q = hi.q"""

@@ -362,3 +362,145 @@ def test_hll_plan_shape(spark, documents):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------------------
+# Mergeable exact value-histogram quantiles (r12; staged r13 candidate)
+
+_VQ_QS = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+
+
+def _ntok(documents):
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+        tokens,
+    )
+
+    return documents.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+
+
+def test_vhist_quantiles_match_duckdb_replay(documents, sf_dir):
+    """The staged r13 differential: per-source token-count quantiles from
+    the value histogram vs the shared engine renderer's full-SQL replay —
+    exact integer order statistics + one fixed-order interpolation, every
+    value identical."""
+    import duckdb
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_build,
+        vhist_quantiles,
+        vhist_quantiles_duckdb_sql,
+    )
+
+    nt = _ntok(documents)
+    out = vhist_quantiles(
+        vhist_build(nt, "n_tokens", group_cols=("source",)),
+        _VQ_QS,
+        group_cols=("source",),
+    )
+    got = sorted((r.source, r.q, r.value) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sql = vhist_quantiles_duckdb_sql(
+        f"SELECT source, len({_SQL_TOKS})::BIGINT AS n_tokens FROM documents",
+        "n_tokens",
+        ("source",),
+        _VQ_QS,
+    )
+    want = sorted((a, float(b), float(c)) for a, b, c in con.execute(sql).fetchall())
+    assert got == want
+    assert len(got) == len(_VQ_QS) * documents.select("source").distinct().count()
+
+
+def test_vhist_quantiles_are_numpy_type7(documents):
+    """The extraction is EXACTLY numpy's default (type-7 linear)
+    quantile: same order statistics, same interpolation."""
+    import numpy as np
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_build,
+        vhist_quantiles,
+    )
+
+    nt = _ntok(documents)
+    got = {
+        (r.source, r.q): r.value
+        for r in vhist_quantiles(
+            vhist_build(nt, "n_tokens", group_cols=("source",)),
+            _VQ_QS,
+            group_cols=("source",),
+        ).collect()
+    }
+    pdf = nt.toPandas()
+    for src_name, grp in pdf.groupby("source"):
+        vals = grp["n_tokens"].to_numpy()
+        for num, den in _VQ_QS:
+            q = num / den
+            assert abs(float(np.quantile(vals, q)) - got[(src_name, q)]) <= 1e-6, (
+                src_name, q,
+            )
+
+
+def test_vhist_merge_equals_rebuild(documents):
+    """The sketch-family merge law: per-shard histograms merged by count
+    addition equal the from-scratch histogram row-for-row (EXACT, like
+    hll_merge), so shard/stream histograms compose losslessly."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_build,
+        vhist_merge,
+    )
+
+    nt = _ntok(documents)
+    a = nt.filter(F.col("n_tokens") % 2 == 0)
+    b = nt.filter(F.col("n_tokens") % 2 == 1)
+    merged = sorted(
+        (r.source, r.v, r.c)
+        for r in vhist_merge(
+            vhist_build(a, "n_tokens", ("source",)),
+            vhist_build(b, "n_tokens", ("source",)),
+            ("source",),
+        ).collect()
+    )
+    rebuilt = sorted(
+        (r.source, r.v, r.c)
+        for r in vhist_build(nt, "n_tokens", ("source",)).collect()
+    )
+    assert merged == rebuilt
+
+
+def test_vhist_quantiles_edge_cases(spark):
+    """Single-value groups (all quantiles collapse to it), exact-rank
+    quantiles on tiny n (rem == 0 -> no interpolation), and the global
+    (no group) form."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_build,
+        vhist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 1), ("b", 3), ("b", 5)],
+        "g string, x long",
+    )
+    got = {
+        (r.g, r.q): r.value
+        for r in vhist_quantiles(
+            vhist_build(df, "x", ("g",)), ((1, 2), (1, 4)), ("g",)
+        ).collect()
+    }
+    assert got[("a", 0.5)] == 7.0 and got[("a", 0.25)] == 7.0
+    assert got[("b", 0.5)] == 3.0       # n=3, h=(3-1)*1/2=1 exact
+    assert got[("b", 0.25)] == 2.0      # h=0.5 -> 1 + 0.5*(3-1)
+    g = {
+        r.q: r.value
+        for r in vhist_quantiles(vhist_build(df, "x"), ((1, 2),)).collect()
+    }
+    assert g[0.5] == 5.0  # n=5 values [1,3,5,7,7], median exact rank
+
+    plan = vhist_quantiles(
+        vhist_build(df, "x", ("g",)), ((1, 2),), ("g",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
