@@ -552,18 +552,30 @@ def vhist_quantiles(
         *gb, "v", F.sum("c").over(w).alias("cum")
     )
     n = hist.groupBy(*gb).agg(F.sum("c").cast("bigint").alias("n"))
+    # the targets frame derives from the same `hist` lineage as `cum`;
+    # rename its group columns before the re-join so the self-join never
+    # hits Spark's conflicting-attribute analysis (seen on memory-sink
+    # views), and join on an explicit equality condition instead
     targets = None
     for num, den in qs:
         t = n.select(
-            *gb,
+            *[F.col(g).alias(f"_t_{g}") for g in group_cols],
             (F.lit(float(num)) / F.lit(float(den))).alias("q"),
             F.expr(f"((n - 1) * {int(num)}) div {int(den)}").alias("k"),
             F.expr(f"((n - 1) * {int(num)}) % {int(den)}").alias("rem"),
             F.lit(int(den)).alias("den"),
         )
         targets = t if targets is None else targets.unionByName(t)
-    joined = cum.join(F.broadcast(targets), list(group_cols)) if group_cols \
-        else cum.crossJoin(F.broadcast(targets))
+    if group_cols:
+        cond = None
+        for g in group_cols:
+            c = cum[g] == targets[f"_t_{g}"]
+            cond = c if cond is None else (cond & c)
+        joined = cum.join(F.broadcast(targets), cond).drop(
+            *[f"_t_{g}" for g in group_cols]
+        )
+    else:
+        joined = cum.crossJoin(F.broadcast(targets))
     lo = (
         joined.filter(F.col("cum") >= F.col("k") + 1)
         .groupBy(*gb, "q", "rem", "den")
@@ -573,7 +585,15 @@ def vhist_quantiles(
         joined.filter(F.col("cum") >= F.col("k") + 2)
         .groupBy(*gb, "q")
         .agg(F.min("v").alias("x_hi"))
+        .select(
+            *[F.col(g).alias(f"_h_{g}") for g in group_cols],
+            F.col("q").alias("_h_q"),
+            "x_hi",
+        )
     )
+    cond = lo["q"] == hi["_h_q"]
+    for g in group_cols:
+        cond = cond & (lo[g] == hi[f"_h_{g}"])
     val = F.round(
         F.col("x_lo")
         + (F.col("rem").cast("double") / F.col("den").cast("double"))
@@ -581,9 +601,7 @@ def vhist_quantiles(
         .cast("double"),
         6,
     )
-    return lo.join(hi, [*group_cols, "q"], "left").select(
-        *gb, "q", val.alias("value")
-    )
+    return lo.join(hi, cond, "left").select(*gb, "q", val.alias("value"))
 
 
 def vhist_quantiles_duckdb_sql(

@@ -448,3 +448,73 @@ def hourly_distinct_registers_batch(events: DataFrame,
         .groupBy("hour", "event_type", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+# --- streaming value-histogram maintenance (r12) ---------------------------
+
+VHIST_GRID = 1000  # milli-unit value grid: round(value * grid) BIGINT
+
+
+def value_grid_col(value_col: str = "value",
+                   grid: int = VHIST_GRID):
+    """The ONE value-quantization expression shared by the streaming and
+    batch histogram builders (the ``hll_cols`` convention, so the two
+    forms are bucket-identical): half-up rounding of ``value * grid`` to
+    BIGINT — Spark's HALF_UP and DuckDB's round() agree on doubles, and
+    the single multiply is correctly-rounded IEEE on both engines, so
+    the quantized bucket is bit-deterministic cross-engine."""
+    return F.round(F.col(value_col) * grid).cast("bigint")
+
+
+def streaming_hourly_value_histogram(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    grid: int = VHIST_GRID,
+) -> DataFrame:
+    """Streaming value-histogram maintenance: per (hour, event_type,
+    quantized value) COUNT as a watermark-bounded windowed aggregation —
+    counts are associative, so late rows within the watermark fold into
+    existing buckets. Like the streaming HLL registers, the QUANTILE
+    extraction is deliberately not in the stream: readers run
+    ``operators.sketch.vhist_quantiles`` over the histogram sink (a
+    groups-sized batch query), and histograms from different
+    streams/shards compose via ``vhist_merge`` (merge == rebuild EXACT).
+
+    State per window is bounded by the value cardinality ON THE GRID —
+    the knob that makes a double-valued column histogram-safe: pick the
+    grid so the quantization error you accept bounds the state you hold
+    (milli-units by default). Output (streaming): ``hour TIMESTAMP,
+    event_type, v BIGINT, c BIGINT``.
+    """
+    with_time = _event_stream(spark, events_dir)
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", "1 hour"),
+            F.col("event_type"),
+            value_grid_col("value", grid).alias("v"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.col("window.start").alias("hour"), "event_type", "v", "c")
+    )
+
+
+def hourly_value_histogram_batch(events: DataFrame,
+                                 grid: int = VHIST_GRID) -> DataFrame:
+    """Batch twin of ``streaming_hourly_value_histogram`` over a
+    ``ts``-normalized events frame: identical grouping and the identical
+    ``value_grid_col`` quantization, so the two forms are
+    bucket-identical on the same input (pinned in tests)."""
+    hour = F.timestamp_micros(
+        (F.col("ts") - (F.col("ts") % (3600 * US_PER_SEC))).cast("bigint")
+    )
+    return (
+        events.select(
+            hour.alias("hour"),
+            "event_type",
+            value_grid_col("value", grid).alias("v"),
+        )
+        .groupBy("hour", "event_type", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )

@@ -932,3 +932,60 @@ def test_events_hourly_distinct_matches_duckdb_replay(spark, sf_dir):
         for a, b, c, d, e in con.execute(events_hourly_distinct_sql()).fetchall()
     )
     assert got == want
+
+
+def test_streaming_value_histogram_matches_batch(spark, tmp_path, sf_dir):
+    """r12 streaming histogram twin: the watermark-bounded windowed count
+    over (hour, event_type, quantized value) must equal the batch
+    histogram EXACTLY — bucket for bucket (the shared value_grid_col
+    expression, the hll_cols convention) — and quantiles extracted from
+    the streamed histogram must match vhist_quantiles over the batch one."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_quantiles,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        hourly_value_histogram_batch,
+        streaming_hourly_value_histogram,
+    )
+
+    events_dir = tmp_path / "events_vhist_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    hist = streaming_hourly_value_histogram(spark, str(events_dir))
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("vhist_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM vhist_test")
+    got = {
+        (r.hour, r.event_type, r.v): r.c for r in streamed.collect()
+    }
+    ev = load_events_micros(spark, sf_dir)
+    batch = hourly_value_histogram_batch(ev)
+    want = {
+        (r.hour, r.event_type, r.v): r.c for r in batch.collect()
+    }
+    assert got == want  # bucket-for-bucket
+
+    qs = ((1, 2), (9, 10))
+    sq = sorted(
+        (r.hour, r.event_type, r.q, r.value)
+        for r in vhist_quantiles(
+            streamed, qs, group_cols=("hour", "event_type")
+        ).collect()
+    )
+    bq = sorted(
+        (r.hour, r.event_type, r.q, r.value)
+        for r in vhist_quantiles(
+            batch, qs, group_cols=("hour", "event_type")
+        ).collect()
+    )
+    assert sq == bq and len(sq) > 0
