@@ -989,3 +989,51 @@ def test_streaming_value_histogram_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert sq == bq and len(sq) > 0
+
+
+def test_events_value_quantiles_matches_duckdb_replay(spark, sf_dir):
+    """STAGED r13 differential: per-(hour, event_type) value quantiles
+    from the batch histogram twin vs the shared vhist renderer's
+    full-SQL replay — quantized buckets, exact rank arithmetic, and the
+    fixed-order interpolation all value-identical."""
+    import duckdb
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.sketch import (
+        vhist_quantiles,
+        vhist_quantiles_duckdb_sql,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.sources.events import (
+        load_events_micros,
+    )
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+        hourly_value_histogram_batch,
+    )
+
+    qs = ((1, 2), (9, 10), (99, 100))
+    ev = load_events_micros(spark, sf_dir)
+    hist = hourly_value_histogram_batch(ev).select(
+        F.col("hour").cast("bigint").alias("hour_epoch"), "event_type", "v", "c"
+    )
+    got = sorted(
+        (r.hour_epoch, r.event_type, r.q, r.value)
+        for r in vhist_quantiles(
+            hist, qs, group_cols=("hour_epoch", "event_type")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    sql = vhist_quantiles_duckdb_sql(
+        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,"
+        " event_type, round(value * 1000)::BIGINT AS v3 FROM events",
+        "v3",
+        ("hour_epoch", "event_type"),
+        qs,
+    )
+    want = sorted(
+        (int(a), b, float(c), float(d))
+        for a, b, c, d in con.execute(sql).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
