@@ -347,6 +347,54 @@ def bench_queries(spark, sf_dir):
             spark, ivfpq_dir, probes, emb, k=10, nprobe=4, overfetch=8
         )
 
+    def q_hll_tokens():
+        # r12: per-source distinct-token HLL — the register shuffle is
+        # groups x 256 rows regardless of corpus size
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
+            tokens,
+        )
+
+        toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        return ops.hll_estimate(
+            ops.hll_build(toks, "t", group_cols=("source",)),
+            group_cols=("source",),
+        )
+
+    def q_kn_lm_buckets():
+        # r12: train the interpolated-KN bigram model, score every doc,
+        # bucket by exact value-based thirds — one corpus shuffle on the
+        # bigram key, then type-table-bounded work + the grid-bounded
+        # histogram cut
+        m, cx, cn, tt = ops.train_kn_bigram_lm(docs)
+        return ops.perplexity_buckets(ops.kn_lm_scores(docs, m, cx, cn, tt))
+
+    def q_value_quantiles():
+        # r12: per-(hour, event_type) p50/p90/p99 of the quantized event
+        # value from the mergeable histogram — shuffle bounded by value
+        # cardinality on the milli grid, never event count
+        from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.streaming.events import (
+            hourly_value_histogram_batch,
+        )
+
+        ev = load_events_micros(spark, sf_dir)
+        hist = hourly_value_histogram_batch(ev).select(
+            F.col("hour").cast("bigint").alias("hour_epoch"),
+            "event_type", "v", "c",
+        )
+        return ops.vhist_quantiles(
+            hist, ((1, 2), (9, 10), (99, 100)),
+            group_cols=("hour_epoch", "event_type"),
+        )
+
+    def q_quality_filter_train():
+        # r12: the learned quality filter end to end — 12 hinge rounds
+        # (each ONE map-side-combinable aggregate, 2K+2 ints collected)
+        # + map-side scoring of the planted twin corpus
+        corpus, labels = ops.planted_corpus(docs)
+        feats = ops.doc_features(corpus)
+        w6 = ops.train_linear_filter(feats, labels)
+        return ops.linear_filter_scores(feats, w6)
+
     extras = {
         "knn_join_100k_probes": q_knn_join_100k,
         "quantized_rerank": q_quantized_rerank,
@@ -363,6 +411,10 @@ def bench_queries(spark, sf_dir):
         "pca_ivf": q_pca_ivf,
         "kmeans_lloyd": q_kmeans,
         "ivfpq_search": q_ivfpq_search,
+        "hll_tokens": q_hll_tokens,
+        "kn_lm_buckets": q_kn_lm_buckets,
+        "value_quantiles": q_value_quantiles,
+        "quality_filter_train": q_quality_filter_train,
     }
 
     return {
