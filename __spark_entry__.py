@@ -2966,7 +2966,10 @@ def q_quality_filter(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     corpus, labels = planted_corpus(docs)
-    feats = doc_features(corpus)
+    # lazy shared persist: the regex-heavy feature build materializes
+    # once for the training rounds AND the final scoring projection
+    # (r12 optimization; results unchanged — persistence only)
+    feats = ops.persist_bounded(doc_features(corpus), eager=False)
     w6 = train_linear_filter(feats, labels)
     return linear_filter_scores(feats, w6)
 

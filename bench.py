@@ -389,9 +389,13 @@ def bench_queries(spark, sf_dir):
     def q_quality_filter_train():
         # r12: the learned quality filter end to end — 12 hinge rounds
         # (each ONE map-side-combinable aggregate, 2K+2 ints collected)
-        # + map-side scoring of the planted twin corpus
+        # + map-side scoring of the planted twin corpus. The feature
+        # table is lazily persisted so training and the final scoring
+        # pass share ONE materialization of the regex-heavy feature
+        # build instead of each running it (guide §2.4: remove repeated
+        # passes outright).
         corpus, labels = ops.planted_corpus(docs)
-        feats = ops.doc_features(corpus)
+        feats = ops.persist_bounded(ops.doc_features(corpus), eager=False)
         w6 = ops.train_linear_filter(feats, labels)
         return ops.linear_filter_scores(feats, w6)
 

@@ -88,6 +88,43 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def cosine6_exact_pandas(a: Column, b: Column) -> Column:
+    """6dp cosine as a pandas UDF whose float64 operation order replays
+    the engine's expression form ``round(dot/(nq*nv), 6)`` EXACTLY: the
+    dot/norm accumulations loop dims in index order (vectorized across
+    rows — bit-identical to the left-to-right ``aggregate`` folds, unlike
+    ``cosine_similarity_pandas``'s einsum which may reassociate), one
+    divide, ``round_half_up_np``. Zero-norm vectors raise — the ANSI
+    divide-by-zero contract the expression form enforces. Use on
+    high-cardinality candidate sets (interpreted higher-order functions
+    cost ~10x there); r12, the _fulldim_rerank kernel."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos6(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        n, d = ma.shape
+        dots = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            dots = dots + ma[:, j] * mb[:, j]
+            na = na + ma[:, j] * ma[:, j]
+            nb = nb + mb[:, j] * mb[:, j]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        if np.any(denom == 0.0):
+            raise ArithmeticError(
+                "DIVIDE_BY_ZERO in exact cosine rescore (zero-norm vector)"
+            )
+        return pd.Series(round_half_up_np(dots / denom, 6))
+
+    return _cos6(a, b)
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize a vector column — the ``--normalized`` flag of the
     reference (main.py:19). Zero vectors pass through unchanged."""

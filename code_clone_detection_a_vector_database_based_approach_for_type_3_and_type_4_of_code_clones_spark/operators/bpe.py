@@ -172,6 +172,15 @@ def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
         eager=True
     )
     merges: list[tuple[int, str, str, int]] = []
+    # r12: checkpoint every CKPT_EVERY rounds instead of every round —
+    # between checkpoints the lineage is at most CKPT_EVERY-1 nested
+    # vocab-sized `replace` projections (linear, collapsed into one
+    # Project by the optimizer; NOT the exponential CTE-re-inlining
+    # hazard, which this module's oracle renderer guards separately), so
+    # each top-1 job replays a few cheap string maps while ~3/4 of the
+    # eager checkpoint jobs disappear (2 jobs/round -> ~1.25)
+    ckpt_every = 4
+    pending = 0
     for rank in range(1, num_merges + 1):
         top = (
             _pair_counts(hist)
@@ -183,10 +192,14 @@ def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
             break
         left, right, c = top[0].left, top[0].right, int(top[0].pair_count)
         merges.append((rank, left, right, c))
-        # vocab-sized map-only round; checkpoint cuts the growing lineage
+        # vocab-sized map-only round; periodic checkpoint bounds lineage
         hist = hist.withColumn(
             "rendered", _merge_expr(F.col("rendered"), left, right)
-        ).localCheckpoint(eager=True)
+        )
+        pending += 1
+        if pending >= ckpt_every:
+            hist = hist.localCheckpoint(eager=True)
+            pending = 0
     if report is not None:
         report["rounds"] = len(merges)
         report["histogram"] = hist

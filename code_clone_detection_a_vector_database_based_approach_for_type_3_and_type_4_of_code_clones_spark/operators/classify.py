@@ -161,21 +161,29 @@ def train_linear_filter(
       round's sums.
     """
     df = features.join(labels, "doc_id").persist()
-    n_pos = df.filter(F.col("y") == 1).count()
-    n_neg = df.filter(F.col("y") == -1).count()
+    # all four contract checks from ONE aggregate over the persisted
+    # frame (r12: four separate count()/distinct().count() jobs each paid
+    # a scheduler round-trip; at 100 TB on an unpersisted path they were
+    # four scans — this is one)
+    guard = df.agg(
+        F.count_if(F.col("y") == 1).alias("n_pos"),
+        F.count_if(F.col("y") == -1).alias("n_neg"),
+        F.count("*").alias("n_all"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    n_pos, n_neg = int(guard["n_pos"]), int(guard["n_neg"])
+    n_all, n_ids = int(guard["n_all"]), int(guard["n_ids"])
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             f"train_linear_filter: need both classes (n_pos={n_pos}, "
             f"n_neg={n_neg})"
         )
-    n_all = df.count()
     if n_all != n_pos + n_neg:
         raise ValueError(
             f"train_linear_filter: {n_all - n_pos - n_neg} labeled rows "
             "have y outside {+1, -1} (each would be a perpetual margin "
             "violator contributing to neither class gradient)"
         )
-    n_ids = df.select("doc_id").distinct().count()
     if n_all != n_ids:
         raise ValueError(
             f"train_linear_filter: labels join fanned out ({n_all} joined "

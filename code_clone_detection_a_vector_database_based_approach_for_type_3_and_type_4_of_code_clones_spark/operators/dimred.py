@@ -104,11 +104,26 @@ def pca_project(
     components: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "reduced",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` = the centered projection of ``vec_col`` under a
-    ``train_pca`` model — one baked-literal map-side expression (centering
-    happens ONCE via zip_with; each output dim is one left-to-right fold,
-    rounded to the 6-decimal grid). All input columns pass through."""
+    ``train_pca`` model. All input columns pass through.
+
+    ``vectorized`` (default, r12): one NumPy kernel per Arrow batch that
+    replays the expression twin's EXACT float64 operation order — center
+    (one IEEE sub per coordinate), then per output dim the left-to-right
+    multiply-add fold over input dims (vectorized ACROSS rows, ordered
+    along dims, so every row's accumulation is bit-identical to the
+    ``aggregate`` fold), rounded via ``round_half_up_np`` (the
+    exact_knn_fast convention — guide §4: interpreted higher-order folds
+    cost ~100x on the projection's out_dim x dim inner loop, and the
+    projection is THE map pass over the corpus at 100 TB).
+    ``vectorized=False`` keeps the baked-literal expression form — the
+    differential twin the equivalence test pins batch-for-batch
+    (tests/test_dimred.py), and the path plan builders that must stay
+    mapInPandas-free can opt into."""
+    if vectorized and out_col not in df.columns:
+        return _pca_project_vectorized(df, mean, components, vec_col, out_col)
     mu = "array(" + ",".join(repr(v) + "D" for v in mean) + ")"
     centered = f"zip_with(cast({vec_col} as array<double>), {mu}, (x, y) -> x - y)"
     # collision-safe staging column: never clobber an input column that
@@ -130,6 +145,60 @@ def pca_project(
         .withColumn(out_col, F.expr(proj))
         .drop(tmp)
     )
+
+
+def _pca_project_vectorized(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """The NumPy batch kernel behind ``pca_project(vectorized=True)``.
+
+    Operation-order contract (the reason this is bit-identical to the
+    expression twin, pinned by tests/test_dimred.py): the float32 ->
+    float64 cast is exact widening; centering is one IEEE subtraction per
+    coordinate (zip_with's x - y); each output component accumulates
+    ``acc = (..((0 + c0*w0) + c1*w1)..) + c_{d-1}*w_{d-1}`` — the same
+    multiply-then-add sequence as the left-to-right ``aggregate`` fold,
+    vectorized across ROWS (one vector op per input dim), never
+    reassociated across dims; rounding is ``round_half_up_np`` (the
+    engine-wide vectorized-path rounding convention, functions/vector.py).
+    """
+    from ..functions.vector import round_half_up_np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)  # (out_dim, dim)
+    # fresh StructType — StructType.add MUTATES, and df.schema returns the
+    # DataFrame's cached instance, so add() would corrupt df's own schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xc = X - mu
+            out = np.empty((len(pdf), W.shape[0]), dtype=np.float64)
+            for o in range(W.shape[0]):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(W.shape[1]):
+                    acc = acc + Xc[:, d] * W[o, d]
+                out[:, o] = acc
+            out = round_half_up_np(out, SCORE_DECIMALS)
+            pdf[out_col] = list(out)
+            yield pdf
+
+    return df.mapInPandas(project, schema=out_schema)
 
 
 def pca_knn(
@@ -224,16 +293,23 @@ def _fulldim_rerank(
         F.col(id_col).alias("result_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, v) -> a + v)"
-    nq = "sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"
-    nv = "sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"
+    # r12: the rescore expression (three interpreted left-to-right folds
+    # per candidate row) moved to ONE NumPy batch kernel with the same
+    # float64 operation order — dot/norm accumulations loop dims in index
+    # order, vectorized across rows (bit-identical to the aggregate
+    # folds, same argument as _pca_project_vectorized); rounding is the
+    # engine-wide round_half_up_np. Q*k*overfetch candidate rows is the
+    # hot set of every reduced-space search — interpreted HOFs cost ~10x
+    # there (the cosine_similarity_pandas note, functions/vector.py).
+    from ..functions.vector import cosine6_exact_pandas
+
     rescored = (
         cand.join(xv, "result_id")
         .join(qv, "query_id")
         .select(
             "query_id",
             "result_id",
-            F.expr(f"round({dot} / ({nq} * {nv}), {SCORE_DECIMALS})").alias("score"),
+            cosine6_exact_pandas(F.col("qv"), F.col("v")).alias("score"),
         )
     )
     return _ranked_topk(rescored, k)

@@ -494,20 +494,32 @@ def perplexity_buckets(
     )
     n_tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
     marked = cum.join(F.broadcast(n_tot))
-    t_head = marked.filter(
-        F.col("cum_hi") >= F.expr(f"(n * {int(head_num)}) div {int(head_den)}")
-    ).agg(F.max("v").alias("t_head"))
-    t_tail = marked.filter(
-        F.col("cum_lo") >= F.expr(f"(n * {int(tail_num)}) div {int(tail_den)}")
-    ).agg(F.min("v").alias("t_tail"))
+    # both thresholds from ONE pass over the value-bounded cum table
+    # (r12: two filter+agg branches each re-ran the cum-window subtree
+    # and cost their own broadcast exchange)
+    thresholds = marked.agg(
+        F.max(
+            F.when(
+                F.col("cum_hi")
+                >= F.expr(f"(n * {int(head_num)}) div {int(head_den)}"),
+                F.col("v"),
+            )
+        ).alias("t_head"),
+        F.min(
+            F.when(
+                F.col("cum_lo")
+                >= F.expr(f"(n * {int(tail_num)}) div {int(tail_den)}"),
+                F.col("v"),
+            )
+        ).alias("t_tail"),
+    )
     bucket = (
         F.when(F.col(score_col) >= F.col("t_head"), F.lit("head"))
         .when(F.col(score_col) <= F.col("t_tail"), F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
     return (
-        scored.join(F.broadcast(t_head))
-        .join(F.broadcast(t_tail))
+        scored.join(F.broadcast(thresholds))
         .withColumn("bucket", bucket)
         .drop("t_head", "t_tail")
     )

@@ -538,9 +538,12 @@ def vhist_quantiles(
 
     Relational shape: per-group running counts over the value-BOUNDED
     histogram (the heavy_hitters bounded-window class), an equi-join of
-    the tiny (group x qs) target frame, and min-aggregations that select
-    the two order statistics — no corpus-wide sort, no per-group row
-    buffering.
+    the tiny (group x qs) target frame, and ONE conditional aggregation
+    that selects both order statistics — no corpus-wide sort, no
+    per-group row buffering, and no self-join: ``x_lo``/``x_hi`` are
+    ``min(v WHERE cum >= k+1)`` / ``min(v WHERE cum >= k+2)`` computed
+    side by side (r12: the previous two-groupBy + left-join form ran the
+    whole cum-window subtree twice and sort-merge-joined the halves).
 
     Output: ``group_cols..., q DOUBLE, value DOUBLE`` (value rounded
     6dp)."""
@@ -552,20 +555,30 @@ def vhist_quantiles(
         *gb, "v", F.sum("c").over(w).alias("cum")
     )
     n = hist.groupBy(*gb).agg(F.sum("c").cast("bigint").alias("n"))
-    # the targets frame derives from the same `hist` lineage as `cum`;
-    # rename its group columns before the re-join so the self-join never
-    # hits Spark's conflicting-attribute analysis (seen on memory-sink
-    # views), and join on an explicit equality condition instead
-    targets = None
-    for num, den in qs:
-        t = n.select(
-            *[F.col(g).alias(f"_t_{g}") for g in group_cols],
-            (F.lit(float(num)) / F.lit(float(den))).alias("q"),
-            F.expr(f"((n - 1) * {int(num)}) div {int(den)}").alias("k"),
-            F.expr(f"((n - 1) * {int(num)}) % {int(den)}").alias("rem"),
-            F.lit(int(den)).alias("den"),
-        )
-        targets = t if targets is None else targets.unionByName(t)
+    # ONE scan of the per-group totals yields every target row (the
+    # previous per-quantile unionByName re-derived the `n` aggregate —
+    # and its whole upstream build — once per quantile); group columns
+    # are renamed before the re-join so the self-join never hits Spark's
+    # conflicting-attribute analysis (seen on memory-sink views)
+    targets = n.select(
+        *[F.col(g).alias(f"_t_{g}") for g in group_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.lit(float(num)) / F.lit(float(den))).alias("q"),
+                        F.expr(f"((n - 1) * {int(num)}) div {int(den)}").alias("k"),
+                        F.expr(f"((n - 1) * {int(num)}) % {int(den)}").alias("rem"),
+                        F.lit(int(den)).alias("den"),
+                    )
+                    for num, den in qs
+                ]
+            )
+        ).alias("_t"),
+    ).select(
+        *[F.col(f"_t_{g}") for g in group_cols],
+        "_t.q", "_t.k", "_t.rem", "_t.den",
+    )
     if group_cols:
         cond = None
         for g in group_cols:
@@ -576,24 +589,13 @@ def vhist_quantiles(
         )
     else:
         joined = cum.crossJoin(F.broadcast(targets))
-    lo = (
-        joined.filter(F.col("cum") >= F.col("k") + 1)
-        .groupBy(*gb, "q", "rem", "den")
-        .agg(F.min("v").alias("x_lo"))
+    # x_lo always exists (k <= n-1 so the last cum row qualifies); x_hi
+    # is NULL exactly when no row reaches rank k+2 — the same rows the
+    # old left join produced, now from a single pass
+    res = joined.groupBy(*gb, "q", "rem", "den").agg(
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("v"))).alias("x_lo"),
+        F.min(F.when(F.col("cum") >= F.col("k") + 2, F.col("v"))).alias("x_hi"),
     )
-    hi = (
-        joined.filter(F.col("cum") >= F.col("k") + 2)
-        .groupBy(*gb, "q")
-        .agg(F.min("v").alias("x_hi"))
-        .select(
-            *[F.col(g).alias(f"_h_{g}") for g in group_cols],
-            F.col("q").alias("_h_q"),
-            "x_hi",
-        )
-    )
-    cond = lo["q"] == hi["_h_q"]
-    for g in group_cols:
-        cond = cond & (lo[g] == hi[f"_h_{g}"])
     val = F.round(
         F.col("x_lo")
         + (F.col("rem").cast("double") / F.col("den").cast("double"))
@@ -601,7 +603,7 @@ def vhist_quantiles(
         .cast("double"),
         6,
     )
-    return lo.join(hi, cond, "left").select(*gb, "q", val.alias("value"))
+    return res.select(*gb, "q", val.alias("value"))
 
 
 def vhist_quantiles_duckdb_sql(

@@ -66,6 +66,74 @@ def test_projection_matches_python_fold_oracle(embeddings, model):
         assert got[r.vec_id] == pytest.approx(exp, abs=0.0), r.vec_id
 
 
+def test_projection_vectorized_matches_expression_twin(embeddings, model):
+    """The r12 NumPy batch kernel must be BIT-identical to the
+    baked-literal expression form (same float64 op order + half-up
+    rounding) — the contract that lets the graded pca_* entries run the
+    fast path."""
+    import struct
+
+    mean, components = model
+    fast = {
+        r.vec_id: list(r.reduced)
+        for r in dimred.pca_project(
+            embeddings, mean, components, vectorized=True
+        ).collect()
+    }
+    expr = {
+        r.vec_id: list(r.reduced)
+        for r in dimred.pca_project(
+            embeddings, mean, components, vectorized=False
+        ).collect()
+    }
+    assert fast.keys() == expr.keys()
+    for k in fast:
+        fa = [struct.pack("d", v) for v in fast[k]]
+        ea = [struct.pack("d", v) for v in expr[k]]
+        assert fa == ea, k
+
+
+def test_cosine6_exact_pandas_matches_expression(embeddings):
+    """The r12 rerank kernel (functions.vector.cosine6_exact_pandas) must
+    be bit-identical to the interpreted round(dot/(nq*nv), 6) form on
+    real vector pairs."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.vector import (
+        cosine6_exact_pandas,
+    )
+
+    a = embeddings.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    ).filter(F.col("ia") < 60)
+    b = embeddings.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    ).filter(F.col("ib") < 60)
+    pairs = a.crossJoin(b)
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    na = "sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(vb, 0D, (a, x) -> a + x * x))"
+    got = {
+        (r.ia, r.ib): r.s
+        for r in pairs.select(
+            "ia", "ib", cosine6_exact_pandas(F.col("va"), F.col("vb")).alias("s")
+        ).collect()
+    }
+    exp = {
+        (r.ia, r.ib): r.s
+        for r in pairs.select(
+            "ia", "ib", F.expr(f"round({dot} / ({na} * {nb}), 6)").alias("s")
+        ).collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert struct.pack("d", got[k]) == struct.pack("d", exp[k]), k
+
+
 def test_projection_matches_duckdb_replay(embeddings, model, sf_dir):
     got = {
         r.vec_id: list(r.reduced)
