@@ -542,21 +542,89 @@ def _with_vec_prep(df: DataFrame, vcol: str) -> DataFrame:
     )
 
 
+def _bank_sims_np(V, cent_vecs: list[list[float]]):
+    """Rounded centroid-cosine matrix ``(n, K)`` for a float64 row-vector
+    batch ``V`` — the NumPy twin of ``_bank_exprs``'s per-centroid
+    expression, with the SAME float64 operation order: centroid norms
+    accumulate left-to-right in plain Python (exactly the Python loop
+    ``_bank_exprs`` bakes its literals from), the dot and vector-norm
+    folds run per-dim in index order vectorized across rows, and the
+    quotient rounds via ``round_half_up_np`` (the engine-wide vectorized
+    rounding convention). Zero-norm vectors raise — the ANSI
+    divide-by-zero contract of the expression form."""
+    import math
+
+    from ..functions.vector import round_half_up_np
+
+    n, d = V.shape
+    vn = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        vn = vn + V[:, j] * V[:, j]
+    vn = np.sqrt(vn)
+    if np.any(vn == 0.0):
+        raise ArithmeticError(
+            "DIVIDE_BY_ZERO in centroid routing (zero-norm vector)"
+        )
+    sims = np.empty((n, len(cent_vecs)), dtype=np.float64)
+    for i, cv in enumerate(cent_vecs):
+        s = 0.0
+        for v in cv:
+            s += v * v
+        cnorm = math.sqrt(s)
+        dot = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            dot = dot + V[:, j] * float(cv[j])
+        sims[:, i] = dot / (vn * cnorm)
+    return round_half_up_np(sims, SCORE_DECIMALS)
+
+
 def _assign_cells(
     index: DataFrame,
     cent_vecs: list[list[float]],
     cent_ids: list[int],
     id_col: str,
     vec_col: str,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Map-side cell assignment: ``(result_id, vec, cell)`` with cell = the
     nearest centroid's cent_id (cosine, smallest-cent_id tie-break —
-    struct ordering makes array_max an argmax with that tie-break)."""
+    struct ordering makes array_max an argmax with that tie-break).
+
+    ``vectorized`` (default, r12): the K x dim cosine bank runs as one
+    NumPy batch kernel (``_bank_sims_np`` — same float64 op order and
+    rounding as the baked-literal expression, pinned bit-identical by
+    tests/test_knn.py); ``np.argmax`` takes the FIRST maximum, which IS
+    the struct ordering's smallest-index tie-break. The expression twin
+    stays for the equivalence test. Interpreted higher-order folds cost
+    ~10-100x on K x dim per row — assignment is a full-corpus pass in
+    every Lloyd round and IVF build (guide §4)."""
+    selected = index.select(
+        F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec")
+    )
+    if vectorized:
+        from pyspark.sql.types import LongType, StructType
+
+        out_schema = StructType(list(selected.schema.fields)).add(
+            "cell", LongType()
+        )
+        ids_arr = np.asarray([int(c) for c in cent_ids], dtype=np.int64)
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["cell"] = np.array([], dtype=np.int64)
+                    yield pdf
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+                )
+                sims = _bank_sims_np(V, cent_vecs)
+                pdf["cell"] = ids_arr[np.argmax(sims, axis=1)]
+                yield pdf
+
+        return selected.mapInPandas(assign, schema=out_schema)
     sims_sql, ids_sql = _bank_exprs(cent_vecs, cent_ids)
-    return _with_vec_prep(
-        index.select(F.col(id_col).alias("result_id"), F.col(vec_col).alias("vec")),
-        "vec",
-    ).select(
+    return _with_vec_prep(selected, "vec").select(
         "result_id",
         "vec",
         F.expr(f"element_at({ids_sql}, -array_max({sims_sql}).neg_idx + 1)").alias("cell"),
@@ -570,13 +638,52 @@ def _route_probes(
     nprobe: int,
     query_id: str,
     query_vec: str,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Map-side probe routing: each probe exploded to its ``nprobe`` nearest
-    cells — ``(query_id, query_vec, cell)``."""
-    sims_sql, ids_sql = _bank_exprs(cent_vecs, cent_ids)
+    cells — ``(query_id, query_vec, cell)``.
+
+    ``vectorized`` (default, r12): the cosine bank runs as the
+    ``_bank_sims_np`` NumPy kernel (bit-identical to the expression twin,
+    tests/test_knn.py) and the (sim desc, index asc) ordering is a
+    ``np.lexsort`` — the exact semantics of
+    ``reverse(array_sort(struct(sim, neg_idx)))``. The expression twin
+    stays for the equivalence test. At 10^5+ probes the interpreted
+    per-row bank was ~9 s of single-core time on the bench's 100k-probe
+    row (guide §4)."""
     q = probes.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
     )
+    if vectorized:
+        from pyspark.sql.types import LongType, StructType
+
+        out_schema = StructType(list(q.schema.fields)).add("cell", LongType())
+        ids_arr = np.asarray([int(c) for c in cent_ids], dtype=np.int64)
+        take = min(int(nprobe), len(cent_vecs))
+
+        def route(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["cell"] = np.array([], dtype=np.int64)
+                    yield pdf
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["query_vec"]]
+                )
+                sims = _bank_sims_np(V, cent_vecs)
+                n, K = sims.shape
+                idx_grid = np.broadcast_to(np.arange(K), (n, K))
+                # lexsort: last key primary — sim DESC, then index ASC
+                order = np.lexsort((idx_grid, -sims), axis=-1)[:, :take]
+                cells = ids_arr[order]  # (n, take)
+                out = pdf.iloc[np.repeat(np.arange(n), take)].reset_index(
+                    drop=True
+                )
+                out["cell"] = cells.ravel()
+                yield out
+
+        return q.mapInPandas(route, schema=out_schema)
+    sims_sql, ids_sql = _bank_exprs(cent_vecs, cent_ids)
     return _with_vec_prep(q, "query_vec").select(
         "query_id",
         "query_vec",

@@ -118,6 +118,49 @@ def test_knn_against_numpy_bruteforce(spark, embeddings):
         assert mine == [pdf["vec_id"].iloc[j] for j in order]
 
 
+def test_assign_route_vectorized_match_expression_twins(spark, embeddings):
+    """The r12 NumPy routing/assignment kernels must reproduce the
+    baked-literal expression forms exactly — every (id, cell) row
+    identical, including argmax/sort tie-breaks."""
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.knn import (
+        _assign_cells,
+        _centroid_bank,
+        _route_probes,
+    )
+
+    cv, ci = _centroid_bank(embeddings, 16, "vec_id", "embedding", 0, 2048)
+    fast_assign = sorted(
+        (r.result_id, r.cell)
+        for r in _assign_cells(
+            embeddings, cv, ci, "vec_id", "embedding", vectorized=True
+        ).collect()
+    )
+    expr_assign = sorted(
+        (r.result_id, r.cell)
+        for r in _assign_cells(
+            embeddings, cv, ci, "vec_id", "embedding", vectorized=False
+        ).collect()
+    )
+    assert fast_assign == expr_assign
+    probes = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).filter("query_id < 200")
+    fast_route = sorted(
+        (r.query_id, r.cell)
+        for r in _route_probes(
+            probes, cv, ci, 4, "query_id", "query_vec", vectorized=True
+        ).collect()
+    )
+    expr_route = sorted(
+        (r.query_id, r.cell)
+        for r in _route_probes(
+            probes, cv, ci, 4, "query_id", "query_vec", vectorized=False
+        ).collect()
+    )
+    assert fast_route == expr_route
+
+
 def test_ivf_recall_reasonable(spark, embeddings):
     """IVF with nprobe=4/16 cells should recover a majority of the exact
     top-10 on this fixture (sanity, not a tight bound)."""
