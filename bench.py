@@ -243,16 +243,37 @@ def bench_queries(spark, sf_dir):
             max_cell_probes=8000,
         )
 
-    def q_bm25():
+    def _bm25_probes():
         from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.functions.text import (
             tokens,
         )
 
-        probes = docs.filter(F.col("doc_id") < 100).select(
+        return docs.filter(F.col("doc_id") < 100).select(
             F.col("doc_id").alias("query_id"),
             F.array_distinct(F.slice(tokens(F.col("text")), 1, 8)).alias("terms"),
         )
-        return ops.bm25_topk(docs, probes, k=10)
+
+    def q_bm25():
+        return ops.bm25_topk(docs, _bm25_probes(), k=10)
+
+    # r12 (ADDED row — the bm25_topk definition above is unchanged and
+    # stays comparable to r1-r11): BM25 served from the PERSISTED
+    # postings/df/stats trio — the build-once/query-many production
+    # shape. The build is untimed setup exactly like the IVF/IVFPQ index
+    # builds above; the timed row is the per-search cost (probe join
+    # against reloaded postings). persisted==inline scores are pinned by
+    # tests/test_retrieval.py::test_bm25_prebuilt_index_matches_inline.
+    bm25_dir = os.path.join(tempfile.gettempdir(), "bench_bm25_index")
+    bm25_built = ops.bm25_index(docs)
+    for _name, _frame in bm25_built.items():
+        _frame.write.mode("overwrite").parquet(os.path.join(bm25_dir, _name))
+
+    def q_bm25_indexed_search():
+        idx = {
+            name: spark.read.parquet(os.path.join(bm25_dir, name))
+            for name in ("postings", "df", "stats")
+        }
+        return ops.bm25_topk(None, _bm25_probes(), k=10, index=idx)
 
     def q_semantic_dedup():
         return ops.semantic_duplicates(emb, threshold=0.30, n_centroids=16)
@@ -403,6 +424,7 @@ def bench_queries(spark, sf_dir):
         "knn_join_100k_probes": q_knn_join_100k,
         "quantized_rerank": q_quantized_rerank,
         "bm25_topk": q_bm25,
+        "bm25_indexed_search": q_bm25_indexed_search,
         "semantic_dedup": q_semantic_dedup,
         "corpus_prep_funnel": q_corpus_prep,
         "shard_export": q_shard_export,
