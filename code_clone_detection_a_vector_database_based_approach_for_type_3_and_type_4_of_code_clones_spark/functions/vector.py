@@ -40,6 +40,25 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def stack_vectors(values, what: str) -> np.ndarray:
+    """Stack an Arrow batch's array-column values into an (n, d) float64
+    matrix for the vectorized kernels. Ragged lengths or empty vectors
+    make ``np.asarray`` yield an object array whose missing second axis
+    surfaces as an opaque unpack/shape error deep in the kernel — the
+    expression twins instead null-pad via ``zip_with``. Validate here and
+    raise the engine's contract-error style, naming the offending input
+    (round-12 advisor finding)."""
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in values])
+    if m.dtype == object or m.ndim != 2 or (len(m) and m.shape[1] == 0):
+        lens = sorted({len(v) for v in values})
+        raise ValueError(
+            f"vectorized kernel input contract violated: {what} must hold "
+            f"fixed-length non-empty vectors within a batch (observed "
+            f"lengths {lens[:8]}{'...' if len(lens) > 8 else ''})"
+        )
+    return m
+
+
 def dot(a: Column, b: Column) -> Column:
     """Index-order dot product of two array columns (DOUBLE accumulation)."""
     return F.aggregate(
@@ -105,8 +124,13 @@ def cosine6_exact_pandas(a: Column, b: Column) -> Column:
     def _cos6(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
-        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        ma = stack_vectors(va, "the left (query) vector column")
+        mb = stack_vectors(vb, "the right (candidate) vector column")
+        if ma.shape != mb.shape:
+            raise ValueError(
+                "vectorized kernel input contract violated: left and right "
+                f"vector columns disagree in shape ({ma.shape} vs {mb.shape})"
+            )
         n, d = ma.shape
         dots = np.zeros(n, dtype=np.float64)
         na = np.zeros(n, dtype=np.float64)
@@ -123,6 +147,51 @@ def cosine6_exact_pandas(a: Column, b: Column) -> Column:
         return pd.Series(round_half_up_np(dots / denom, 6))
 
     return _cos6(a, b)
+
+
+def cosine6_null_pandas(a: Column, b: Column) -> Column:
+    """``round(cosine_similarity(a, b), 6)`` as a pandas UDF — the
+    NULL-on-zero-norm twin of ``cosine6_exact_pandas`` (same left-to-right
+    float64 fold order, same ``round_half_up_np``), matching the
+    EXPRESSION form's ``F.when(denom != 0)`` NULL contract instead of
+    raising. This is the kernel for the pair-VERIFICATION paths
+    (srp_near_duplicates, embedding_near_duplicates), whose ``>=
+    threshold`` filters silently drop zero-norm pairs — a raise would
+    change behavior on corpora containing zero vectors. r13 (round-12
+    verdict item 5): a drop-in for candidate sets large enough that
+    interpreted higher-order folds dominate (crossover ~5k pairs — below
+    that the Python-worker round-trip costs more than it saves)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos6n(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = stack_vectors(va, "the left (pair doc_a) vector column")
+        mb = stack_vectors(vb, "the right (pair doc_b) vector column")
+        if ma.shape != mb.shape:
+            raise ValueError(
+                "vectorized kernel input contract violated: left and right "
+                f"vector columns disagree in shape ({ma.shape} vs {mb.shape})"
+            )
+        n, d = ma.shape
+        dots = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            dots = dots + ma[:, j] * mb[:, j]
+            na = na + ma[:, j] * ma[:, j]
+            nb = nb + mb[:, j] * mb[:, j]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        safe = np.where(denom == 0.0, 1.0, denom)
+        out = round_half_up_np(dots / safe, 6)
+        # NULL (not NaN) where the expression's F.when(denom != 0) yields
+        # NULL — Spark treats NaN as ordered ABOVE all doubles, so a NaN
+        # would survive a >= threshold filter the expression form drops
+        return pd.Series(out).mask(denom == 0.0)
+
+    return _cos6n(a, b)
 
 
 def l2_normalize(a: Column) -> Column:

@@ -200,6 +200,13 @@ def train_bpe(docs: DataFrame, num_merges: int = 32, min_count: int = 2,
         if pending >= ckpt_every:
             hist = hist.localCheckpoint(eager=True)
             pending = 0
+    if pending and report is not None:
+        # flush the tail: report["histogram"] must hand consumers a
+        # materialized leaf, not up to ckpt_every-1 pending merge
+        # projections that every downstream action would replay. Only
+        # when a report is requested — otherwise the pending lineage is
+        # dropped unused and the flush would be a pure extra job.
+        hist = hist.localCheckpoint(eager=True)
     if report is not None:
         report["rounds"] = len(merges)
         report["histogram"] = hist

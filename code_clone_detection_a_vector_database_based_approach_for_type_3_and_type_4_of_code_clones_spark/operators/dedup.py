@@ -300,29 +300,45 @@ def _pair_overlap_counts(docs: DataFrame, pairs: DataFrame, shingle_n: int,
     # accumulate cached blocks without limit.
     pairs = persist_bounded(pairs, eager=eager_persist)
     e = _shingle_hash_explode(docs, shingle_n, text_col, id_col)
-    # shingle-set sizes only for docs that appear in a candidate pair
-    # (left-semi against the small pair-doc set keeps this broadcastable)
     pair_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sizes = (
-        e.join(F.broadcast(pair_docs), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
+    # r13: the verification core consumed the FULL corpus shingle explode
+    # three times (set sizes + both intersection sides) — three
+    # tokenize+SHA-256 corpus passes per action, and the doc_b
+    # intersection side shuffled the whole explode on (doc_b, h). The
+    # pair-doc semi-join (broadcast — LSH output is small by design, the
+    # existing `pairs` assumption) cuts the explode to candidate docs
+    # only BEFORE anything aggregates or shuffles, and the persist makes
+    # the one remaining corpus pass shared by all three consumers
+    # (guide §2.3 shuffle-fewer-bytes + §5 cache-when-reused; the
+    # persisted frame is pair-bounded, not corpus-bounded).
+    e_pd = persist_bounded(
+        e.join(F.broadcast(pair_docs), "doc_id", "left_semi"),
+        eager=eager_persist,
     )
+    sizes = e_pd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         F.broadcast(pairs)
-        .join(e.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(e.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .join(e_pd.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(e_pd.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # `inter` is candidate-bounded (<= |pairs| rows) — broadcast it so the
+    # final assembly is three map-side joins instead of a SortMergeJoin
+    # shuffle of the pair table (guide §3.1 explicit hint where the
+    # planner's size estimate is wrong). ONLY in the eager case: a
+    # broadcast build is its own job, and in the lazy (plan-builder) case
+    # it would run before the persisted pairs/e_pd caches land,
+    # re-deriving the whole candidate pipeline per broadcast.
+    inter_side = F.broadcast(inter) if eager_persist else inter
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        pairs.join(inter_side, ["doc_a", "doc_b"], "left")
         .join(F.broadcast(sz_a), "doc_a", "left")
         .join(F.broadcast(sz_b), "doc_b", "left")
     )
@@ -602,25 +618,46 @@ def duplicate_groups(
     )
 
 
+def _pair_cosine6(verify_vectorized: bool) -> "Callable":  # noqa: F821
+    """The pair-verification cosine column builder: the SQL-replayable
+    expression fold (default — the oracle twin), or the Arrow kernel
+    ``cosine6_null_pandas`` (same float64 op order, same NULL-on-zero-norm
+    contract, row-identical — twin test-pinned). Switch the kernel on for
+    candidate sets past ~5k pairs, where interpreted higher-order folds
+    cost ~10x (guide §4); below that the Python-worker round-trip costs
+    more than it saves (measured r12 at ~600 pairs)."""
+    if verify_vectorized:
+        from ..functions.vector import cosine6_null_pandas
+
+        return lambda va, vb: cosine6_null_pandas(va, vb)
+    from ..functions.vector import cosine_similarity
+
+    return lambda va, vb: F.round(cosine_similarity(va, vb), 6)
+
+
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              verify_vectorized: bool = False) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
     Exact quadratic form — correct and oracle-checkable. The scale path is
     ``ivf_knn`` (operators.knn): assign cells once, compare only within
     cells, which is how a 100 TB run would bound the pair space.
+    ``verify_vectorized`` swaps the per-pair cosine to the row-identical
+    Arrow kernel (see ``_pair_cosine6``) — the right choice whenever the
+    pair space is large, which for this quadratic form is almost always.
 
     Output: ``doc_a, doc_b, cosine``.
     """
-    from ..functions.vector import cosine_similarity
+    cos6 = _pair_cosine6(verify_vectorized)
 
     a = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", cos6(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
@@ -801,15 +838,20 @@ def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64,
                         max_bucket: int | None = None,
-                        vectorized: bool = False) -> DataFrame:
+                        vectorized: bool = False,
+                        verify_vectorized: bool = False) -> DataFrame:
     """SRP-LSH candidates verified with exact cosine >= threshold.
 
     Output: ``doc_a, doc_b, cosine`` — same contract as
     ``embedding_near_duplicates`` (the quadratic exact twin), but the pair
     space is LSH-bounded, so it survives a 100x corpus scale-up.
     ``vectorized`` swaps the signature stage to the bit-identical NumPy
-    path (see ``srp_bands``) — same pairs, same oracle."""
-    from ..functions.vector import cosine_similarity
+    path (see ``srp_bands``) — same pairs, same oracle.
+    ``verify_vectorized`` swaps the per-pair verification cosine to the
+    row-identical Arrow kernel (see ``_pair_cosine6``) — switch it on
+    when a hot band makes the candidate set large (~5k+ pairs); at
+    fixture scale (~600 pairs) the expression form is faster."""
+    cos6 = _pair_cosine6(verify_vectorized)
 
     cands = srp_candidate_pairs(
         embeddings, n_planes, bands, id_col, vec_col, dim, max_bucket, vectorized
@@ -819,7 +861,7 @@ def srp_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
     return (
         cands.join(va, "doc_a")
         .join(vb, "doc_b")
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", cos6(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

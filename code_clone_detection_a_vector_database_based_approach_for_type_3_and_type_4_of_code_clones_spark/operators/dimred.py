@@ -121,7 +121,13 @@ def pca_project(
     ``vectorized=False`` keeps the baked-literal expression form — the
     differential twin the equivalence test pins batch-for-batch
     (tests/test_dimred.py), and the path plan builders that must stay
-    mapInPandas-free can opt into."""
+    mapInPandas-free can opt into.
+
+    NOTE: when ``out_col`` already exists in ``df`` the call falls back
+    to the expression form even with ``vectorized=True`` (the kernel
+    appends columns and cannot overwrite in place) — values are
+    identical, but an overwrite caller pays the interpreted path; rename
+    or drop the stale column first to stay on the fast path."""
     if vectorized and out_col not in df.columns:
         return _pca_project_vectorized(df, mean, components, vec_col, out_col)
     mu = "array(" + ",".join(repr(v) + "D" for v in mean) + ")"
@@ -184,9 +190,9 @@ def _pca_project_vectorized(
                 pdf[out_col] = []
                 yield pdf
                 continue
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            from ..functions.vector import stack_vectors
+
+            X = stack_vectors(pdf[vec_col], f"the {vec_col!r} vector column")
             Xc = X - mu
             out = np.empty((len(pdf), W.shape[0]), dtype=np.float64)
             for o in range(W.shape[0]):

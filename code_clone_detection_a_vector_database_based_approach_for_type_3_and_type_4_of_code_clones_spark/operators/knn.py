@@ -615,9 +615,9 @@ def _assign_cells(
                     pdf["cell"] = np.array([], dtype=np.int64)
                     yield pdf
                     continue
-                V = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
-                )
+                from ..functions.vector import stack_vectors
+
+                V = stack_vectors(pdf["vec"], "the index vector column")
                 sims = _bank_sims_np(V, cent_vecs)
                 pdf["cell"] = ids_arr[np.argmax(sims, axis=1)]
                 yield pdf
@@ -667,9 +667,9 @@ def _route_probes(
                     pdf["cell"] = np.array([], dtype=np.int64)
                     yield pdf
                     continue
-                V = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["query_vec"]]
-                )
+                from ..functions.vector import stack_vectors
+
+                V = stack_vectors(pdf["query_vec"], "the probe vector column")
                 sims = _bank_sims_np(V, cent_vecs)
                 n, K = sims.shape
                 idx_grid = np.broadcast_to(np.arange(K), (n, K))

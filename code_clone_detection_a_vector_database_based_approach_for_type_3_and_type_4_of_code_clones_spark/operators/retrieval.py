@@ -122,7 +122,8 @@ def bm25_topk(
     Output: ``query_id, result_id, score, rank`` (rank 1-based by score
     descending, ties by result_id ascending — the kNN operators' contract).
     """
-    if index is None:
+    inline = index is None
+    if inline:
         index = bm25_index(docs, doc_id, text_col)
     postings, df_tbl, stats = index["postings"], index["df"], index["stats"]
 
@@ -131,7 +132,32 @@ def bm25_topk(
         F.explode(F.array_distinct(F.col(query_terms))).alias("term"),
     )
 
-    with_df = postings.join(df_tbl, "term")
+    # r13 (guide §3.2 pre-filter the big side / §2.3 shuffle fewer
+    # bytes): only postings of QUERY terms can score, so the broadcast
+    # query-term set semi-filters the postings before any join — the
+    # full postings table never flows through the df join. df(t) for a
+    # surviving term counts only rows with that term, so on the inline
+    # path the df table is re-derived FROM the filtered postings
+    # (identical values, and it kills the second corpus
+    # tokenize+explode+shuffle pass the unfiltered df groupBy cost);
+    # the persisted-index path semi-filters its reloaded df table the
+    # same way. Either way the df side is query-term-bounded and
+    # broadcastable regardless of corpus size.
+    term_set = qterms.select("term").distinct()
+    postings = postings.join(F.broadcast(term_set), "term", "left_semi")
+    if inline:
+        # one materialization feeds the df derivation AND the scoring
+        # join (lazy — plan builders must not execute at construction)
+        from .dedup import persist_bounded
+
+        postings = persist_bounded(postings, eager=False)
+        df_tbl = postings.groupBy("term").agg(
+            F.count("*").cast("bigint").alias("df")
+        )
+    else:
+        df_tbl = df_tbl.join(F.broadcast(term_set), "term", "left_semi")
+
+    with_df = postings.join(F.broadcast(df_tbl), "term")
     if max_df_ratio is not None:
         # the df/n_docs predicate is computable on the (small) df table
         # side alone, so the cut happens before any posting row moves

@@ -120,10 +120,23 @@ def corpus_prep(
       leakage-safe train/test split, plans/ship.py) reuse it instead of
       re-running the LSH pipeline.
     """
+    from ..operators.dedup import persist_bounded
+
     cleaned = remove_boilerplate_lines(docs, min_df=boilerplate_min_df)
     meta_cols = [c for c in docs.columns if c != "text"]  # doc_id + metadata
     base = docs.select(*meta_cols).join(cleaned, "doc_id")
     base = base.withColumnRenamed("clean_text", "text")
+    # r13 MEASURED NEGATIVE RESULT — do not re-add a persist here: lazily
+    # persisting (or lazily checkpointing) this cleansed frame so the flag
+    # pipelines share one materialization read 27-43 s vs 9.7 s without it
+    # on the sf0.1 funnel row (persist_bounded: caching the subtree pins
+    # its inner join layout and disables AQE re-planning inside the cached
+    # plan — spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # defaults false — so every downstream consumer pays a frozen
+    # SMJ-shaped prefix; localCheckpoint(eager=False): 11.2 s, the extra
+    # serial materialization outweighs the sharing). The cleanse prefix is
+    # two cheap scans + one join per flag pipeline; re-deriving it is the
+    # faster plan at every measured size.
 
     # stage 2: exact keeper flags (docs in no dup group are keepers)
     exact_losers = (
@@ -220,12 +233,21 @@ def corpus_prep(
         .withColumn("quality_ok", gate["quality_ok"])
     )
 
-    # stage 5: decontamination (broadcast eval n-gram set)
+    # stage 5: decontamination (broadcast eval n-gram set). Only the HIT
+    # docs come back (r13): the full ngram_contamination output is one
+    # row per corpus doc, which made this flag join a corpus x corpus
+    # SortMergeJoin; restricting to contaminated docs (bounded by the
+    # eval n-gram overlap, small by construction) makes it a broadcast
+    # join, and the existing coalesce(..., True) already supplies the
+    # clean-doc default — identical flags (guide §2.3: shuffle keys and
+    # flags for the rows that matter, not the whole corpus).
     if eval_docs is not None:
-        contam = ngram_contamination(base, eval_docs, n=contamination_n).select(
-            "doc_id", (~F.col("is_contaminated")).alias("not_contaminated")
+        contam = (
+            ngram_contamination(base, eval_docs, n=contamination_n)
+            .filter(F.col("is_contaminated"))
+            .select("doc_id", F.lit(False).alias("not_contaminated"))
         )
-        base = base.join(contam, "doc_id", "left").withColumn(
+        base = base.join(F.broadcast(contam), "doc_id", "left").withColumn(
             "not_contaminated", F.coalesce(F.col("not_contaminated"), F.lit(True))
         )
     else:
@@ -239,8 +261,6 @@ def corpus_prep(
     # building the plan must not execute it (the analyze-only gate's
     # contract); the FIFO registry still unpersists on eviction and
     # storage spills to disk for corpora beyond memory.
-    from ..operators.dedup import persist_bounded
-
     base = persist_bounded(base, eager=False)
 
     gate_conj = (

@@ -224,6 +224,60 @@ def test_srp_vectorized_bit_parity(spark, embeddings):
     assert a == b
 
 
+def test_pair_verification_kernel_matches_expression(spark, embeddings):
+    """``verify_vectorized`` swaps the pair-verification cosine to the
+    Arrow kernel (``cosine6_null_pandas``): rows, 6dp values AND the
+    NULL-on-zero-norm contract must match the expression twin exactly —
+    including zero vectors, where a NaN leaking through Arrow would
+    wrongly SURVIVE a >= threshold filter (Spark orders NaN above all
+    doubles). r13, round-12 verdict item 5."""
+    from pyspark.sql import functions as F
+
+    from code_clone_detection_a_vector_database_based_approach_for_type_3_and_type_4_of_code_clones_spark.operators.dedup import (
+        srp_near_duplicates,
+    )
+
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", vd.alias("embedding"))
+    pert = embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at(vd, 1) * 1.05), F.slice(vd, 2, 63)).alias(
+            "embedding"
+        ),
+    )
+    zeros = spark.createDataFrame(
+        [(2000001, [0.0] * 64), (2000002, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    u = base.unionByName(pert).unionByName(zeros)
+    expr_rows = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in srp_near_duplicates(u, threshold=0.9).collect()
+    }
+    kern_df = srp_near_duplicates(u, threshold=0.9, verify_vectorized=True)
+    kern_rows = {(r.doc_a, r.doc_b, r.cosine) for r in kern_df.collect()}
+    assert expr_rows, "fixture must produce verified pairs"
+    assert expr_rows == kern_rows
+    # the zero vectors share every SRP band key (all dots 0 -> all sign
+    # bits 1) so they ARE a candidate pair — both forms must drop them
+    assert not any(a >= 2000001 or b >= 2000001 for a, b, _ in kern_rows)
+    # the kernel actually runs as an Arrow-vectorized UDF, not a fallback
+    assert "ArrowEvalPython" in kern_df._jdf.queryExecution().executedPlan().toString()
+
+    emb_slice = base.filter(F.col("vec_id") < 60).unionByName(zeros)
+    e_expr = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in embedding_near_duplicates(emb_slice, threshold=0.3).collect()
+    }
+    e_kern = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in embedding_near_duplicates(
+            emb_slice, threshold=0.3, verify_vectorized=True
+        ).collect()
+    }
+    assert e_expr and e_expr == e_kern
+
+
 def test_srp_near_duplicates_recall_vs_exact(spark, embeddings):
     """SRP-LSH must recover (nearly) all pairs the exact quadratic operator
     finds at the same threshold, while generating far fewer candidates than
