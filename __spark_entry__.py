@@ -3242,13 +3242,20 @@ def _strip_round_sql(src: str, r: int, run_n: int) -> str:
     — over-unrolling beyond the fixpoint is safe, which is what makes a
     STATIC unrolled oracle equal the dynamic ``strip_until_clean`` loop
     (the ``strip_fixpoint`` graded entry; the differential pytest in
-    tests/test_dedup.py shares this generator)."""
+    tests/test_dedup.py shares this generator).
+
+    Every multiply-referenced CTE is MATERIALIZED (the _bpe_train_ctes
+    lesson): DuckDB default-inlines a CTE per reference, and out{r}
+    references out{r-1} twice while dropped/runs are read 3x/2x — the
+    un-hinted unrolled chain re-evaluated the whole prefix per reference
+    (measured ~290 s for 3 rounds over 240 docs in the pytest
+    differential; MATERIALIZED: seconds, identical rows)."""
     h = _HASH60(
         f"array_to_string(list_transform(tk[i:i+{run_n - 1}],"
         " t -> lower(t)), ' ')"
     )
     return f"""
-w{r} AS (
+w{r} AS MATERIALIZED (
   SELECT doc_id, wp.pos AS pos, wp.h AS h FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(tk) - {run_n - 2}),
@@ -3266,15 +3273,15 @@ isl{r} AS (
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM dup{r}
 ),
-runs{r} AS (
+runs{r} AS MATERIALIZED (
   SELECT doc_id, min(pos) AS start_tok, max(pos) + {run_n} - 1 AS end_tok
   FROM isl{r} GROUP BY doc_id, grp
 ),
-dropped{r} AS (
+dropped{r} AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
   FROM runs{r}
 ),
-out{r} AS (
+out{r} AS MATERIALIZED (
   SELECT s.doc_id,
          CASE WHEN d.doc_id IS NULL THEN s.tk ELSE (
            SELECT coalesce(list(p.tok ORDER BY p.pos), [])

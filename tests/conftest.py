@@ -10,8 +10,13 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    # r13: local[8] (was local[4]) — the verify suite must complete inside
+    # the driver's pytest window (VERIFY_r12 timed out); the sandbox has 32
+    # cores and no test depends on task parallelism (shuffle partitions
+    # stay 4). Measured: full suite 2187 s at local[4] -> see
+    # OPTIMIZATION_r13.md for the local[8] closing number.
     s = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master("local[8]")
         .appName("tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
