@@ -134,7 +134,7 @@ def bm25_topk(
 
     # r13 (guide §3.2 pre-filter the big side / §2.3 shuffle fewer
     # bytes): only postings of QUERY terms can score, so the broadcast
-    # query-term set semi-filters the postings before any join — the
+    # query-term table semi-filters the postings before any join — the
     # full postings table never flows through the df join. df(t) for a
     # surviving term counts only rows with that term, so on the inline
     # path the df table is re-derived FROM the filtered postings
@@ -142,9 +142,12 @@ def bm25_topk(
     # tokenize+explode+shuffle pass the unfiltered df groupBy cost);
     # the persisted-index path semi-filters its reloaded df table the
     # same way. Either way the df side is query-term-bounded and
-    # broadcastable regardless of corpus size.
-    term_set = qterms.select("term").distinct()
-    postings = postings.join(F.broadcast(term_set), "term", "left_semi")
+    # broadcastable regardless of corpus size. The semi-joins build on
+    # the SAME broadcast(qterms) frame as the scoring join (duplicate
+    # terms are harmless to a left-semi), so ReuseExchange serves all
+    # three sites from ONE broadcast build instead of three.
+    bq = F.broadcast(qterms)
+    postings = postings.join(bq, "term", "left_semi")
     if inline:
         # one materialization feeds the df derivation AND the scoring
         # join (lazy — plan builders must not execute at construction)
@@ -155,7 +158,7 @@ def bm25_topk(
             F.count("*").cast("bigint").alias("df")
         )
     else:
-        df_tbl = df_tbl.join(F.broadcast(term_set), "term", "left_semi")
+        df_tbl = df_tbl.join(bq, "term", "left_semi")
 
     with_df = postings.join(F.broadcast(df_tbl), "term")
     if max_df_ratio is not None:
@@ -167,7 +170,7 @@ def bm25_topk(
         with_df = with_df.join(F.broadcast(cut), "term", "left_semi")
     matched = (
         with_df
-        .join(F.broadcast(qterms), "term")
+        .join(bq, "term")
         .crossJoin(F.broadcast(stats))
     )
     # micro-unit fixed point: identical parenthesization in the SQL oracle

@@ -1305,8 +1305,7 @@ def test_strip_runs_matches_duckdb_oracle(spark, documents, sf_dir):
     )
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"'{sf_dir}/documents.parquet' WHERE doc_id < 150"
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
     oracle = con.execute(f"""
 WITH base AS (
